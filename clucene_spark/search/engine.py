@@ -1,0 +1,477 @@
+"""Query algebra -> DataFrame plans (the IndexSearcher equivalent).
+
+The reference compiles Query -> Weight -> Scorer, where every scorer is a
+docID-sorted iterator and composites are merge-joins over docID streams
+(reference: src/core/CLucene/search/Scorer.h, BooleanScorer2.cpp:447-530,
+ConjunctionScorer.cpp, PhraseScorer.cpp). The Spark restatement:
+
+  TermQuery            -> postings.filter(term = t)                  (leaf scan)
+  Boolean SHOULD       -> union of child (doc_id, score) + groupBy sum
+  Boolean MUST         -> same union, HAVING matched == n_must        (n-way equi-join)
+  Boolean MUST_NOT     -> left_anti join                              (anti-join)
+  minNrShouldMatch     -> HAVING should_matched >= m                  (BooleanQuery.cpp:61)
+  coord(overlap,max)   -> matched/max multiplier (Similarity.cpp:231-235)
+  PhraseQuery          -> n-way join on doc_id + shifted position-array intersect
+                          (ExactPhraseScorer.cpp alignment semantics)
+  Prefix/Wildcard/Fuzzy/Range -> predicate on the term column of term_dict —
+                          Catalyst pushes it to the scan; no 1024-clause
+                          expansion needed (PrefixQuery.cpp:88-160,
+                          MultiTermQuery.cpp:52-80, FuzzyQuery.cpp:377-425)
+  top-k                -> ORDER BY score DESC, doc_id ASC LIMIT k
+                          (tiebreak per HitQueue.cpp:100-105)
+
+One shuffle per boolean level (union + groupBy) instead of a chain of
+binary joins — the plan that survives 1000 executors. Global statistics
+(n_docs, avgdl, per-term df) are a separate first pass, mirroring
+MultiSearcher's global-df pattern (MultiSearcher.cpp:72-74).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from clucene_spark.index.build import InvertedIndex
+from clucene_spark.search import similarity as sim
+
+
+# ---------------------------------------------------------------------------
+# Query AST (the logical plan of this engine)
+# ---------------------------------------------------------------------------
+
+MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+
+
+@dataclass
+class Query:
+    boost: float = 1.0
+
+
+@dataclass
+class TermQuery(Query):
+    term: str = ""
+
+    def __str__(self) -> str:
+        return _boosted(self.term, self.boost)
+
+
+@dataclass
+class PhraseQuery(Query):
+    terms: list = field(default_factory=list)
+    slop: int = 0
+
+    def __str__(self) -> str:
+        s = '"' + " ".join(self.terms) + '"'
+        if self.slop:
+            s += f"~{self.slop}"
+        return _boosted(s, self.boost)
+
+
+@dataclass
+class PrefixQuery(Query):
+    prefix: str = ""
+
+    def __str__(self) -> str:
+        return _boosted(self.prefix + "*", self.boost)
+
+
+@dataclass
+class WildcardQuery(Query):
+    pattern: str = ""  # glob with * and ?
+
+    def __str__(self) -> str:
+        return _boosted(self.pattern, self.boost)
+
+
+@dataclass
+class FuzzyQuery(Query):
+    term: str = ""
+    min_similarity: float = 0.5  # reference default queryParser/QueryParser.h:123
+
+    def __str__(self) -> str:
+        return _boosted(f"{self.term}~{self.min_similarity:g}", self.boost)
+
+
+@dataclass
+class RangeQuery(Query):
+    lower: Optional[str] = None
+    upper: Optional[str] = None
+    inclusive: bool = True
+
+    def __str__(self) -> str:
+        o, c = ("[", "]") if self.inclusive else ("{", "}")
+        return _boosted(f"{o}{self.lower or '*'} TO {self.upper or '*'}{c}", self.boost)
+
+
+@dataclass
+class MatchAllQuery(Query):
+    def __str__(self) -> str:
+        return _boosted("*:*", self.boost)
+
+
+@dataclass
+class BooleanClause:
+    query: Query = None
+    occur: str = SHOULD
+
+
+@dataclass
+class BooleanQuery(Query):
+    clauses: list = field(default_factory=list)
+    min_should_match: int = 0
+
+    def add(self, query: Query, occur: str = SHOULD) -> "BooleanQuery":
+        self.clauses.append(BooleanClause(query, occur))
+        return self
+
+    def __str__(self) -> str:
+        parts = []
+        for c in self.clauses:
+            prefix = {MUST: "+", MUST_NOT: "-", SHOULD: ""}[c.occur]
+            inner = str(c.query)
+            if isinstance(c.query, BooleanQuery):
+                inner = f"({inner})"
+            parts.append(prefix + inner)
+        return _boosted(" ".join(parts), self.boost)
+
+
+def _boosted(s: str, boost: float) -> str:
+    return s if boost == 1.0 else f"{s}^{boost:g}"
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+# ---------------------------------------------------------------------------
+# Searcher
+# ---------------------------------------------------------------------------
+
+class Searcher:
+    """Compiles Query ASTs to (doc_id, score) DataFrames over an InvertedIndex.
+
+    similarity: "bm25" (k1=1.2, b=0.75) or "classic" (reference
+    DefaultSimilarity with exact 1/sqrt(dl) norms; byte-norm parity mode
+    via norm_bytes=True replicates the lossy codec).
+    """
+
+    def __init__(self, index: InvertedIndex, similarity: str = "bm25",
+                 norm_bytes: bool = False):
+        self.index = index
+        self.similarity = similarity
+        self.norm_bytes = norm_bytes
+        row = index.doc_lens.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        self.n_docs = int(row["n"])
+        self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
+
+    # -- statistics ---------------------------------------------------------
+
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term docFreq — the stats pass of weight creation
+        (reference: search/TermQuery.cpp:114-118 pulls docFreq/maxDoc)."""
+        if not terms:
+            return {}
+        rows = (
+            self.index.term_dict.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        return {t: found.get(t, 0) for t in terms}
+
+    def _idf(self, df: int) -> float:
+        if self.similarity == "bm25":
+            return sim.bm25_idf_py(df, self.n_docs)
+        return sim.classic_idf_py(df, self.n_docs)
+
+    # -- leaf scorers ---------------------------------------------------------
+
+    def _score_term_postings(self, postings: DataFrame, idf: float, boost: float,
+                             query_norm: float = 1.0) -> DataFrame:
+        """postings(term-filtered): (doc_id, tf) -> (doc_id, score)."""
+        p = postings.join(self.index.doc_lens, "doc_id")
+        if self.similarity == "bm25":
+            score = (
+                F.lit(idf)
+                * sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(self.avgdl))
+                * F.lit(boost)
+            )
+        else:
+            score = (
+                sim.classic_tf(F.col("tf"))
+                * F.lit(idf * idf * boost * query_norm)
+                * (1.0 / F.sqrt(F.col("dl")))
+            )
+        return p.select("doc_id", score.alias("score"))
+
+    def _expand_terms(self, query: Query) -> DataFrame:
+        """Multi-term queries -> DataFrame of (term, df, idf_boost) matches.
+
+        The reference expands against the term enum and caps at 1024
+        clauses (BooleanQuery.cpp:147-149); a term-column predicate has no
+        such cap and Catalyst pushes it into the dictionary scan."""
+        td = self.index.term_dict
+        if isinstance(query, PrefixQuery):
+            return td.filter(F.col("term").startswith(query.prefix))
+        if isinstance(query, WildcardQuery):
+            return td.filter(F.col("term").rlike(_wildcard_to_regex(query.pattern)))
+        if isinstance(query, FuzzyQuery):
+            # sim = 1 - dist/min(len) >= min_similarity (FuzzyQuery.cpp:110-260)
+            t = query.term
+            dist = F.levenshtein(F.col("term"), F.lit(t))
+            min_len = F.least(F.length("term"), F.lit(len(t)))
+            similarity_col = 1.0 - dist / min_len
+            return td.filter(similarity_col >= query.min_similarity)
+        if isinstance(query, RangeQuery):
+            c = F.col("term")
+            cond = F.lit(True)
+            if query.lower is not None:
+                cond = cond & (c >= query.lower if query.inclusive else c > query.lower)
+            if query.upper is not None:
+                cond = cond & (c <= query.upper if query.inclusive else c < query.upper)
+            return td.filter(cond)
+        raise TypeError(f"not a multi-term query: {query}")
+
+    def _score_multiterm(self, query: Query) -> DataFrame:
+        """Expand to matching terms, score as a SHOULD-of-terms (the
+        MultiTermQuery::rewrite -> BooleanQuery pattern, scored with
+        constant idf=1 per expanded term like ConstantScore mode to avoid a
+        driver-side stats pass over an unbounded expansion)."""
+        matches = self._expand_terms(query).select("term", "df")
+        p = self.index.postings.join(F.broadcast(matches), "term")
+        p = p.join(self.index.doc_lens, "doc_id")
+        if self.similarity == "bm25":
+            per_term = sim.bm25_score(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                F.lit(float(self.n_docs)), F.lit(self.avgdl),
+            )
+        else:
+            idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
+            per_term = sim.classic_tf(F.col("tf")) * idf * idf * (1.0 / F.sqrt(F.col("dl")))
+        per_term = per_term * F.lit(query.boost)
+        return p.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
+
+    def _score_phrase(self, query: PhraseQuery, query_norm: float = 1.0) -> DataFrame:
+        """Exact/sloppy phrase via position-array joins.
+
+        Exact (slop=0): doc matches if positions align adjacently; phrase
+        freq = #alignments (ExactPhraseScorer.cpp:34+). Expressed as an
+        n-way inner join on doc_id with shifted array_intersect — the
+        candidate intersection happens first (cheap join on doc_id),
+        position check is column math.
+        Sloppy: freq = sum over alignments of 1/(distance+1)
+        (SloppyPhraseScorer.cpp + Similarity.cpp:223-225) — implemented for
+        2-term phrases as a pairwise position distance; n-term sloppy is
+        deferred to the WAND/segment path.
+        """
+        terms = query.terms
+        dfs = self.doc_freqs(terms)
+        if any(dfs[t] == 0 for t in terms):
+            return self._empty_scores()
+        parts = []
+        for i, t in enumerate(terms):
+            p = (
+                self.index.postings.filter(F.col("term") == t)
+                .select("doc_id", F.col("positions").alias(f"pos{i}"))
+            )
+            parts.append(p)
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "doc_id")
+        if query.slop == 0:
+            # positions of term i shifted back by i must all intersect
+            def _shift_by(offset: int):
+                # NB: must be a 1-arg lambda — F.transform treats a 2-arg
+                # lambda as (element, array_index).
+                return lambda x: x - F.lit(offset)
+
+            aligned = F.col("pos0")
+            for i in range(1, len(terms)):
+                aligned = F.array_intersect(
+                    aligned, F.transform(F.col(f"pos{i}"), _shift_by(i))
+                )
+            freq = F.size(aligned)
+        elif len(terms) == 2:
+            # sloppyFreq = Σ over left positions of 1/(best_distance+1) within
+            # slop (best = closest alignment). Same 1/(d+1) payoff as the
+            # reference (Similarity.cpp:223-225); alignment enumeration is a
+            # simplified per-left-position best-match rather than the full
+            # repeating-terms window walk of SloppyPhraseScorer.cpp.
+            slop = query.slop
+            freq = F.expr(
+                "aggregate(pos0, cast(0.0 as double), (acc, p0) -> acc + "
+                "coalesce(array_max(transform(filter(pos1, p1 -> abs(p1 - p0 - 1) <= "
+                f"{slop}), p1 -> 1.0 / (abs(p1 - p0 - 1) + 1))), cast(0.0 as double)))"
+            )
+        else:
+            raise NotImplementedError("sloppy phrases with >2 terms: use WAND path")
+        idf_sum = sum(self._idf(dfs[t]) for t in terms)
+        scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)
+        scored = scored.join(self.index.doc_lens, "doc_id")
+        if self.similarity == "bm25":
+            score = (
+                F.lit(idf_sum)
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
+                * F.lit(query.boost)
+            )
+        else:
+            score = (
+                F.sqrt(F.col("pfreq"))
+                * F.lit(idf_sum * idf_sum * query.boost * query_norm)
+                * (1.0 / F.sqrt(F.col("dl")))
+            )
+        return scored.select("doc_id", score.alias("score"))
+
+    def _empty_scores(self) -> DataFrame:
+        return (
+            self.index.doc_lens.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        )
+
+    # -- composite scoring ----------------------------------------------------
+
+    def score(self, query: Query, query_norm: float = 1.0) -> DataFrame:
+        """Compile to a (doc_id, score) DataFrame."""
+        if isinstance(query, TermQuery):
+            df = self.doc_freqs([query.term])[query.term]
+            if df == 0:
+                return self._empty_scores()
+            idf = self._idf(df)
+            p = self.index.postings.filter(F.col("term") == query.term)
+            return self._score_term_postings(p, idf, query.boost, query_norm)
+        if isinstance(query, PhraseQuery):
+            if len(query.terms) == 1:
+                return self.score(TermQuery(boost=query.boost, term=query.terms[0]), query_norm)
+            return self._score_phrase(query, query_norm)
+        if isinstance(query, (PrefixQuery, WildcardQuery, FuzzyQuery, RangeQuery)):
+            return self._score_multiterm(query)
+        if isinstance(query, MatchAllQuery):
+            return self.index.doc_lens.select(
+                "doc_id", (F.lit(1.0) * query.boost).alias("score")
+            )
+        if isinstance(query, BooleanQuery):
+            return self._score_boolean(query, query_norm)
+        raise TypeError(f"unknown query type: {type(query)}")
+
+    def _score_boolean(self, query: BooleanQuery, query_norm: float = 1.0) -> DataFrame:
+        """Union + groupBy plan: one shuffle for the whole boolean level.
+
+        MUST = HAVING must_matched == n_must (n-way intersect);
+        SHOULD sum + optional minShouldMatch; MUST_NOT = left_anti;
+        coord(overlap, maxOverlap) multiplier for classic
+        (Similarity.cpp:231-235; BM25 mode disables coord like Lucene's
+        BooleanWeight with disableCoord)."""
+        must = [c.query for c in query.clauses if c.occur == MUST]
+        should = [c.query for c in query.clauses if c.occur == SHOULD]
+        must_not = [c.query for c in query.clauses if c.occur == MUST_NOT]
+
+        scored_parts = []
+        for i, q in enumerate(must):
+            scored_parts.append(
+                self.score(q, query_norm).select(
+                    "doc_id", "score", F.lit(1).alias("is_must"), F.lit(i).alias("cid")
+                )
+            )
+        for i, q in enumerate(should):
+            scored_parts.append(
+                self.score(q, query_norm).select(
+                    "doc_id", "score", F.lit(0).alias("is_must"),
+                    F.lit(1000 + i).alias("cid"),
+                )
+            )
+
+        if not scored_parts:
+            if must_not:
+                # pure negation matches nothing in Lucene
+                return self._empty_scores()
+            return self._empty_scores()
+
+        union = scored_parts[0]
+        for p in scored_parts[1:]:
+            union = union.unionByName(p)
+
+        agg = union.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("must_matched"),
+            F.count("*").alias("matched"),
+        )
+        if must:
+            agg = agg.filter(F.col("must_matched") == len(must))
+        if query.min_should_match > 0 and should:
+            agg = agg.filter(
+                (F.col("matched") - F.col("must_matched")) >= query.min_should_match
+            )
+        max_overlap = len(must) + len(should)
+        if self.similarity == "classic" and max_overlap > 1:
+            agg = agg.withColumn(
+                "score", F.col("score") * F.col("matched") / F.lit(float(max_overlap))
+            )
+        result = agg.select("doc_id", (F.col("score") * query.boost).alias("score"))
+
+        for q in must_not:
+            excl = self.score(q).select("doc_id")
+            result = result.join(excl, "doc_id", "left_anti")
+        return result
+
+    # -- entry points ---------------------------------------------------------
+
+    def query_norm_for(self, query: Query) -> float:
+        """Classic two-pass weight normalization: queryNorm = 1/sqrt(Σ w²)
+        over leaf weights w = idf·boost (reference SearchHeader.cpp:119-126,
+        TermQuery.cpp:131-140). BM25 has no queryNorm (returns 1)."""
+        if self.similarity != "classic":
+            return 1.0
+        leaves: list[tuple[str, float]] = []
+
+        def walk(q: Query, boost: float):
+            b = boost * q.boost
+            if isinstance(q, TermQuery):
+                leaves.append((q.term, b))
+            elif isinstance(q, PhraseQuery):
+                # phrase weight = sum(idf) * boost
+                leaves.append(("\0PHRASE\0" + "\0".join(q.terms), b))
+            elif isinstance(q, BooleanQuery):
+                for c in q.clauses:
+                    if c.occur != MUST_NOT:
+                        walk(c.query, b)
+
+        walk(query, 1.0)
+        term_list = [t for t, _ in leaves if not t.startswith("\0PHRASE\0")]
+        phrase_lists = [t.split("\0")[2:] for t, _ in leaves if t.startswith("\0PHRASE\0")]
+        all_terms = term_list + [t for pl in phrase_lists for t in pl]
+        dfs = self.doc_freqs(all_terms)
+        sum_sq = 0.0
+        for t, b in leaves:
+            if t.startswith("\0PHRASE\0"):
+                idf = sum(self._idf(dfs[x]) for x in t.split("\0")[2:])
+            else:
+                idf = self._idf(dfs[t])
+            sum_sq += (idf * b) ** 2
+        return sim.classic_query_norm_py(sum_sq)
+
+    def topk(self, query: Query, k: int = 10, round_to: int | None = None) -> DataFrame:
+        """Top-k with the reference tiebreak: score DESC, doc_id ASC
+        (HitQueue.cpp:100-105). Spark plans this as TakeOrderedAndProject —
+        per-partition bounded top-k then a driver merge, the MultiSearcher
+        scatter-gather (MultiSearcher.cpp:122-152) for free."""
+        qn = self.query_norm_for(query)
+        scores = self.score(query, qn)
+        if round_to is not None:
+            scores = scores.select(
+                "doc_id", F.round(F.col("score"), round_to).alias("score")
+            )
+        return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

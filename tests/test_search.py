@@ -1,0 +1,205 @@
+"""Rank-identity tests: Spark engine vs the single-node Python oracle.
+
+Analogue of the reference's TestSearch + CheckHits suites
+(src/test/search/TestSearch.cpp:18-200, CheckHits.cpp): fixed query set,
+top-10 (doc_id, score) must be rank-identical per similarity, scores within
+1e-5 (CheckHits tolerance), tiebreak (score DESC, doc_id ASC).
+"""
+
+import math
+
+import pytest
+
+from clucene_spark.search.engine import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    Searcher,
+    TermQuery,
+    WildcardQuery,
+)
+
+from .oracle import PyIndex, PySearcher, topk
+
+
+@pytest.fixture(scope="module")
+def py_index(docs_rows):
+    return PyIndex(docs_rows)
+
+
+def _assert_rank_identical(spark_df, oracle_list, tol=1e-5, oracle_all=None):
+    """Rank-identity modulo floating-point ties.
+
+    Scores may differ in the last ULP between Java Math and Python libm, so
+    docs whose oracle scores are within tol are one tie group; within a
+    group order is by doc_id only when scores are exactly equal, otherwise
+    unconstrained. We assert: per-rank scores match within tol, and every
+    returned doc is score-eligible for its rank (CheckHits ±1e-5 pattern).
+    """
+    got = [(r["doc_id"], r["score"]) for r in spark_df.collect()]
+    assert len(got) == len(oracle_list), f"{len(got)} vs {len(oracle_list)}"
+    pool = dict(oracle_all if oracle_all is not None else oracle_list)
+    for (gd, gs), (od, os_) in zip(got, oracle_list):
+        assert math.isclose(gs, os_, rel_tol=tol, abs_tol=tol), (gd, gs, od, os_)
+        assert gd in pool, f"doc {gd} not in oracle results"
+        assert math.isclose(gs, pool[gd], rel_tol=tol, abs_tol=tol), (gd, gs, pool[gd])
+    # outside tie regions the doc order must be identical
+    for i, ((gd, gs), (od, os_)) in enumerate(zip(got, oracle_list)):
+        tied = any(
+            math.isclose(os_, o2, rel_tol=1e-9, abs_tol=1e-9)
+            for j, (_, o2) in enumerate(oracle_list)
+            if j != i
+        )
+        if not tied:
+            assert gd == od, f"rank {i}: got doc {gd}, want {od} ({got} vs {oracle_list})"
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "classic"])
+@pytest.mark.parametrize("term", ["spark", "vector", "the", "nosuchterm"])
+def test_term_query(index, py_index, similarity, term):
+    s = Searcher(index, similarity=similarity)
+    ps = PySearcher(py_index, similarity=similarity)
+    qn = s.query_norm_for(TermQuery(term=term))
+    all_scores = ps.term_scores(term, query_norm=qn)
+    _assert_rank_identical(
+        s.topk(TermQuery(term=term), 10), topk(all_scores, 10),
+        oracle_all=list(all_scores.items()),
+    )
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "classic"])
+def test_boolean_and(index, py_index, similarity):
+    s = Searcher(index, similarity=similarity)
+    ps = PySearcher(py_index, similarity=similarity)
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join"), MUST)
+    )
+    qn = s.query_norm_for(q)
+    all_scores = ps.boolean_scores(must=["spark", "join"], query_norm=qn)
+    _assert_rank_identical(s.topk(q, 10), topk(all_scores, 10),
+                           oracle_all=list(all_scores.items()))
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "classic"])
+def test_boolean_or_not(index, py_index, similarity):
+    s = Searcher(index, similarity=similarity)
+    ps = PySearcher(py_index, similarity=similarity)
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), SHOULD)
+        .add(TermQuery(term="window"), SHOULD)
+        .add(TermQuery(term="vector"), MUST_NOT)
+    )
+    qn = s.query_norm_for(q)
+    all_scores = ps.boolean_scores(
+        should=["spark", "window"], must_not=["vector"], query_norm=qn)
+    _assert_rank_identical(s.topk(q, 10), topk(all_scores, 10),
+                           oracle_all=list(all_scores.items()))
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "classic"])
+def test_min_should_match(index, py_index, similarity):
+    s = Searcher(index, similarity=similarity)
+    ps = PySearcher(py_index, similarity=similarity)
+    q = BooleanQuery(min_should_match=2)
+    for t in ["spark", "join", "vector"]:
+        q.add(TermQuery(term=t), SHOULD)
+    qn = s.query_norm_for(q)
+    all_scores = ps.boolean_scores(
+        should=["spark", "join", "vector"], min_should_match=2, query_norm=qn)
+    _assert_rank_identical(s.topk(q, 10), topk(all_scores, 10),
+                           oracle_all=list(all_scores.items()))
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "classic"])
+@pytest.mark.parametrize("terms", [["batch", "batch"], ["the", "fast"], ["data", "stream"]])
+def test_phrase_exact(index, py_index, similarity, terms):
+    s = Searcher(index, similarity=similarity)
+    ps = PySearcher(py_index, similarity=similarity)
+    q = PhraseQuery(terms=terms)
+    qn = s.query_norm_for(q)
+    all_scores = ps.phrase_scores(terms, query_norm=qn)
+    _assert_rank_identical(s.topk(q, 10), topk(all_scores, 10),
+                           oracle_all=list(all_scores.items()))
+
+
+def test_match_all(index, py_index):
+    s = Searcher(index)
+    got = s.score(MatchAllQuery()).count()
+    assert got == py_index.n_docs
+
+
+def test_multiterm_expansion_counts(index, py_index):
+    """Prefix/wildcard/fuzzy/range docs match the oracle's expanded term sets."""
+    s = Searcher(index)
+    # prefix 's'
+    expanded = {t for t in py_index.postings if t.startswith("s")}
+    want_docs = set()
+    for t in expanded:
+        want_docs |= set(py_index.postings[t])
+    got = {r["doc_id"] for r in s.score(PrefixQuery(prefix="s")).collect()}
+    assert got == want_docs
+    # range
+    expanded = {t for t in py_index.postings if "sm" <= t <= "st"}
+    want_docs = set()
+    for t in expanded:
+        want_docs |= set(py_index.postings[t])
+    got = {
+        r["doc_id"]
+        for r in s.score(RangeQuery(lower="sm", upper="st")).collect()
+    }
+    assert got == want_docs
+
+
+def test_term_dict_matches_oracle(index, py_index):
+    got = [
+        (r["term"], r["df"], r["cf"])
+        for r in index.term_dict.orderBy("term").collect()
+    ]
+    assert got == py_index.term_dict()
+
+
+def test_fuzzy_expansion(index, py_index):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    q = "spark"
+    expanded = {
+        t
+        for t in py_index.postings
+        if 1.0 - lev(t, q) / min(len(t), len(q)) >= 0.7
+    }
+    want = set()
+    for t in expanded:
+        want |= set(py_index.postings[t])
+    s = Searcher(index)
+    got = {
+        r["doc_id"]
+        for r in s.score(FuzzyQuery(term=q, min_similarity=0.7)).collect()
+    }
+    assert got == want
+
+
+def test_query_tostring():
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(PhraseQuery(terms=["data", "stream"], slop=2), SHOULD)
+        .add(TermQuery(term="vector", boost=2.0), MUST_NOT)
+    )
+    assert str(q) == '+spark "data stream"~2 -vector^2'
+    assert str(WildcardQuery(pattern="s?a*")) == "s?a*"
+    assert str(RangeQuery(lower="a", upper="b", inclusive=False)) == "{a TO b}"

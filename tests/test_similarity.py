@@ -1,0 +1,51 @@
+"""Norm codec + similarity math parity (reference Similarity.cpp:99-235)."""
+
+import math
+
+from clucene_spark.search import similarity as sim
+
+
+def test_norm_codec_roundtrip():
+    # decode(encode(x)) within one quantum — 3-bit mantissa codec
+    for dl in [1, 2, 3, 7, 10, 100, 1000, 10000]:
+        b = sim.encode_norm(dl)
+        decoded = sim.decode_norm(b)
+        exact = 1.0 / math.sqrt(dl)
+        # truncating codec (floatToByte315 shifts bits away, no rounding):
+        # decoded <= exact, relative error bounded by one mantissa quantum
+        assert decoded <= exact + 1e-9, (dl, b, decoded, exact)
+        assert abs(decoded - exact) / exact < 0.25, (dl, b, decoded, exact)
+
+
+def test_norm_codec_known_values():
+    # encode(1.0) must round-trip to exactly 1.0 (Similarity.cpp table)
+    assert sim.decode_norm(sim.encode_norm(1)) == 1.0
+    assert sim.encode_norm(0) == 0
+    assert sim.decode_norm(0) == 0.0
+    # monotonic: longer docs -> smaller norms
+    norms = [sim.decode_norm(sim.encode_norm(dl)) for dl in [1, 4, 16, 64, 256]]
+    assert norms == sorted(norms, reverse=True)
+
+
+def test_norm_table_structure():
+    assert len(sim.NORM_TABLE) == 256
+    assert sim.NORM_TABLE[0] == 0.0
+    # table is monotonically nondecreasing after 0
+    assert all(
+        sim.NORM_TABLE[i] <= sim.NORM_TABLE[i + 1] for i in range(1, 255)
+    )
+
+
+def test_bm25_math():
+    # idf decreasing in df, tf saturating in f
+    assert sim.bm25_idf_py(1, 1000) > sim.bm25_idf_py(100, 1000)
+    s1 = sim.bm25_score_py(1, 10, 50, 1000, 50.0)
+    s2 = sim.bm25_score_py(2, 10, 50, 1000, 50.0)
+    s100 = sim.bm25_score_py(100, 10, 50, 1000, 50.0)
+    assert s1 < s2 < s100 < s1 * (sim.K1 + 1.0)
+
+
+def test_classic_math():
+    assert sim.classic_idf_py(0, 1000) == math.log(1000.0) + 1.0
+    assert sim.classic_tf_py(4) == 2.0
+    assert sim.classic_query_norm_py(4.0) == 0.5
