@@ -176,21 +176,40 @@ class Searcher:
         ).collect()[0]
         self.n_docs = int(row["n"])
         self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
+        self._df_cache: dict[str, int] = {}
 
     # -- statistics ---------------------------------------------------------
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Per-term docFreq — the stats pass of weight creation
-        (reference: search/TermQuery.cpp:114-118 pulls docFreq/maxDoc)."""
+        (reference: search/TermQuery.cpp:114-118 pulls docFreq/maxDoc).
+        Cached per searcher; one Spark job fetches all missing terms, so a
+        whole query tree costs a single stats pass (the MultiSearcher
+        global-df pattern, MultiSearcher.cpp:72-74)."""
         if not terms:
             return {}
-        rows = (
-            self.index.term_dict.filter(F.col("term").isin(list(set(terms))))
-            .select("term", "df")
-            .collect()
-        )
-        found = {r["term"]: int(r["df"]) for r in rows}
-        return {t: found.get(t, 0) for t in terms}
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.index.term_dict.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _collect_terms(self, query: Query) -> list[str]:
+        out: list[str] = []
+        if isinstance(query, TermQuery):
+            out.append(query.term)
+        elif isinstance(query, PhraseQuery):
+            out.extend(query.terms)
+        elif isinstance(query, BooleanQuery):
+            for c in query.clauses:
+                out.extend(self._collect_terms(c.query))
+        return out
 
     def _idf(self, df: int) -> float:
         if self.similarity == "bm25":
@@ -468,6 +487,7 @@ class Searcher:
         (HitQueue.cpp:100-105). Spark plans this as TakeOrderedAndProject —
         per-partition bounded top-k then a driver merge, the MultiSearcher
         scatter-gather (MultiSearcher.cpp:122-152) for free."""
+        self.doc_freqs(self._collect_terms(query))  # one stats pass for the tree
         qn = self.query_norm_for(query)
         scores = self.score(query, qn)
         if round_to is not None:
