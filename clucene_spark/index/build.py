@@ -123,9 +123,22 @@ class InvertedIndex:
     query session will reuse them (the analogue of an open IndexReader).
     """
 
-    def __init__(self, docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"):
+    def __init__(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        doc_id_col: str = "doc_id",
+        analyzer: str = "whitespace",
+    ):
         self.docs = docs
-        self.tokens = tokenize_whitespace(docs, text_col, doc_id_col)
+        if analyzer == "standard":
+            from clucene_spark.analysis.spark import tokenize_standard
+
+            self.tokens = tokenize_standard(docs, text_col, doc_id_col).select(
+                "doc_id", "pos", "term"
+            )
+        else:
+            self.tokens = tokenize_whitespace(docs, text_col, doc_id_col)
         self.postings = build_postings(self.tokens)
         self.doc_lens = build_doc_lens(self.tokens)
         self.term_dict = build_term_dict(self.postings)

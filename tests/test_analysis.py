@@ -1,0 +1,120 @@
+"""Token-golden tests for the StandardAnalyzer chain.
+
+Analogue of the reference's TestAnalysis/TestAnalyzers token-sequence
+assertions (src/test/analysis/TestAnalysis.cpp, TestAnalyzers.cpp): each
+case pins (term, type) and offsets. The goldens encode the DFA's quirks:
+trailing-dot shave (StandardTokenizer.cpp:244-249,362-365), acronym even/odd
+check (:374-396), double dot/dash break (:328-341), the constant-true
+conditional at :408-409 (alpha hosts carry <UNKNOWN>), numeric-host
+recursion (:170-257).
+"""
+
+import pytest
+
+from clucene_spark.analysis.standard import (
+    ENGLISH_STOP_WORDS,
+    MAX_WORD_LEN,
+    standard_analyze,
+    tokenize_only,
+)
+
+GOLDENS = [
+    # (input, [(term, type), ...])
+    ("U.S.A.", [("U.S.A.", "<ACRONYM>")]),
+    ("windowsupdate.microsoft.com", [("windowsupdate.microsoft.com", "<UNKNOWN>")]),
+    ("192.168.1.3", [("192.168.1.3", "<HOST>")]),
+    ("O'Reilly's", [("O'Reilly", "<APOSTROPHE>"), ("s", "<ALPHANUM>")]),
+    ("AT&T", [("AT&T", "<COMPANY>")]),
+    ("bob@example.com", [("bob@example.com", "<EMAIL>")]),
+    ("x@y", [("x@y", "<COMPANY>")]),  # no dots/digits -> COMPANY (ReadAt rule)
+    ("-1.5", [("-1.5", "<NUM>")]),
+    ("3.14159", [("3.14159", "<NUM>")]),
+    (".5", [(".5", "<NUM>")]),
+    ("5.", [("5", "<NUM>")]),
+    ("x_y_z", [("x_y_z", "<ALPHANUM>")]),
+    ("abc.--def", [("abc", "<ALPHANUM>"), ("def", "<ALPHANUM>")]),
+    ("ab-cd", [("ab", "<ALPHANUM>"), ("cd", "<ALPHANUM>")]),
+    ("don't", [("don't", "<APOSTROPHE>")]),
+    ("end.", [("end", "<ALPHANUM>")]),
+    ("a.b.c", [("a.b.c", "<UNKNOWN>")]),
+    ("1.2.3.4.5", [("1.2.3.4.5", "<HOST>")]),
+    ("你好世界", [("你好世界", "<CJK>")]),
+    ("abc你好", [("abc", "<ALPHANUM>"), ("好", "<CJK>")]),  # breaking char dropped
+    (
+        "Visit windowsupdate.microsoft.com--update today!",
+        [
+            ("Visit", "<ALPHANUM>"),
+            ("windowsupdate.microsoft.com", "<UNKNOWN>"),
+            ("update", "<ALPHANUM>"),
+            ("today", "<ALPHANUM>"),
+        ],
+    ),
+    (
+        "In the U.S.A.--yes",
+        [
+            ("In", "<ALPHANUM>"),
+            ("the", "<ALPHANUM>"),
+            ("U.S.A.", "<ACRONYM>"),
+            ("yes", "<ALPHANUM>"),
+        ],
+    ),
+    ("", []),
+    ("   ", []),
+    ("...", []),
+    ("- - -", []),
+    # digit-first "5a": ReadNumber takes "5" and unreads 'a' — but at
+    # end-of-stream the unread is guarded by !EOS (StandardTokenizer.cpp:212),
+    # so a trailing 'a' is swallowed. Reference quirk, faithfully replicated.
+    ("a5 5a", [("a5", "<ALPHANUM>"), ("5", "<NUM>")]),
+    ("a5 5a x", [("a5", "<ALPHANUM>"), ("5", "<NUM>"), ("a", "<ALPHANUM>"), ("x", "<ALPHANUM>")]),
+    ("so's", [("so's", "<APOSTROPHE>")]),
+    ("it'", [("it", "<ALPHANUM>")]),  # bare trailing apostrophe shaved
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS, ids=[g[0][:25] or "empty" for g in GOLDENS])
+def test_tokenizer_goldens(text, expected):
+    got = [(t.term, t.type) for t in tokenize_only(text)]
+    assert got == expected
+
+
+def test_offsets():
+    toks = tokenize_only("The U.S.A. word")
+    assert [(t.term, t.start, t.end) for t in toks] == [
+        ("The", 0, 3),
+        ("U.S.A.", 4, 10),
+        ("word", 11, 15),
+    ]
+
+
+def test_max_word_len_truncation():
+    # 255-char cap (CLConfig.h:169): a 300-char word is truncated
+    w = "a" * 300
+    toks = tokenize_only(w)
+    assert len(toks[0].term) == MAX_WORD_LEN
+
+
+def test_standard_analyze_chain():
+    # filter chain: acronym dots stripped, 's stripped, lowercased, stopwords out
+    # NB: "AT&T's" -> COMPANY "at&t" + bare "s" (ReadCompany stops at the
+    # apostrophe; the 's is not an APOSTROPHE token so StandardFilter keeps it)
+    got = standard_analyze("The U.S.A. isn't AT&T's domain")
+    assert got == [
+        ("usa", 0, 4, 10, "<ACRONYM>"),
+        ("isn't", 1, 11, 16, "<APOSTROPHE>"),
+        ("at&t", 2, 17, 21, "<COMPANY>"),
+        ("s", 3, 22, 23, "<ALPHANUM>"),
+        ("domain", 4, 24, 30, "<ALPHANUM>"),
+    ]
+
+
+def test_stopwords_list():
+    # the 33-word list at Analyzers.cpp:293-300, verbatim
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert standard_analyze("the of and to") == []
+
+
+def test_positions_dense_over_survivors():
+    got = standard_analyze("alpha the beta of gamma")
+    assert [(t[0], t[1]) for t in got] == [("alpha", 0), ("beta", 1), ("gamma", 2)]
