@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clucene_spark.index.build import InvertedIndex
+from clucene_spark.queryparser.parser import parse as _parse
 from clucene_spark.search.engine import (
     MUST,
     MUST_NOT,
@@ -183,6 +184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": lambda spark, sf: _searcher(spark, sf).topk(
             RangeQuery(lower="sm", upper="st", inclusive=True), 10, round_to=4
         ),
+        # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
+        "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("spark AND join"), 10, round_to=4
+        ),
+        "parsed_nested_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("window OR (spark AND join)"), 10, round_to=4
+        ),
         # --- index-build aggregations (SURVEY §2b: term dict, norms) ---
         "term_dict": lambda spark, sf: _index(spark, sf).term_dict.orderBy("term"),
         "doc_lens": lambda spark, sf: _index(spark, sf).doc_lens.orderBy("doc_id"),
@@ -287,6 +295,29 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM bm25 WHERE term >= 'sm' AND term <= 'st'
 GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "parsed_and_topk": _PRELUDE
+        + """
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25 WHERE term IN ('spark', 'join')
+GROUP BY doc_id
+HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "parsed_nested_topk": _PRELUDE
+        + """
+, nested AS (
+  SELECT doc_id, SUM(sc) AS sc FROM bm25 WHERE term IN ('spark', 'join')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+clauses AS (
+  SELECT doc_id, sc FROM bm25 WHERE term = 'window'
+  UNION ALL
+  SELECT doc_id, sc FROM nested
+)
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM clauses GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "term_dict": _PRELUDE

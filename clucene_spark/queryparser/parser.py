@@ -1,0 +1,339 @@
+r"""Lucene-classic query parser -> Query AST.
+
+Fresh recursive-descent implementation of the grammar the reference's
+JavaCC-generated parser implements (reference:
+src/core/CLucene/queryParser/QueryParser.h:47-51):
+
+    Query  ::= ( Clause )*
+    Clause ::= ["+", "-", "NOT", "AND", "OR", "&&", "||", "!"]
+               [<field> ":"] ( <term> | "(" Query ")" )
+
+with phrase ("..."[~slop]), fuzzy (term~[minSim]), wildcard (*, ?), prefix
+(term*), ranges ([a TO b] / {a TO b}), boosts (^f), and escapes (\c).
+Default operator OR (QueryParser.h:103-113). Query-side analysis runs the
+same analyzer as indexing (getFieldQuery: 0 tokens -> None, 1 -> TermQuery,
+n -> PhraseQuery; QueryParser.cpp:313-413); range/prefix/wildcard/fuzzy
+terms are lowercased, not analyzed (QueryParser.h:115).
+
+Clause-occur resolution replicates addClause: an AND conjunction promotes
+the PRECEDING clause to MUST unless prohibited, and the current clause to
+MUST unless prohibited (QueryParser.cpp addClause semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from clucene_spark.analysis.standard import standard_analyze
+from clucene_spark.search.engine import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+_SPECIALS = set('+-!():^[]"{}~*?\\&|')
+
+CONJ_NONE, CONJ_AND, CONJ_OR = 0, 1, 2
+MOD_NONE, MOD_REQ, MOD_NOT = 0, 1, 2
+
+
+@dataclass
+class _Tok:
+    kind: str  # AND OR NOT PLUS MINUS LPAREN RPAREN QUOTED TERM RANGE EOF
+    text: str = ""
+    field: str | None = None
+    boost: float | None = None
+    fuzzy: float | None = None  # min similarity, None = not fuzzy
+    slop: int = 0
+    lower: str | None = None
+    upper: str | None = None
+    inclusive: bool = True
+
+
+class QueryParserError(ValueError):
+    pass
+
+
+class QueryParser:
+    def __init__(self, default_field: str = "text", analyzer=None,
+                 default_operator: str = "OR"):
+        self.default_field = default_field
+        self.analyze = analyzer or (lambda t: [x[0] for x in standard_analyze(t)])
+        self.default_operator = default_operator
+
+    # -- lexer ---------------------------------------------------------------
+
+    def _lex(self, s: str) -> list[_Tok]:
+        toks: list[_Tok] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c.isspace():
+                i += 1
+                continue
+            if c == "+":
+                toks.append(_Tok("PLUS"))
+                i += 1
+            elif c == "-" and (i + 1 < n and not (s[i + 1].isdigit() or s[i + 1] == ".")):
+                toks.append(_Tok("MINUS"))
+                i += 1
+            elif c == "!":
+                toks.append(_Tok("NOT"))
+                i += 1
+            elif c == "&" and s[i : i + 2] == "&&":
+                toks.append(_Tok("AND"))
+                i += 2
+            elif c == "|" and s[i : i + 2] == "||":
+                toks.append(_Tok("OR"))
+                i += 2
+            elif c == "(":
+                toks.append(_Tok("LPAREN"))
+                i += 1
+            elif c == ")":
+                tok = _Tok("RPAREN")
+                i += 1
+                i = self._suffix(s, i, tok)
+                toks.append(tok)
+            elif c == '"':
+                j = i + 1
+                buf = []
+                while j < n and s[j] != '"':
+                    if s[j] == "\\" and j + 1 < n:
+                        buf.append(s[j + 1])
+                        j += 2
+                    else:
+                        buf.append(s[j])
+                        j += 1
+                if j >= n:
+                    raise QueryParserError(f"unterminated phrase in {s!r}")
+                tok = _Tok("QUOTED", "".join(buf))
+                i = j + 1
+                i = self._suffix(s, i, tok, phrase=True)
+                toks.append(tok)
+            elif c in "[{":
+                inclusive = c == "["
+                j = s.find("]" if inclusive else "}", i)
+                if j < 0:
+                    raise QueryParserError(f"unterminated range in {s!r}")
+                body = s[i + 1 : j]
+                m = re.match(r"\s*(\S+)\s+TO\s+(\S+)\s*$", body)
+                if not m:
+                    raise QueryParserError(f"bad range {body!r}")
+                lo = None if m.group(1) == "*" else m.group(1)
+                hi = None if m.group(2) == "*" else m.group(2)
+                tok = _Tok("RANGE", lower=lo, upper=hi, inclusive=inclusive)
+                i = j + 1
+                i = self._suffix(s, i, tok)
+                toks.append(tok)
+            else:
+                # bare term (possibly field:..., wildcard, fuzzy, boost)
+                j = i
+                buf = []
+                while j < n:
+                    cj = s[j]
+                    if cj == "\\" and j + 1 < n:
+                        buf.append(s[j + 1])
+                        j += 2
+                        continue
+                    if cj.isspace() or cj in '+()"[]{}^~!':
+                        break
+                    if cj in "&|" and s[j : j + 2] in ("&&", "||"):
+                        break
+                    buf.append(cj)
+                    j += 1
+                word = "".join(buf)
+                i = j
+                if word == "AND":
+                    toks.append(_Tok("AND"))
+                    continue
+                if word == "OR":
+                    toks.append(_Tok("OR"))
+                    continue
+                if word == "NOT":
+                    toks.append(_Tok("NOT"))
+                    continue
+                field = None
+                if ":" in word:
+                    f, _, rest = word.partition(":")
+                    if f:
+                        field = f
+                        word = rest
+                if word == "" and field is not None:
+                    # field applies to a following group/phrase/range
+                    toks.append(_Tok("FIELD", field=field))
+                    continue
+                tok = _Tok("TERM", word, field=field)
+                i = self._suffix(s, i, tok)
+                toks.append(tok)
+        toks.append(_Tok("EOF"))
+        return toks
+
+    def _suffix(self, s: str, i: int, tok: _Tok, phrase: bool = False) -> int:
+        """Consume ~fuzz/slop and ^boost suffixes (in either order)."""
+        n = len(s)
+        while i < n and s[i] in "~^":
+            if s[i] == "~":
+                i += 1
+                m = re.match(r"\d+(\.\d+)?", s[i:])
+                val = None
+                if m:
+                    val = m.group(0)
+                    i += len(val)
+                if phrase:
+                    tok.slop = int(float(val)) if val else 0
+                else:
+                    tok.fuzzy = float(val) if val else 0.5
+            else:
+                i += 1
+                m = re.match(r"\d+(\.\d+)?", s[i:])
+                if not m:
+                    raise QueryParserError("boost needs a number")
+                tok.boost = float(m.group(0))
+                i += len(m.group(0))
+        return i
+
+    # -- parser --------------------------------------------------------------
+
+    def parse(self, s: str) -> Query | None:
+        toks = self._lex(s)
+        q, pos = self._parse_query(toks, 0, self.default_field)
+        if toks[pos].kind != "EOF":
+            raise QueryParserError(f"unexpected {toks[pos].kind} in {s!r}")
+        return q
+
+    def _parse_query(self, toks: list[_Tok], pos: int, field: str):
+        clauses: list[tuple[int, int, Query]] = []  # (conj, mods, query)
+        conj, mods = CONJ_NONE, MOD_NONE
+        pending_field = field
+        while True:
+            t = toks[pos]
+            if t.kind in ("EOF", "RPAREN"):
+                break
+            if t.kind == "AND":
+                conj = CONJ_AND
+                pos += 1
+                continue
+            if t.kind == "OR":
+                conj = CONJ_OR
+                pos += 1
+                continue
+            if t.kind == "PLUS":
+                mods = MOD_REQ
+                pos += 1
+                continue
+            if t.kind in ("MINUS", "NOT"):
+                mods = MOD_NOT
+                pos += 1
+                continue
+            if t.kind == "FIELD":
+                pending_field = t.field
+                pos += 1
+                continue
+            if t.kind == "LPAREN":
+                sub, pos2 = self._parse_query(toks, pos + 1, pending_field)
+                if toks[pos2].kind != "RPAREN":
+                    raise QueryParserError("missing )")
+                rp = toks[pos2]
+                if sub is not None and rp.boost is not None:
+                    sub.boost *= rp.boost
+                pos = pos2 + 1
+                if sub is not None:
+                    clauses.append((conj, mods, sub))
+                conj, mods = CONJ_NONE, MOD_NONE
+                pending_field = field
+                continue
+            # leaf (q may be None when analysis eats it — e.g. a stopword;
+            # kept in the clause list so a following AND still promotes the
+            # preceding clause, as the reference's addClause does before its
+            # null check)
+            q = self._leaf_query(t, t.field or pending_field)
+            pos += 1
+            clauses.append((conj, mods, q))
+            conj, mods = CONJ_NONE, MOD_NONE
+            pending_field = field
+        return self._assemble(clauses), pos
+
+    def _assemble(self, clauses) -> Query | None:
+        # addClause occur resolution: AND promotes the preceding KEPT clause
+        # (null clauses were never added to the reference's vector)
+        kept: list[list] = []  # [occur, query]
+        for conj, mods, q in clauses:
+            if conj == CONJ_AND and kept and kept[-1][0] != MUST_NOT:
+                kept[-1][0] = MUST
+            if self.default_operator == "AND" and conj == CONJ_OR and kept and kept[-1][0] == MUST:
+                kept[-1][0] = SHOULD
+            if q is None:
+                continue
+            if self.default_operator == "AND":
+                if mods == MOD_NOT:
+                    occur = MUST_NOT
+                elif mods == MOD_REQ or conj != CONJ_OR:
+                    occur = MUST
+                else:
+                    occur = SHOULD
+            else:
+                if mods == MOD_NOT:
+                    occur = MUST_NOT
+                elif mods == MOD_REQ or conj == CONJ_AND:
+                    occur = MUST
+                else:
+                    occur = SHOULD
+            kept.append([occur, q])
+        if not kept:
+            return None
+        if len(kept) == 1 and kept[0][0] == SHOULD:
+            return kept[0][1]
+        bq = BooleanQuery()
+        for occur, q in kept:
+            bq.add(q, occur)
+        return bq
+
+    def _leaf_query(self, t: _Tok, field: str) -> Query | None:
+        boost = t.boost if t.boost is not None else 1.0
+        if t.kind == "RANGE":
+            lo = t.lower.lower() if t.lower else None
+            hi = t.upper.lower() if t.upper else None
+            return RangeQuery(boost=boost, lower=lo, upper=hi, inclusive=t.inclusive)
+        if t.kind == "QUOTED":
+            terms = self.analyze(t.text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(boost=boost, term=terms[0])
+            return PhraseQuery(boost=boost, terms=terms, slop=t.slop)
+        if t.kind == "TERM":
+            word = t.text
+            if word == "*" and t.field in (None, "*"):
+                return MatchAllQuery(boost=boost)
+            if t.fuzzy is not None:
+                return FuzzyQuery(
+                    boost=boost, term=word.lower(),
+                    min_similarity=t.fuzzy if t.fuzzy > 0 else 0.5,
+                )
+            has_wild = "*" in word or "?" in word
+            if has_wild:
+                w = word.lower()
+                if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                    return PrefixQuery(boost=boost, prefix=w[:-1])
+                return WildcardQuery(boost=boost, pattern=w)
+            terms = self.analyze(word)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(boost=boost, term=terms[0])
+            return PhraseQuery(boost=boost, terms=terms, slop=0)
+        raise QueryParserError(f"unexpected leaf {t.kind}")
+
+
+def parse(s: str, default_field: str = "text", **kw) -> Query | None:
+    return QueryParser(default_field, **kw).parse(s)

@@ -1,0 +1,125 @@
+"""Parser golden tests — the TestQueryParser pattern (assertQueryEquals:
+parse -> canonical str must equal expected; reference
+src/test/queryParser/TestQueryParser.cpp:119+). Canonical form is our
+Query.__str__ (single-field engine: field prefixes accepted, not printed).
+"""
+
+import pytest
+
+from clucene_spark.queryparser.parser import QueryParserError, parse
+from clucene_spark.search.engine import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+GOLDENS = [
+    # (query string, expected canonical form)
+    ("spark", "spark"),
+    ("spark join", "spark join"),
+    ("spark AND join", "+spark +join"),
+    ("spark && join", "+spark +join"),
+    ("spark OR join", "spark join"),
+    ("spark || join", "spark join"),
+    ("+spark -join", "+spark -join"),
+    ("spark AND NOT join", "+spark -join"),
+    ("spark && !join", "+spark -join"),
+    ("NOT join", "-join"),
+    ("z OR (x AND y)", "z (+x +y)"),
+    ("(x AND y) OR z", "(+x +y) z"),
+    ('"data stream"', '"data stream"'),
+    ('"data stream"~2', '"data stream"~2'),
+    ('"single"', "single"),  # 1-token phrase collapses to term
+    ("spar*", "spar*"),
+    ("sp?rk", "sp?rk"),
+    ("spark~", "spark~0.5"),
+    ("spark~0.7", "spark~0.7"),
+    ("[aaa TO mmm]", "[aaa TO mmm]"),
+    ("{aaa TO mmm}", "{aaa TO mmm}"),
+    ("[* TO mmm]", "[* TO mmm]"),
+    ("spark^2", "spark^2"),
+    ('"data stream"^3 other', '"data stream"^3 other'),
+    ("the", None),  # stopword analyzes to nothing
+    ("the AND of", None),
+    ("spark the join", "spark join"),  # stopword clause dropped
+    ("x AND the AND y", "+x +y"),  # stopword clause dropped
+    ("*:*", "*:*"),
+    ("ab-cd", '"ab cd"'),  # analyzer splits -> phrase (Lucene behavior)
+    ("U.S.A.", "usa"),
+    ("AT&T", "at&t"),
+    ("text:spark", "spark"),
+    ("text:(a* b*)", "a* b*"),
+    ('text:"data stream"', '"data stream"'),
+    ("+spark -vector window", "+spark -vector window"),
+]
+
+
+@pytest.mark.parametrize("qs,want", GOLDENS, ids=[g[0][:30] for g in GOLDENS])
+def test_parser_goldens(qs, want):
+    q = parse(qs)
+    if want is None:
+        assert q is None
+    else:
+        assert str(q) == want
+
+
+def test_ast_types():
+    assert isinstance(parse("spark"), TermQuery)
+    assert isinstance(parse("spark join"), BooleanQuery)
+    assert isinstance(parse('"a b c d"'), PhraseQuery)
+    assert isinstance(parse("sp*"), PrefixQuery)
+    assert isinstance(parse("s?x"), WildcardQuery)
+    assert isinstance(parse("spark~"), FuzzyQuery)
+    assert isinstance(parse("[a TO b]"), RangeQuery)
+    assert isinstance(parse("*:*"), MatchAllQuery)
+
+
+def test_boost_propagation():
+    q = parse("spark^2")
+    assert q.boost == 2.0
+    q = parse("(spark join)^3")
+    assert q.boost == 3.0
+    q = parse('"a phrase query"^1.5')
+    assert q.boost == 1.5
+
+
+def test_negative_number_not_negation():
+    q = parse("-1.5")
+    assert isinstance(q, TermQuery) and q.term == "-1.5"
+
+
+def test_wildcard_lowercased():
+    assert parse("SPAr*").prefix == "spar"
+    assert parse("S?ARK").pattern == "s?ark"
+    assert parse("SPARK~").term == "spark"
+    r = parse("[AAA TO MMM]")
+    assert r.lower == "aaa" and r.upper == "mmm"
+
+
+def test_errors():
+    with pytest.raises(QueryParserError):
+        parse('"unterminated')
+    with pytest.raises(QueryParserError):
+        parse("[a TO")
+    with pytest.raises(QueryParserError):
+        parse("(a b")
+
+
+def test_parse_and_execute(index):
+    """Parsed queries execute identically to hand-built ASTs."""
+    from clucene_spark.search.engine import MUST, Searcher
+
+    s = Searcher(index)
+    got = {r["doc_id"] for r in s.topk(parse("spark AND join"), 10).collect()}
+    manual = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join"), MUST)
+    )
+    want = {r["doc_id"] for r in s.topk(manual, 10).collect()}
+    assert got == want and len(got) == 10
