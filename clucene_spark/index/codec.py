@@ -1,0 +1,252 @@
+"""Posting-list and term-dictionary codecs for the segment format.
+
+Re-expresses CLucene's on-disk encodings with numpy-vectorized batch codecs
+(no per-row Python in the hot path — the encoder runs over whole posting
+arrays inside Arrow-batched pandas UDFs):
+
+  * VByte (LEB128 varint)      — reference store/IndexOutput.cpp:103-110
+    (writeVInt: 7 data bits per byte, high bit = continuation).
+  * delta-gap docIDs           — reference index/DocumentsWriter.cpp:762-798
+    (docs are written as deltas from the previous docID; we keep the plain
+    delta rather than CLucene's (delta<<1|freq==1) packing so tf lives in
+    its own stream, mirroring the .frq/.prx split).
+  * positions as per-doc delta varints — DocumentsWriter.cpp:770-791.
+  * 16-doc blocks with skip/max-score metadata — the skip interval is 16
+    (reference index/_TermInfosWriter.h:58, SkipListWriter.cpp:56-67); each
+    block stores (min_doc, max_doc, max_tf, min_dl) so the query side can
+    compute a BM25 upper bound per block (block-max WAND).
+  * prefix-compressed term-dictionary blocks, index every 128th term —
+    reference index/TermInfosWriter.cpp:224-241 (shared-prefix length +
+    suffix), term index interval 128 (index/IndexWriter.h:416).
+
+All codecs are pure functions over numpy arrays / bytes, unit-tested by
+round-trip; the segment writer (segments.py) calls them per term.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# VByte (LEB128) — vectorized over uint64 arrays
+# ---------------------------------------------------------------------------
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as LEB128 varints (7 bits/byte, msb=more).
+
+    Vectorized: computes per-value byte length, then fills each byte slot
+    for all values at once (≤10 passes, one per possible byte position).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length = number of 7-bit groups
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # bit_length via successive shifts (max 64 bits -> 10 groups)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # offsets of each value's first byte
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    rem = v.copy()
+    idx = starts.copy()
+    left = nbytes.copy()
+    for _ in range(10):
+        mask = left > 0
+        if not mask.any():
+            break
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (left[mask] > 1).astype(np.uint8) << 7
+        out[idx[mask]] = byte | more
+        rem[mask] >>= np.uint64(7)
+        idx[mask] += 1
+        left[mask] -= 1
+    return out.tobytes()
+
+
+def vbyte_decode(blob: bytes) -> np.ndarray:
+    """Decode LEB128 varints to a uint64 array (vectorized)."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id for each byte = index of the value it belongs to
+    group = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_vals = int(is_last.sum())
+    # position of the byte within its group
+    group_start = np.zeros(b.size, dtype=np.int64)
+    val_starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    group_start[val_starts] = val_starts
+    group_start = np.maximum.accumulate(group_start)
+    shift = ((np.arange(b.size) - group_start) * 7).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# delta-gap helpers
+# ---------------------------------------------------------------------------
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly/weakly increasing int array -> gaps (first kept absolute)."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if v.size == 0:
+        return v.astype(np.uint64)
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# posting-list codec: one term -> (doc_blob, tf_blob, pos_blob, blocks)
+# ---------------------------------------------------------------------------
+
+BLOCK_SIZE = 16  # skip interval, reference index/_TermInfosWriter.h:58
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions: list | None = None,
+) -> dict:
+    """Encode one term's postings (doc-sorted) into compressed blobs + block stats.
+
+    positions: optional list of per-doc position arrays (ascending); encoded
+    as per-doc delta varints concatenated (tf gives the per-doc count, as in
+    the reference .prx stream).
+    Returns dict with doc_blob, tf_blob, pos_blob, df and per-block arrays
+    (min_doc, max_doc, max_tf, min_dl).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, tfs, doc_lens = doc_ids[order], tfs[order], doc_lens[order]
+    df = int(doc_ids.size)
+
+    doc_blob = vbyte_encode(delta_encode(doc_ids))
+    tf_blob = vbyte_encode(tfs.astype(np.uint64))
+
+    pos_blob = b""
+    if positions is not None:
+        parts = []
+        for i in order:
+            p = np.asarray(positions[i], dtype=np.int64)
+            parts.append(delta_encode(p))
+        if parts:
+            pos_blob = vbyte_encode(np.concatenate(parts))
+
+    # block stats every BLOCK_SIZE postings
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = n_blocks * BLOCK_SIZE - df
+    def _blk(arr, fn):
+        a = np.concatenate([arr, np.full(pad, arr[-1], dtype=arr.dtype)]) if pad else arr
+        return fn(a.reshape(n_blocks, BLOCK_SIZE), axis=1)
+
+    return {
+        "df": df,
+        "doc_blob": doc_blob,
+        "tf_blob": tf_blob,
+        "pos_blob": pos_blob,
+        "blk_min_doc": _blk(doc_ids, np.min).astype(np.int64),
+        "blk_max_doc": _blk(doc_ids, np.max).astype(np.int64),
+        "blk_max_tf": _blk(tfs, np.max).astype(np.int64),
+        "blk_min_dl": _blk(doc_lens, np.min).astype(np.int64),
+    }
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """-> (doc_ids int64 ascending, tfs int64)."""
+    doc_ids = delta_decode(vbyte_decode(doc_blob))
+    tfs = vbyte_decode(tf_blob).astype(np.int64)
+    return doc_ids, tfs
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """-> per-doc absolute position arrays (lengths given by tfs)."""
+    flat = vbyte_decode(pos_blob)
+    out = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        seg = flat[off : off + tf]
+        out.append(np.cumsum(seg).astype(np.int64))
+        off += int(tf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prefix-compressed term dictionary blocks (the .tis/.tii analogue)
+# ---------------------------------------------------------------------------
+
+TERM_INDEX_INTERVAL = 128  # reference index/IndexWriter.h:416
+
+
+def encode_term_block(terms: list[str]) -> bytes:
+    """Sorted terms -> prefix-compressed block.
+
+    Per term: VInt(shared_prefix_len), VInt(suffix_byte_len), suffix utf-8
+    bytes — the TermInfosWriter layout (reference TermInfosWriter.cpp:224-241).
+    """
+    out = bytearray()
+    prev = b""
+    header: list[int] = []
+    bodies: list[bytes] = []
+    for t in terms:
+        cur = t.encode("utf-8")
+        p = 0
+        m = min(len(prev), len(cur))
+        while p < m and prev[p] == cur[p]:
+            p += 1
+        suffix = cur[p:]
+        header.extend((p, len(suffix)))
+        bodies.append(suffix)
+        prev = cur
+    out += vbyte_encode(np.array([len(terms)], dtype=np.uint64))
+    out += vbyte_encode(np.array(header, dtype=np.uint64))
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def decode_term_block(blob: bytes) -> list[str]:
+    b = np.frombuffer(blob, dtype=np.uint8)
+    # first varint = n_terms
+    is_last = (b & 0x80) == 0
+    first_end = int(np.flatnonzero(is_last)[0])
+    n_terms = int(vbyte_decode(b[: first_end + 1].tobytes())[0])
+    # next 2*n_terms varints = header
+    ends = np.flatnonzero(is_last)
+    header_end = int(ends[2 * n_terms])  # varint #0 is n_terms
+    header = vbyte_decode(b[first_end + 1 : header_end + 1].tobytes())
+    body = b[header_end + 1 :].tobytes()
+    terms = []
+    prev = b""
+    off = 0
+    for i in range(n_terms):
+        p, slen = int(header[2 * i]), int(header[2 * i + 1])
+        cur = prev[:p] + body[off : off + slen]
+        off += slen
+        terms.append(cur.decode("utf-8"))
+        prev = cur
+    return terms
+
+
+def build_term_index(terms: list[str]) -> list[tuple[str, int]]:
+    """Every TERM_INDEX_INTERVAL-th term with its ordinal — the in-RAM .tii
+    analogue (reference TermInfosWriter.cpp:167-170): binary-search this,
+    then scan ≤interval terms in the block."""
+    return [(t, i) for i, t in enumerate(terms) if i % TERM_INDEX_INTERVAL == 0]

@@ -1,0 +1,351 @@
+"""Persistent segment store: build, commit protocol, checkpoints, resume.
+
+The CLucene write path (IndexWriter/DocumentsWriter flush -> segment files,
+SegmentInfos generations — reference index/IndexWriter.cpp:668-700,
+index/SegmentInfos.cpp) restated for a distributed object store:
+
+  * A **segment** = one doc-ID range of the corpus, fully inverted and
+    compressed. Each segment is a directory of parquet files:
+      postings.parquet   (term, df, doc_blob, tf_blob, pos_blob,
+                          blk_min_doc/max_doc/max_tf/min_dl arrays)
+      doc_lens.parquet   (doc_id, dl)
+    Terms inside a segment's postings file are sorted, so parquet row-group
+    min/max stats on `term` give the two-level term-dictionary behaviour
+    (binary-searchable .tii analogue) for free at read time.
+  * A **manifest generation** `manifest/segments_<gen>.json` lists the live
+    segments — the segments_N commit-point protocol. Readers take the max
+    generation; writers commit a new generation atomically (tmp + rename).
+  * A **checkpoint** row per built segment (`checkpoints/part_<id>.json`)
+    records lineage + metrics (n_docs, n_tokens, n_postings, wall time,
+    input fingerprint). Re-running the build SKIPS doc ranges whose
+    checkpoint exists — the north rule's resumability requirement. The
+    commit step folds all checkpointed segments into the next manifest.
+
+Scale notes: segment build is embarrassingly parallel — one applyInPandas
+group per doc range, no cross-range shuffle after the groupBy(term, doc)
+partial aggregation (which combines map-side). Head-term skew cannot
+overload a reducer because grouping keys are (segment_id), and within a
+segment a term's postings are bounded by the segment's doc-range size
+(choose n_docs_per_segment accordingly; 10^12 docs / 10^6-doc segments =
+10^6 independent tasks).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from clucene_spark.index.codec import decode_positions, decode_postings, encode_postings
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("doc_blob", T.BinaryType(), False),
+        T.StructField("tf_blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), True),
+        T.StructField("blk_min_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("blk_max_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("blk_max_tf", T.ArrayType(T.LongType()), False),
+        T.StructField("blk_min_dl", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment", T.StringType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_postings", T.LongType(), False),
+        T.StructField("n_terms", T.LongType(), False),
+        T.StructField("build_sec", T.DoubleType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# manifest (segments_N) protocol
+# ---------------------------------------------------------------------------
+
+def _manifest_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest")
+
+
+def latest_generation(index_dir: str) -> int:
+    mdir = _manifest_dir(index_dir)
+    if not os.path.isdir(mdir):
+        return -1
+    gens = [
+        int(f.split("_")[1].split(".")[0])
+        for f in os.listdir(mdir)
+        if f.startswith("segments_") and f.endswith(".json")
+    ]
+    return max(gens) if gens else -1
+
+
+def read_manifest(index_dir: str) -> dict:
+    gen = latest_generation(index_dir)
+    if gen < 0:
+        return {"generation": -1, "segments": []}
+    with open(os.path.join(_manifest_dir(index_dir), f"segments_{gen}.json")) as f:
+        return json.load(f)
+
+
+def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
+    """Atomically write the next manifest generation (tmp + rename — the
+    two-phase segments.gen pattern, reference SegmentInfos.cpp)."""
+    mdir = _manifest_dir(index_dir)
+    os.makedirs(mdir, exist_ok=True)
+    gen = latest_generation(index_dir) + 1
+    manifest = {
+        "generation": gen,
+        "segments": segments,
+        "committed_unix": time.time(),
+        **(extra or {}),
+    }
+    tmp = os.path.join(mdir, f".segments_{gen}.json.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, os.path.join(mdir, f"segments_{gen}.json"))
+    return manifest
+
+
+def gc_segments(index_dir: str) -> list[str]:
+    """Delete segment dirs not referenced by the latest manifest — the
+    IndexFileDeleter ref-count GC (reference index/IndexFileDeleter.cpp),
+    simplified to keep-last-commit."""
+    live = {s["name"] for s in read_manifest(index_dir)["segments"]}
+    sdir = os.path.join(index_dir, "segments")
+    removed = []
+    if not os.path.isdir(sdir):
+        return removed
+    import shutil
+
+    for name in os.listdir(sdir):
+        if name not in live and not name.startswith("."):
+            shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# checkpoints (resumability + lineage/metrics)
+# ---------------------------------------------------------------------------
+
+def _ckpt_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "checkpoints")
+
+
+def read_checkpoints(index_dir: str) -> list[dict]:
+    cdir = _ckpt_dir(index_dir)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(cdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(cdir, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# segment build
+# ---------------------------------------------------------------------------
+
+def build_segments(
+    tokens: DataFrame,
+    doc_lens: DataFrame,
+    index_dir: str,
+    docs_per_segment: int = 4096,
+    with_positions: bool = True,
+    resume: bool = True,
+) -> DataFrame:
+    """Invert `tokens(doc_id, pos, term)` into compressed segments on disk.
+
+    One applyInPandas group per doc-ID range; each group writes its own
+    postings.parquet + doc_lens.parquet + checkpoint file, then the driver
+    commits a manifest generation. Idempotent per segment: a crashed build
+    re-run with resume=True skips already-checkpointed ranges (the
+    per-partition checkpoint resumability of the north rule).
+
+    Returns the checkpoint/metrics DataFrame (one row per segment built or
+    skipped-from-checkpoint).
+    """
+    spark = tokens.sparkSession
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
+
+    done_ids = set()
+    if resume:
+        done_ids = {c["segment_id"] for c in read_checkpoints(index_dir)}
+
+    seg_col = F.floor(F.col("doc_id") / F.lit(docs_per_segment)).alias("segment_id")
+    tok = tokens.withColumn("segment_id", seg_col)
+    dl = doc_lens.withColumn("segment_id", seg_col)
+    if done_ids:
+        tok = tok.filter(~F.col("segment_id").isin(list(done_ids)))
+        dl = dl.filter(~F.col("segment_id").isin(list(done_ids)))
+
+    # partial aggregation BEFORE the segment grouping: (term, doc) rows with
+    # tf + positions — map-side combine shrinks the shuffle to one row per
+    # posting, and position arrays are bounded by one document.
+    aggs = [F.count("*").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    per_doc = tok.groupBy("segment_id", "term", "doc_id").agg(*aggs)
+    per_doc = per_doc.join(dl.select("doc_id", "dl"), "doc_id")
+
+    idx_dir = index_dir
+    wp = with_positions
+
+    def _build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        seg_id = int(key[0])
+        name = f"seg_{seg_id:08d}"
+        seg_path = os.path.join(idx_dir, "segments", name)
+        tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
+        os.makedirs(tmp_path, exist_ok=True)
+
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        rows = []
+        for term, grp in pdf.groupby("term", sort=True):
+            docs = grp["doc_id"].to_numpy(np.int64)
+            tfs = grp["tf"].to_numpy(np.int64)
+            dls = grp["dl"].to_numpy(np.int64)
+            poss = list(grp["positions"]) if wp else None
+            enc = encode_postings(docs, tfs, dls, poss)
+            rows.append(
+                (
+                    term,
+                    enc["df"],
+                    int(tfs.sum()),
+                    enc["doc_blob"],
+                    enc["tf_blob"],
+                    enc["pos_blob"] if wp else None,
+                    enc["blk_min_doc"].tolist(),
+                    enc["blk_max_doc"].tolist(),
+                    enc["blk_max_tf"].tolist(),
+                    enc["blk_min_dl"].tolist(),
+                )
+            )
+        seg_pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "term", "df", "cf", "doc_blob", "tf_blob", "pos_blob",
+                "blk_min_doc", "blk_max_doc", "blk_max_tf", "blk_min_dl",
+            ],
+        )
+        dl_pdf = (
+            pdf[["doc_id", "dl"]].drop_duplicates("doc_id").sort_values("doc_id")
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(seg_pdf, preserve_index=False),
+            os.path.join(tmp_path, "postings.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pandas(dl_pdf, preserve_index=False),
+            os.path.join(tmp_path, "doc_lens.parquet"),
+        )
+        os.rename(tmp_path, seg_path)  # atomic publish of the segment dir
+
+        n_docs = int(dl_pdf.shape[0])
+        n_tokens = int(pdf["tf"].sum())
+        ck = {
+            "segment": name,
+            "segment_id": seg_id,
+            "min_doc": int(pdf["doc_id"].min()),
+            "max_doc": int(pdf["doc_id"].max()),
+            "n_docs": n_docs,
+            "n_tokens": n_tokens,
+            "n_postings": int(len(pdf)),
+            "n_terms": int(seg_pdf.shape[0]),
+            "build_sec": round(time.perf_counter() - t0, 4),
+        }
+        ck_tmp = os.path.join(idx_dir, "checkpoints", f".part_{seg_id:08d}.tmp")
+        with open(ck_tmp, "w") as f:
+            json.dump(ck, f)
+        os.rename(ck_tmp, os.path.join(idx_dir, "checkpoints", f"part_{seg_id:08d}.json"))
+        return pd.DataFrame([ck])
+
+    built = per_doc.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
+    built_rows = built.collect()  # action: executes the distributed build
+
+    # commit: fold ALL checkpoints (prior + new) into the next manifest gen
+    cks = read_checkpoints(index_dir)
+    segments = [
+        {
+            "name": c["segment"],
+            "min_doc": c["min_doc"],
+            "max_doc": c["max_doc"],
+            "n_docs": c["n_docs"],
+            "n_tokens": c["n_tokens"],
+            "n_terms": c["n_terms"],
+        }
+        for c in sorted(cks, key=lambda c: c["segment_id"])
+    ]
+    commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment})
+    return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# segment reader
+# ---------------------------------------------------------------------------
+
+class SegmentStore:
+    """Read side of the on-disk index (the IndexReader analogue)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        if not self.manifest["segments"]:
+            raise FileNotFoundError(f"no committed manifest in {index_dir}")
+        self._names = [s["name"] for s in self.manifest["segments"]]
+
+    def postings(self) -> DataFrame:
+        """All live segments' postings with a `segment` column. Term
+        predicates push down to the parquet scan (terms are sorted within
+        each file, so row-group stats prune like the .tii index)."""
+        paths = [
+            os.path.join(self.index_dir, "segments", n, "postings.parquet")
+            for n in self._names
+        ]
+        df = self.spark.read.parquet(*paths).withColumn(
+            "segment",
+            F.element_at(F.split(F.input_file_name(), "/"), -2),
+        )
+        return df
+
+    def doc_lens(self) -> DataFrame:
+        paths = [
+            os.path.join(self.index_dir, "segments", n, "doc_lens.parquet")
+            for n in self._names
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def stats(self) -> tuple[int, float]:
+        row = self.doc_lens().agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        return int(row["n"]), float(row["avgdl"] or 1.0)
+
+    def term_dict(self) -> DataFrame:
+        """Global (term, df, cf) — sums the per-segment dictionaries."""
+        return self.postings().groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )

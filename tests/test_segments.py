@@ -1,0 +1,181 @@
+"""Segment store build/read/resume + block-max WAND rank-identity tests.
+
+Oracle pattern follows the reference's TestReuters logical-index-equality
+(src/test/testall.cpp:227-345): the compressed on-disk segments must decode
+back to exactly the relational postings the in-memory build produces, and
+the WAND path must return rank-identical top-k to the naive full-scoring
+Searcher (the TestSearch analogue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from clucene_spark.index.build import InvertedIndex
+from clucene_spark.index.codec import decode_positions, decode_postings
+from clucene_spark.index.segments import (
+    SegmentStore,
+    build_segments,
+    gc_segments,
+    read_checkpoints,
+    read_manifest,
+)
+from clucene_spark.search.engine import (
+    MUST,
+    SHOULD,
+    BooleanQuery,
+    Searcher,
+    TermQuery,
+)
+from clucene_spark.search.wand import wand_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return InvertedIndex(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def store(spark, index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
+    return SegmentStore(spark, d)
+
+
+def test_manifest_and_checkpoints(store):
+    m = read_manifest(store.index_dir)
+    assert m["generation"] == 0
+    assert len(m["segments"]) >= 2  # doc ranges split into multiple segments
+    cks = read_checkpoints(store.index_dir)
+    assert len(cks) == len(m["segments"])
+    for c in cks:
+        assert c["n_tokens"] > 0 and c["n_postings"] > 0 and c["n_terms"] > 0
+
+
+def test_segments_decode_to_relational_postings(spark, index, store):
+    """Logical index equality: decode every blob, compare against the
+    DataFrame postings (the TestAssertIndexReaderEquals pattern)."""
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in index.postings.collect()
+    }
+    got = {}
+    for row in store.postings().collect():
+        docs, tfs = decode_postings(bytes(row["doc_blob"]), bytes(row["tf_blob"]))
+        poss = decode_positions(bytes(row["pos_blob"]), tfs)
+        for d, t, p in zip(docs, tfs, poss):
+            got[(row["term"], int(d))] = (int(t), p.tolist())
+    assert got == want
+
+
+def test_global_term_dict_matches(index, store):
+    want = {r["term"]: (r["df"], r["cf"]) for r in index.term_dict.collect()}
+    got = {r["term"]: (r["df"], r["cf"]) for r in store.term_dict().collect()}
+    assert got == want
+
+
+def test_resume_skips_completed_segments(spark, index, tmp_path):
+    d = str(tmp_path / "idx2")
+    first = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
+    n_first = first.count()
+    assert n_first >= 2
+    # re-run: everything checkpointed -> nothing rebuilt, manifest advances
+    second = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
+    assert second.count() == 0
+    assert read_manifest(d)["generation"] == 1
+    assert len(read_manifest(d)["segments"]) == n_first
+    # drop one checkpoint + segment -> exactly that range is rebuilt
+    import os, shutil
+
+    cks = sorted(os.listdir(os.path.join(d, "checkpoints")))
+    victim = cks[0]
+    seg_name = read_checkpoints(d)[0]["segment"]
+    os.remove(os.path.join(d, "checkpoints", victim))
+    shutil.rmtree(os.path.join(d, "segments", seg_name))
+    third = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
+    assert third.count() == 1
+    assert len(read_manifest(d)["segments"]) == n_first
+    # full logical equality after resume
+    store = SegmentStore(spark, d)
+    assert store.term_dict().count() == index.term_dict.count()
+
+
+def test_gc_removes_unreferenced_segments(spark, index, tmp_path):
+    import os
+
+    d = str(tmp_path / "idx3")
+    build_segments(index.tokens, index.doc_lens, d, docs_per_segment=32)
+    # orphan dir
+    os.makedirs(os.path.join(d, "segments", "seg_zzzzorphan"))
+    removed = gc_segments(d)
+    assert removed == ["seg_zzzzorphan"]
+
+
+# ---------------------------------------------------------------------------
+# WAND rank-identity vs the naive Searcher (BM25)
+# ---------------------------------------------------------------------------
+
+def _naive_or(searcher, terms, k=10):
+    q = BooleanQuery()
+    for t in terms:
+        q.add(TermQuery(term=t), SHOULD)
+    return [(r["doc_id"], r["score"]) for r in searcher.topk(q, k, round_to=4).collect()]
+
+
+def _naive_and(searcher, terms, k=10):
+    q = BooleanQuery()
+    for t in terms:
+        q.add(TermQuery(term=t), MUST)
+    return [(r["doc_id"], r["score"]) for r in searcher.topk(q, k, round_to=4).collect()]
+
+
+@pytest.fixture(scope="module")
+def searcher(index):
+    return Searcher(index, similarity="bm25")
+
+
+QUERY_SETS = [
+    ["spark"],
+    ["spark", "join"],
+    ["spark", "vector", "window"],
+    ["the", "table"],          # head terms (stopword-grade df)
+    ["key", "value", "hash", "merge"],
+    ["nosuchterm"],
+    ["spark", "nosuchterm"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERY_SETS, ids=["-".join(t) for t in QUERY_SETS])
+def test_wand_or_rank_identical(store, searcher, terms):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_query(store, terms, k=10, mode="OR").collect()
+    ]
+    assert got == _naive_or(searcher, terms)
+
+
+@pytest.mark.parametrize("terms", QUERY_SETS[:5], ids=["-".join(t) for t in QUERY_SETS[:5]])
+def test_wand_and_rank_identical(store, searcher, terms):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_query(store, terms, k=10, mode="AND").collect()
+    ]
+    assert got == _naive_and(searcher, terms)
+
+
+def test_wand_and_missing_term_empty(store):
+    assert wand_query(store, ["spark", "nosuchterm"], k=10, mode="AND").count() == 0
+
+
+def test_wand_k_larger_than_corpus(store, searcher):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_query(store, ["spark"], k=10_000).collect()
+    ]
+    assert got == _naive_or(searcher, ["spark"], k=10_000)
