@@ -40,6 +40,7 @@ from clucene_spark.search.engine import (
 
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 _SEARCHER_CACHE: dict[tuple[str, str], Searcher] = {}
+_STORE_CACHE: dict[tuple[str, bool], "SegmentStore"] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
@@ -48,6 +49,32 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         _INDEX_CACHE[key] = InvertedIndex(docs).cache()
     return _INDEX_CACHE[key]
+
+
+def _store(spark: SparkSession, sf_dir: str, compacted: bool = False):
+    """Persistent compressed segment index for sf_dir (built under /tmp once
+    per session); compacted=True additionally runs the log-structured merge
+    to a single segment — so the driver gate also covers the on-disk codec,
+    merge, and block-max WAND paths (SURVEY §2b/2c + north-star format)."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.merge import optimize
+    from clucene_spark.index.segments import SegmentStore, build_segments
+
+    key = (sf_dir, compacted)
+    if key not in _STORE_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_{'c' if compacted else 'p'}"
+        try:
+            _STORE_CACHE[key] = SegmentStore(spark, d)
+        except FileNotFoundError:
+            idx = _index(spark, sf_dir)
+            build_segments(idx.tokens, idx.doc_lens, d, docs_per_segment=256)
+            if compacted:
+                optimize(spark, d)
+            _STORE_CACHE[key] = SegmentStore(spark, d)
+    return _STORE_CACHE[key]
 
 
 def _searcher(spark: SparkSession, sf_dir: str, similarity: str = "bm25") -> Searcher:
@@ -191,6 +218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_nested_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("window OR (spark AND join)"), 10, round_to=4
         ),
+        # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
+        #     north-star: varbyte segments, LSM merge, BMW top-k) ---
+        "wand_or_topk": lambda spark, sf: __import__(
+            "clucene_spark.search.wand", fromlist=["wand_query"]
+        ).wand_query(_store(spark, sf), ["spark", "vector", "window"], k=10),
+        "wand_and_topk": lambda spark, sf: __import__(
+            "clucene_spark.search.wand", fromlist=["wand_query"]
+        ).wand_query(_store(spark, sf), ["spark", "join"], k=10, mode="AND"),
+        "wand_merged_topk": lambda spark, sf: __import__(
+            "clucene_spark.search.wand", fromlist=["wand_query"]
+        ).wand_query(_store(spark, sf, compacted=True), ["spark", "vector", "window"], k=10),
         # --- index-build aggregations (SURVEY §2b: term dict, norms) ---
         "term_dict": lambda spark, sf: _index(spark, sf).term_dict.orderBy("term"),
         "doc_lens": lambda spark, sf: _index(spark, sf).doc_lens.orderBy("doc_id"),
@@ -320,6 +358,16 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM clauses GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        "wand_or_topk": _bm25_topk_sql(["spark", "vector", "window"]),
+        "wand_and_topk": _PRELUDE
+        + """
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25 WHERE term IN ('spark', 'join')
+GROUP BY doc_id
+HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "wand_merged_topk": _bm25_topk_sql(["spark", "vector", "window"]),
         "term_dict": _PRELUDE
         + "SELECT term, df, cf FROM term_dict ORDER BY term",
         "doc_lens": _PRELUDE

@@ -128,8 +128,12 @@ def encode_postings(
     positions: optional list of per-doc position arrays (ascending); encoded
     as per-doc delta varints concatenated (tf gives the per-doc count, as in
     the reference .prx stream).
-    Returns dict with doc_blob, tf_blob, pos_blob, df and per-block arrays
-    (min_doc, max_doc, max_tf, min_dl).
+    Returns dict with doc_blob, tf_blob, dl_blob, pos_blob, df and per-block
+    arrays (min_doc, max_doc, max_tf, min_dl). dl_blob carries the posting
+    doc's field length (the exact-length analogue of the .nrm byte,
+    reference DocumentsWriterThreadState.cpp:148-158) inline so scoring and
+    merging never need a doc-table join — an impact-style denormalization
+    that keeps segment merge and WAND self-contained per term.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -140,6 +144,7 @@ def encode_postings(
 
     doc_blob = vbyte_encode(delta_encode(doc_ids))
     tf_blob = vbyte_encode(tfs.astype(np.uint64))
+    dl_blob = vbyte_encode(doc_lens.astype(np.uint64))
 
     pos_blob = b""
     if positions is not None:
@@ -161,6 +166,7 @@ def encode_postings(
         "df": df,
         "doc_blob": doc_blob,
         "tf_blob": tf_blob,
+        "dl_blob": dl_blob,
         "pos_blob": pos_blob,
         "blk_min_doc": _blk(doc_ids, np.min).astype(np.int64),
         "blk_max_doc": _blk(doc_ids, np.max).astype(np.int64),

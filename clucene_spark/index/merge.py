@@ -1,0 +1,267 @@
+"""Log-structured segment merging (the IndexWriter merge path).
+
+Ports the *policy* of CLucene's LogDocMergePolicy (reference
+index/MergePolicy.cpp:288-370: geometric leveling, mergeFactor=10 adjacent
+same-level segments, LEVEL_LOG_SPAN=0.75 at MergePolicy.cpp:114) and
+restates the *mechanism* of SegmentMerger::merge (SegmentMerger.cpp:119-467)
+as a Spark job:
+
+    read N segments' postings (compressed blobs, NOT exploded rows)
+      -> repartitionByRange(term)                      [the one shuffle]
+      -> per term-range: k-way merge each term's per-segment posting lists
+         sorted by doc_id, re-encode (delta-gap + varbyte + block stats)
+      -> executors write the merged segment's parquet parts directly
+      -> driver commits the next manifest generation, GCs inputs
+
+This is the north rule's "log-structured multi-way segment merge expressed
+as repartition-by-term-range + sort-merge". Shuffle volume ≈ compressed
+index bytes (blobs travel encoded); nothing is collected to the driver.
+
+docID rebase: our doc_ids are corpus-global so same-corpus compaction needs
+no rebase; `doc_base` shifts a FOREIGN index being bulk-added (the
+IndexWriter::addIndexes pattern, reference IndexWriter.cpp:1157-1315, base
+arithmetic SegmentMerger.cpp:478-506).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+from clucene_spark.index.codec import (
+    decode_positions,
+    decode_postings,
+    encode_postings,
+    vbyte_decode,
+)
+from clucene_spark.index.segments import (
+    commit_manifest,
+    gc_segments,
+    read_manifest,
+)
+
+MERGE_FACTOR = 10       # reference index/MergePolicy.h:238
+LEVEL_LOG_SPAN = 0.75   # reference index/MergePolicy.cpp:114
+
+
+def find_merges(segments: list[dict], merge_factor: int = MERGE_FACTOR) -> list[list[str]]:
+    """LogDocMergePolicy::findMerges port: bucket segments into geometric
+    levels by log_mergeFactor(n_docs); each run of merge_factor adjacent
+    segments within LEVEL_LOG_SPAN below the window's top level merges.
+
+    Returns lists of segment names (each list = one merge job).
+    """
+    if not segments:
+        return []
+    logs = [math.log(max(s["n_docs"], 1)) / math.log(merge_factor) for s in segments]
+    merges: list[list[str]] = []
+    start, n = 0, len(segments)
+    while start < n:
+        max_level = max(logs[start:])
+        level_bottom = max(0.0, max_level - LEVEL_LOG_SPAN)
+        # rightmost segment still inside this level band
+        upto = n - 1
+        while upto >= start and logs[upto] < level_bottom:
+            upto -= 1
+        # full merge_factor windows inside [start, upto]
+        end = start + merge_factor
+        while end <= upto + 1:
+            merges.append([s["name"] for s in segments[start:end]])
+            start = end
+            end = start + merge_factor
+        start = max(start, upto + 1)
+    return merges
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    names: list[str],
+    with_positions: bool = True,
+    doc_base: int = 0,
+    gc: bool = True,
+) -> str:
+    """Merge the named segments into one new segment; commit + GC.
+
+    doc_base shifts every docID (the addIndexes rebase); 0 for same-corpus
+    compaction. Returns the new segment name.
+    """
+    seg_root = os.path.join(index_dir, "segments")
+    new_name = "seg_m_" + uuid.uuid4().hex[:12]
+    tmp_root = os.path.join(seg_root, new_name + ".tmp")
+    os.makedirs(os.path.join(tmp_root, "postings.parquet"), exist_ok=True)
+
+    post_paths = [os.path.join(seg_root, n, "postings.parquet") for n in names]
+    dl_paths = [os.path.join(seg_root, n, "doc_lens.parquet") for n in names]
+
+    posts = spark.read.parquet(*post_paths)
+    wp = with_positions
+    base = int(doc_base)
+    out_dir = os.path.join(tmp_root, "postings.parquet")
+
+    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
+    ranged = posts.repartitionByRange(n_part, "term")
+
+    stat_schema = T.StructType(
+        [
+            T.StructField("n_terms", T.LongType(), False),
+            T.StructField("n_postings", T.LongType(), False),
+        ]
+    )
+
+    def _merge_part(pdfs) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        acc: dict[str, list] = {}
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                acc.setdefault(row.term, []).append(row)
+        rows = []
+        n_postings = 0
+        for term in sorted(acc):
+            docs_list, tfs_list, dls_list, pos_list = [], [], [], []
+            for r in acc[term]:
+                d, t = decode_postings(bytes(r.doc_blob), bytes(r.tf_blob))
+                dls = vbyte_decode(bytes(r.dl_blob)).astype(np.int64)
+                if base:
+                    d = d + base
+                docs_list.append(d)
+                tfs_list.append(t)
+                dls_list.append(dls)
+                if wp and r.pos_blob is not None:
+                    pos_list.extend(decode_positions(bytes(r.pos_blob), t))
+            docs = np.concatenate(docs_list)
+            tfs = np.concatenate(tfs_list)
+            dls = np.concatenate(dls_list)
+            order = np.argsort(docs, kind="stable")
+            poss = [pos_list[i] for i in order] if wp and pos_list else None
+            enc = encode_postings(docs[order], tfs[order], dls[order], poss)
+            rows.append(
+                (
+                    term, enc["df"], int(tfs.sum()),
+                    enc["doc_blob"], enc["tf_blob"], enc["dl_blob"],
+                    enc["pos_blob"] if wp else None,
+                    enc["blk_min_doc"].tolist(), enc["blk_max_doc"].tolist(),
+                    enc["blk_max_tf"].tolist(), enc["blk_min_dl"].tolist(),
+                )
+            )
+            n_postings += enc["df"]
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc else 0
+        if rows:
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob",
+                    "pos_blob", "blk_min_doc", "blk_max_doc", "blk_max_tf",
+                    "blk_min_dl",
+                ],
+            )
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                os.path.join(out_dir, f"part_{part_id:05d}.parquet"),
+            )
+        yield pd.DataFrame({"n_terms": [len(rows)], "n_postings": [n_postings]})
+
+    stats = ranged.mapInPandas(_merge_part, stat_schema).agg(
+        F.sum("n_terms").alias("n_terms"), F.sum("n_postings").alias("n_postings")
+    ).collect()[0]
+
+    # merged doc_lens: executor-written union (rebased if foreign)
+    dl_all = spark.read.parquet(*dl_paths)
+    if base:
+        dl_all = dl_all.select((F.col("doc_id") + base).alias("doc_id"), "dl")
+    dl_all.repartitionByRange(max(1, n_part // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(tmp_root, "doc_lens.parquet"))
+
+    final_dir = os.path.join(seg_root, new_name)
+    os.rename(tmp_root, final_dir)  # atomic publish
+
+    # commit: replace merged inputs with the new segment
+    manifest = read_manifest(index_dir)
+    merged_away = set(names)
+    kept = [s for s in manifest["segments"] if s["name"] not in merged_away]
+    gone = [s for s in manifest["segments"] if s["name"] in merged_away]
+    new_entry = {
+        "name": new_name,
+        "min_doc": min(s["min_doc"] for s in gone) + base,
+        "max_doc": max(s["max_doc"] for s in gone) + base,
+        "n_docs": sum(s["n_docs"] for s in gone),
+        "n_tokens": sum(s["n_tokens"] for s in gone),
+        "n_terms": int(stats["n_terms"]),
+    }
+    segments = sorted(kept + [new_entry], key=lambda s: s["min_doc"])
+    commit_manifest(index_dir, segments, extra={"merged": names, "into": new_name})
+    # checkpoints of merged-away ranges stay (resume bookkeeping is by doc
+    # range, still covered by the merged segment); GC removes old dirs
+    if gc:
+        gc_segments(index_dir)
+    return new_name
+
+
+def maybe_merge(
+    spark: SparkSession, index_dir: str, merge_factor: int = MERGE_FACTOR
+) -> list[str]:
+    """Run the merge policy to fixpoint (the ConcurrentMergeScheduler loop,
+    executed synchronously as a scheduled compaction job)."""
+    created: list[str] = []
+    while True:
+        manifest = read_manifest(index_dir)
+        merges = find_merges(manifest["segments"], merge_factor)
+        if not merges:
+            return created
+        for names in merges:
+            created.append(merge_segments(spark, index_dir, names))
+
+
+def optimize(spark: SparkSession, index_dir: str) -> str:
+    """Merge everything into one segment (IndexWriter::optimize,
+    reference IndexWriter.cpp:802-874)."""
+    manifest = read_manifest(index_dir)
+    names = [s["name"] for s in manifest["segments"]]
+    if len(names) == 1:
+        return names[0]
+    return merge_segments(spark, index_dir, names)
+
+
+def add_indexes(
+    spark: SparkSession,
+    index_dir: str,
+    foreign_dir: str,
+    doc_base: int,
+) -> str:
+    """Bulk-union a foreign index with docID rebase (IndexWriter::addIndexes,
+    reference IndexWriter.cpp:1157-1315): merge ALL foreign segments into one
+    rebased segment registered in THIS index's manifest."""
+    foreign = read_manifest(foreign_dir)
+    f_names = [s["name"] for s in foreign["segments"]]
+    seg_root = os.path.join(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    # stage foreign segment dirs under this index so merge_segments can read
+    staged = []
+    for n in f_names:
+        dst = os.path.join(seg_root, f"staged_{n}")
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join(foreign_dir, "segments", n), dst)
+        staged.append(f"staged_{n}")
+    manifest = read_manifest(index_dir)
+    fseg = {s["name"]: s for s in foreign["segments"]}
+    commit_manifest(
+        index_dir,
+        manifest["segments"]
+        + [
+            {**fseg[n], "name": f"staged_{n}"}
+            for n in f_names
+        ],
+    )
+    return merge_segments(spark, index_dir, staged, doc_base=doc_base)

@@ -52,6 +52,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("cf", T.LongType(), False),
         T.StructField("doc_blob", T.BinaryType(), False),
         T.StructField("tf_blob", T.BinaryType(), False),
+        T.StructField("dl_blob", T.BinaryType(), False),
         T.StructField("pos_blob", T.BinaryType(), True),
         T.StructField("blk_min_doc", T.ArrayType(T.LongType()), False),
         T.StructField("blk_max_doc", T.ArrayType(T.LongType()), False),
@@ -233,6 +234,7 @@ def build_segments(
                     int(tfs.sum()),
                     enc["doc_blob"],
                     enc["tf_blob"],
+                    enc["dl_blob"],
                     enc["pos_blob"] if wp else None,
                     enc["blk_min_doc"].tolist(),
                     enc["blk_max_doc"].tolist(),
@@ -243,7 +245,7 @@ def build_segments(
         seg_pdf = pd.DataFrame(
             rows,
             columns=[
-                "term", "df", "cf", "doc_blob", "tf_blob", "pos_blob",
+                "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
                 "blk_min_doc", "blk_max_doc", "blk_max_tf", "blk_min_dl",
             ],
         )
@@ -327,7 +329,7 @@ class SegmentStore:
         ]
         df = self.spark.read.parquet(*paths).withColumn(
             "segment",
-            F.element_at(F.split(F.input_file_name(), "/"), -2),
+            F.regexp_extract(F.input_file_name(), "/segments/([^/]+)/", 1),
         )
         return df
 

@@ -27,14 +27,13 @@ the naive full-scoring plan — asserted in tests/test_wand.py.
 from __future__ import annotations
 
 import heapq
-import os
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from clucene_spark.index.codec import decode_postings
+from clucene_spark.index.codec import decode_postings, vbyte_decode
 from clucene_spark.index.segments import SegmentStore
 
 K1 = 1.2
@@ -59,11 +58,12 @@ def _bm25(tf, dl, idf: float, avgdl: float):
 class _TermCursor:
     """Decoded posting list + block metadata + a moving pointer."""
 
-    __slots__ = ("docs", "tfs", "idf", "blk_max_doc", "blk_ub", "ub", "i", "n")
+    __slots__ = ("docs", "tfs", "dls", "idf", "blk_max_doc", "blk_ub", "ub", "i", "n")
 
-    def __init__(self, docs, tfs, idf, blk_max_doc, blk_max_tf, blk_min_dl, avgdl):
+    def __init__(self, docs, tfs, dls, idf, blk_max_doc, blk_max_tf, blk_min_dl, avgdl):
         self.docs = docs
         self.tfs = tfs
+        self.dls = dls
         self.idf = idf
         self.blk_max_doc = np.asarray(blk_max_doc, dtype=np.int64)
         # block-max BM25 upper bound: score is increasing in tf, decreasing
@@ -102,7 +102,6 @@ class _TermCursor:
 
 def wand_topk_segment(
     cursors: list[_TermCursor],
-    dl_lookup,
     avgdl: float,
     k: int,
     required: int = 1,
@@ -162,15 +161,15 @@ def wand_topk_segment(
                 for c in live[: pivot + 1]:
                     c.skip_to(max(next_doc, pivot_doc + 1))
                 continue
-            # score pivot_doc fully
+            # score pivot_doc fully (dl rides inline in the posting — no
+            # doc-table lookup on the scoring hot path)
             matched = 0
             score = 0.0
-            dl = float(dl_lookup(pivot_doc))
             for c in cursors:
                 c.skip_to(pivot_doc)
                 if c.i < c.n and int(c.docs[c.i]) == pivot_doc:
                     matched += 1
-                    score += _bm25(float(c.tfs[c.i]), dl, c.idf, avgdl)
+                    score += _bm25(float(c.tfs[c.i]), float(c.dls[c.i]), c.idf, avgdl)
                     c.i += 1
             if matched >= required:
                 push(pivot_doc, score)
@@ -208,30 +207,14 @@ def wand_query(
     if (mode == "AND" and len(live_terms) < len(terms)) or not live_terms:
         return store.spark.createDataFrame([], HIT_SCHEMA)
 
-    index_dir = store.index_dir
-
     def _wand_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = key[0]
-        import pyarrow.parquet as pq
-
-        dl_tab = pq.read_table(
-            os.path.join(index_dir, "segments", seg, "doc_lens.parquet")
-        )
-        dl_docs = dl_tab["doc_id"].to_numpy()
-        dl_vals = dl_tab["dl"].to_numpy()
-        base = int(dl_docs[0])
-        dense = np.zeros(int(dl_docs[-1]) - base + 1, dtype=np.int64)
-        dense[dl_docs - base] = dl_vals
-
-        def dl_lookup(doc: int) -> int:
-            return int(dense[doc - base])
-
         cursors = []
         for row in pdf.itertuples():
             docs, tfs = decode_postings(row.doc_blob, row.tf_blob)
+            dls = vbyte_decode(row.dl_blob).astype(np.int64)
             cursors.append(
                 _TermCursor(
-                    docs, tfs, idf_by_term[row.term],
+                    docs, tfs, dls, idf_by_term[row.term],
                     row.blk_max_doc, row.blk_max_tf, row.blk_min_dl, avgdl,
                 )
             )
@@ -239,13 +222,13 @@ def wand_query(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        hits = wand_topk_segment(cursors, dl_lookup, avgdl, k, required)
+        hits = wand_topk_segment(cursors, avgdl, k, required)
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
         ).astype({"doc_id": "int64", "score": "float64"})
 
     p = store.postings().filter(F.col("term").isin(live_terms)).select(
-        "segment", "term", "doc_blob", "tf_blob",
+        "segment", "term", "doc_blob", "tf_blob", "dl_blob",
         "blk_max_doc", "blk_max_tf", "blk_min_dl",
     )
     hits = p.groupBy("segment").applyInPandas(_wand_one, HIT_SCHEMA)

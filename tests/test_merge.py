@@ -1,0 +1,122 @@
+"""Log-structured merge tests: policy, compaction equivalence, rebase.
+
+Oracle: logical index equality across compaction (the reference's
+TestAddIndexesNoOptimize / TestIndexWriter merge coverage) — merging must
+not change any query-visible state.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clucene_spark.index.build import InvertedIndex
+from clucene_spark.index.merge import (
+    add_indexes,
+    find_merges,
+    maybe_merge,
+    merge_segments,
+    optimize,
+)
+from clucene_spark.index.segments import SegmentStore, build_segments, read_manifest
+from clucene_spark.search.engine import SHOULD, BooleanQuery, Searcher, TermQuery
+from clucene_spark.search.wand import wand_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    index = InvertedIndex(docs).cache()
+    d = str(tmp_path_factory.mktemp("merge_idx"))
+    build_segments(index.tokens, index.doc_lens, d, docs_per_segment=8)
+    return index, d
+
+
+def _seg(n_docs):
+    return {"name": f"s{n_docs}", "n_docs": n_docs, "min_doc": 0, "max_doc": 0,
+            "n_tokens": 0, "n_terms": 0}
+
+
+def test_find_merges_policy():
+    # 10 same-level segments -> one merge of all 10
+    segs = [_seg(100) for _ in range(10)]
+    for i, s in enumerate(segs):
+        s["name"] = f"s{i}"
+    assert find_merges(segs) == [[f"s{i}" for i in range(10)]]
+    # 9 segments: below mergeFactor -> no merge
+    assert find_merges(segs[:9]) == []
+    # one big + 10 small: the small ones merge, the big one is left alone
+    big = _seg(10**6); big["name"] = "big"
+    mixed = [big] + [_seg(10) for _ in range(10)]
+    for i, s in enumerate(mixed[1:]):
+        s["name"] = f"t{i}"
+    got = find_merges(mixed)
+    assert got == [[f"t{i}" for i in range(10)]]
+
+
+def test_compaction_preserves_index(spark, built):
+    index, d = built
+    before = read_manifest(d)
+    store0 = SegmentStore(spark, d)
+    td_before = {r["term"]: (r["df"], r["cf"]) for r in store0.term_dict().collect()}
+    n_before = len(before["segments"])
+    assert n_before >= 8
+
+    created = maybe_merge(spark, d, merge_factor=4)
+    assert created  # at least one merge ran
+    after = read_manifest(d)
+    assert len(after["segments"]) < n_before
+    assert sum(s["n_docs"] for s in after["segments"]) == sum(
+        s["n_docs"] for s in before["segments"]
+    )
+
+    store1 = SegmentStore(spark, d)
+    td_after = {r["term"]: (r["df"], r["cf"]) for r in store1.term_dict().collect()}
+    assert td_after == td_before
+
+    # query-visible equivalence: WAND top-k identical pre/post compaction
+    searcher = Searcher(index, similarity="bm25")
+    q = BooleanQuery().add(TermQuery(term="spark"), SHOULD).add(
+        TermQuery(term="table"), SHOULD
+    )
+    want = [(r["doc_id"], r["score"]) for r in searcher.topk(q, 10, round_to=4).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_query(store1, ["spark", "table"], k=10).collect()
+    ]
+    assert got == want
+
+
+def test_optimize_to_single_segment(spark, built):
+    index, d = built
+    optimize(spark, d)
+    m = read_manifest(d)
+    assert len(m["segments"]) == 1
+    store = SegmentStore(spark, d)
+    assert store.term_dict().count() == index.term_dict.count()
+    n, avg = store.stats()
+    assert n == index.doc_lens.count()
+
+
+def test_add_indexes_rebase(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    index = InvertedIndex(docs)
+    d_main = str(tmp_path / "main")
+    d_foreign = str(tmp_path / "foreign")
+    build_segments(index.tokens, index.doc_lens, d_main, docs_per_segment=16)
+    build_segments(index.tokens, index.doc_lens, d_foreign, docs_per_segment=16)
+
+    base = 1_000_000
+    add_indexes(spark, d_main, d_foreign, doc_base=base)
+    store = SegmentStore(spark, d_main)
+    n, _ = store.stats()
+    assert n == 80  # 40 original + 40 rebased
+    # every original doc has a rebased twin with identical postings
+    docs_col = store.doc_lens().select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in docs_col)
+    lo = [i for i in ids if i < base]
+    hi = [i - base for i in ids if i >= base]
+    assert lo == hi
