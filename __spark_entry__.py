@@ -238,7 +238,261 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_df_terms": lambda spark, sf: _index(spark, sf)
         .term_dict.orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(10),
+        # --- training-data pipeline: dedup family ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        # --- similarity search ---
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_cosine_topk_pandas": _q_ann_pandas,
+        "ann_ivf_topk": _q_ann_ivf,
+        # --- text analysis ---
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_token_counts": _q_token_counts,
+        "text_fingerprint": _q_fingerprint,
     }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (SURVEY §2 extension set: dedup / ANN /
+# text analysis over the documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _vecs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf):
+    from clucene_spark.pipeline.dedup import exact_dedup, with_planted_dups
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=1.0)
+    return exact_dedup(corpus).select(
+        "keep_id", "n_copies", F.element_at("doc_ids", -1).alias("max_id")
+    ).orderBy("keep_id")
+
+
+def _q_dedup_ngram(spark, sf):
+    from clucene_spark.pipeline.dedup import ngram_jaccard_pairs, with_planted_dups
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
+    return ngram_jaccard_pairs(corpus, n=3, threshold=0.5).orderBy("a", "b")
+
+
+def _q_dedup_minhash(spark, sf):
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs, with_planted_dups
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
+    return minhash_lsh_pairs(corpus, n=3, threshold=0.5).orderBy("a", "b")
+
+
+def _q_dedup_simhash(spark, sf):
+    from clucene_spark.pipeline.dedup import simhash_pairs, with_planted_dups
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
+    return simhash_pairs(corpus, bits=32, max_hamming=4).orderBy("a", "b")
+
+
+def _perturbed_vecs(spark, sf):
+    """embeddings ∪ planted near-identical twins (vec_id+10000, dim0+0.05)."""
+    v = _vecs(spark, sf).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twin_e = F.concat(
+        F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+        F.slice("embedding", 2, 63),
+    )
+    twins = v.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), twin_e.alias("embedding")
+    )
+    return v.unionByName(twins)
+
+
+def _q_dedup_embedding(spark, sf):
+    from clucene_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_perturbed_vecs(spark, sf), threshold=0.99).orderBy("a", "b")
+
+
+def _query_vec(spark, sf, vec_id=7):
+    row = _vecs(spark, sf).filter(F.col("vec_id") == vec_id).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_brute(spark, sf):
+    from clucene_spark.pipeline.ann import cosine_topk
+
+    return cosine_topk(_vecs(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def _q_ann_pandas(spark, sf):
+    from clucene_spark.pipeline.ann import cosine_topk_pandas
+
+    return cosine_topk_pandas(_vecs(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def _q_ann_ivf(spark, sf):
+    from clucene_spark.pipeline.ann import ivf_topk
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in _vecs(spark, sf).filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return ivf_topk(_vecs(spark, sf), cents, _query_vec(spark, sf, vec_id=3),
+                    k=10, n_probe=3)
+
+
+def _q_lang_id(spark, sf):
+    from clucene_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_quality(spark, sf):
+    from clucene_spark.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_token_counts(spark, sf):
+    from clucene_spark.pipeline.textstats import token_counts
+
+    return token_counts(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_fingerprint(spark, sf):
+    from clucene_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipeline oracle SQL (DuckDB) — mirrors the Spark constructions exactly;
+# hashes are md5-hex-prefix casts so both engines compute identical values
+# ---------------------------------------------------------------------------
+
+def _dup_corpus_sql(keep_frac: float) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(toks[1:greatest(1, CAST(floor(len(toks) * {keep_frac}) AS INT))], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 10 = 0
+)
+"""
+
+
+_SHINGLE_JACCARD_SQL = """
+, tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+, sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+          FROM tokd)
+)
+, cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+, inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+ORDER BY a, b
+"""
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 4) -> str:
+    sums = ", ".join(
+        f"sum(tf * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    return (
+        _dup_corpus_sql(0.8)
+        + f"""
+, tk AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus)
+    WHERE term <> '' GROUP BY doc_id, term)
+, th AS (SELECT doc_id, tf, ('0x'||substr(md5(term),1,15))::BIGINT AS h FROM tk)
+, sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+, sig AS (SELECT doc_id, {sig} AS simhash FROM sums)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+ORDER BY a, b
+"""
+    )
+
+
+_VEC_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_prepend(embedding[1]::DOUBLE + 0.05, (embedding[2:64])::DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+_COS_SQL = "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+
+
+def _ann_brute_sql(qid: int = 7) -> str:
+    cos = _COS_SQL.format(a="embedding::DOUBLE[]", b="qe")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {qid})
+SELECT vec_id, ROUND({cos}, 4) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+_D2_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 3),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY ROUND({_D2_SQL.format(a='qe', b='ce')}, 9) ASC, cid ASC
+  LIMIT 3
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c.cid AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({_D2_SQL.format(a='v.e', b='c.ce')}, 9) ASC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN c) t
+  WHERE rn = 1
+)
+SELECT a.vec_id, ROUND({_COS_SQL.format(a='a.e', b='qe')}, 4) AS cosine
+FROM assign a JOIN probe p ON a.cluster = p.cid, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+_STOP33_SQL = "('" + "', '".join(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+) + "')"
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -376,4 +630,79 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         + "SELECT n_docs, ROUND(avgdl, 4) AS avgdl FROM stats",
         "top_df_terms": _PRELUDE
         + "SELECT term, df, cf FROM term_dict ORDER BY df DESC, term ASC LIMIT 10",
+        # --- training-data pipeline oracles ---
+        "dedup_exact": _dup_corpus_sql(1.0)
+        + """
+, h AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS hh,
+               length(text) AS len FROM corpus)
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies, max(doc_id) AS max_id
+FROM h GROUP BY hh, len HAVING count(*) > 1
+ORDER BY keep_id
+""",
+        "dedup_ngram_jaccard": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
+        "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(32, 4),
+        "dedup_embedding_cosine": _VEC_CORPUS_SQL
+        + f"""
+, n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM corpus)
+SELECT * FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+  FROM n x JOIN n y ON x.vec_id < y.vec_id) t
+WHERE cosine >= 0.99
+ORDER BY a, b
+""",
+        "ann_cosine_topk": _ann_brute_sql(7),
+        "ann_cosine_topk_pandas": _ann_brute_sql(7),
+        "ann_ivf_topk": _IVF_SQL,
+        "text_lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+r AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN {_STOP33_SQL})) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS ratio
+      FROM t)
+SELECT doc_id, ROUND(ratio, 4) AS stop_ratio,
+       CASE WHEN ratio >= 0.12 THEN 'en' ELSE 'und' END AS pred_lang
+FROM r ORDER BY doc_id
+""",
+        "text_quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+f AS (SELECT doc_id,
+        len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_len,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN {_STOP33_SQL})) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS sym_ratio
+      FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(mean_len, 4) AS mean_token_len,
+       ROUND(stop_ratio, 4) AS stop_ratio,
+       ROUND(sym_ratio, 4) AS symbol_ratio,
+       ROUND(least(stop_ratio * 2, 1.0) * least(n_tokens / 64.0, 1.0) * (1.0 - sym_ratio), 4) AS quality
+FROM f ORDER BY doc_id
+""",
+        "text_token_counts": f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+       ROUND(CASE WHEN len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0
+                  THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  ELSE 0.0 END, 4) AS chars_per_bpe_token
+FROM documents ORDER BY doc_id
+""",
+        "text_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKS_SQL}, t -> ('0x'||substr(md5(t),1,7))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 9007199254740881) AS fp
+FROM documents ORDER BY doc_id
+""",
     }

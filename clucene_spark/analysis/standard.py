@@ -374,6 +374,20 @@ def lower_case_filter(tok: Token) -> Token:
     return Token(tok.term.lower(), tok.start, tok.end, tok.type)
 
 
+import re as _re
+
+# Fast-path eligibility: ONLY lowercase ascii letters/digits/spaces, no
+# token >= 256 chars (LUCENE_MAX_WORD_LEN+1), and no digit-led token that
+# contains a letter (the DFA splits "3x" -> "3","x" via ReadNumber, while
+# letter-led "x3" stays one ALPHANUM token). Under these conditions the
+# DFA provably degenerates to split-on-space: every token is a single
+# alnum run, StandardFilter and LowerCaseFilter are identity, and token
+# type is NUM iff the run starts with a digit (then is all digits).
+# Equivalence is property-tested in tests/test_analysis.py.
+_FAST_OK = _re.compile(r"[a-z0-9 ]*\Z")
+_FAST_BAD = _re.compile(r"(?:(?<= )|^)[0-9][a-z0-9]*[a-z]|[a-z0-9]{256}")
+
+
 def standard_analyze(
     text: str, stop_words: frozenset[str] = ENGLISH_STOP_WORDS
 ) -> list[tuple[str, int, int, int, str]]:
@@ -382,7 +396,23 @@ def standard_analyze(
 
     Returns [(term, pos, start_off, end_off, type)], positions dense over
     surviving tokens (position increments default OFF, Analyzers.cpp:157).
+
+    Texts that are plain lowercase alnum words take a split-on-space fast
+    path (~10x the DFA); anything else runs the full DFA. Output is
+    identical either way (see _FAST_OK/_FAST_BAD above).
     """
+    if _FAST_OK.match(text) and not _FAST_BAD.search(text):
+        out = []
+        pos = 0
+        off = 0
+        for w in text.split(" "):
+            if w and w not in stop_words:
+                out.append(
+                    (w, pos, off, off + len(w), NUM if w[0].isdigit() else ALPHANUM)
+                )
+                pos += 1
+            off += len(w) + 1
+        return out
     out = []
     pos = 0
     for tok in StandardTokenizer(text).tokens():
@@ -392,6 +422,23 @@ def standard_analyze(
             continue
         out.append((tok.term, pos, tok.start, tok.end, tok.type))
         pos += 1
+    return out
+
+
+def standard_analyze_terms(
+    text: str, stop_words: frozenset[str] = ENGLISH_STOP_WORDS
+) -> list[str]:
+    """Terms-only variant for the indexing hot path: same output terms in
+    the same order as standard_analyze (positions are dense 0..n-1, so the
+    caller derives them with arange) but without building a tuple per
+    token — the allocation cost dominates the fused segment build."""
+    if _FAST_OK.match(text) and not _FAST_BAD.search(text):
+        return [w for w in text.split(" ") if w and w not in stop_words]
+    out = []
+    for tok in StandardTokenizer(text).tokens():
+        tok = lower_case_filter(standard_filter(tok))
+        if tok.term not in stop_words:
+            out.append(tok.term)
     return out
 
 

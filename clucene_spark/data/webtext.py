@@ -147,7 +147,10 @@ def webtext_df(spark: SparkSession, n_docs: int, partitions: int | None = None) 
     """Distributed deterministic generation: spark.range -> mapInPandas.
     No shuffle; each partition generates its id range independently, so the
     same code generates 2k docs for pytest or 10^9+ on a cluster."""
-    rng_df = spark.range(0, n_docs, numPartitions=partitions or max(2, n_docs // 5000))
+    n_part = partitions or max(
+        spark.sparkContext.defaultParallelism, n_docs // 5000 + 1
+    )
+    rng_df = spark.range(0, n_docs, numPartitions=n_part)
 
     def gen(batches):
         for pdf in batches:

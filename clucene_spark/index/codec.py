@@ -31,6 +31,36 @@ import numpy as np
 # VByte (LEB128) — vectorized over uint64 arrays
 # ---------------------------------------------------------------------------
 
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """vbyte_encode + the per-value encoded byte length (for slicing a
+    concatenated stream back into sub-blobs)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    rem = v.copy()
+    idx = starts.copy()
+    left = nbytes.copy()
+    for _ in range(10):
+        mask = left > 0
+        if not mask.any():
+            break
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (left[mask] > 1).astype(np.uint8) << 7
+        out[idx[mask]] = byte | more
+        rem[mask] >>= np.uint64(7)
+        idx[mask] += 1
+        left[mask] -= 1
+    return out.tobytes(), nbytes
+
+
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array as LEB128 varints (7 bits/byte, msb=more).
 
@@ -249,6 +279,107 @@ def decode_term_block(blob: bytes) -> list[str]:
         terms.append(cur.decode("utf-8"))
         prev = cur
     return terms
+
+
+# ---------------------------------------------------------------------------
+# whole-segment vectorized encoder (the hot write path)
+# ---------------------------------------------------------------------------
+
+def encode_postings_frame(
+    term_change: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions: list | None = None,
+    positions_flat: np.ndarray | None = None,
+) -> dict:
+    """Encode ALL terms of a segment in one numpy pass (no per-term loop).
+
+    Input rows must be sorted by (term, doc_id); `term_change` is a bool
+    array marking the first row of each term run. Returns per-term python
+    lists (aligned with the term runs, in order): doc_blob, tf_blob,
+    dl_blob, pos_blob, df, cf, blk_min_doc, blk_max_doc, blk_max_tf,
+    blk_min_dl. Semantically identical to calling encode_postings per term
+    (property-tested in tests/test_codec.py).
+    """
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    term_starts = np.flatnonzero(term_change)
+    term_ends = np.concatenate([term_starts[1:], [n]])
+    df = term_ends - term_starts
+
+    def _slice_all(big: bytes, nbytes: np.ndarray) -> list[bytes]:
+        cum = np.concatenate(([0], np.cumsum(nbytes)))
+        return [big[cum[s] : cum[e]] for s, e in zip(term_starts, term_ends)]
+
+    # delta-gap docIDs (reset at each term run start)
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[term_starts] = doc_ids[term_starts]
+    doc_big, doc_nb = vbyte_encode_with_lengths(gaps.astype(np.uint64))
+    tf_big, tf_nb = vbyte_encode_with_lengths(tfs.astype(np.uint64))
+    dl_big, dl_nb = vbyte_encode_with_lengths(doc_lens.astype(np.uint64))
+
+    out = {
+        "df": df.tolist(),
+        "doc_blob": _slice_all(doc_big, doc_nb),
+        "tf_blob": _slice_all(tf_big, tf_nb),
+        "dl_blob": _slice_all(dl_big, dl_nb),
+    }
+
+    # per-term cf
+    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+    out["cf"] = (tf_cum[term_ends] - tf_cum[term_starts]).tolist()
+
+    # positions: flatten all rows, delta within each row, one vbyte pass.
+    # positions_flat skips the concat when the caller already holds the
+    # positions as one contiguous array in (term, doc, pos) order.
+    if positions is not None or positions_flat is not None:
+        if positions_flat is not None:
+            flat = np.asarray(positions_flat, dtype=np.int64)
+        else:
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+                if n
+                else np.zeros(0, dtype=np.int64)
+            )
+        row_starts = tf_cum[:-1]
+        fd = flat.copy()
+        if flat.size:
+            fd[1:] -= flat[:-1]
+            fd[row_starts] = flat[row_starts]
+        pos_big, pos_nb = vbyte_encode_with_lengths(fd.astype(np.uint64))
+        bcum = np.concatenate(([0], np.cumsum(pos_nb)))
+        out["pos_blob"] = [
+            pos_big[bcum[tf_cum[s]] : bcum[tf_cum[e]]]
+            for s, e in zip(term_starts, term_ends)
+        ]
+    else:
+        out["pos_blob"] = [None] * len(term_starts)
+
+    # 16-doc block stats: global block-start indices across all terms
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_cum = np.concatenate(([0], np.cumsum(n_blocks)))
+    total_blocks = int(blk_cum[-1])
+    rep_start = np.repeat(term_starts, n_blocks)
+    within = (np.arange(total_blocks) - np.repeat(blk_cum[:-1], n_blocks)) * BLOCK_SIZE
+    bstarts = rep_start + within
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(term_ends, n_blocks))
+    blk_min_doc = doc_ids[bstarts]          # docs ascend within a term run
+    blk_max_doc = doc_ids[bends - 1]
+    blk_max_tf = np.maximum.reduceat(tfs, bstarts) if total_blocks else np.zeros(0, np.int64)
+    blk_min_dl = np.minimum.reduceat(doc_lens, bstarts) if total_blocks else np.zeros(0, np.int64)
+
+    def _split_blocks(arr):
+        return [arr[blk_cum[i] : blk_cum[i + 1]].tolist() for i in range(len(term_starts))]
+
+    out["blk_min_doc"] = _split_blocks(blk_min_doc)
+    out["blk_max_doc"] = _split_blocks(blk_max_doc)
+    out["blk_max_tf"] = _split_blocks(blk_max_tf)
+    out["blk_min_dl"] = _split_blocks(blk_min_dl)
+    return out
 
 
 def build_term_index(terms: list[str]) -> list[tuple[str, int]]:

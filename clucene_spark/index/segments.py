@@ -43,7 +43,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from clucene_spark.index.codec import decode_positions, decode_postings, encode_postings
+from clucene_spark.index.codec import encode_postings_frame
 
 SEGMENT_SCHEMA = T.StructType(
     [
@@ -167,8 +167,8 @@ def read_checkpoints(index_dir: str) -> list[dict]:
 
 def build_segments(
     tokens: DataFrame,
-    doc_lens: DataFrame,
-    index_dir: str,
+    doc_lens: DataFrame | None = None,
+    index_dir: str | None = None,
     docs_per_segment: int = 4096,
     with_positions: bool = True,
     resume: bool = True,
@@ -183,6 +183,12 @@ def build_segments(
 
     Returns the checkpoint/metrics DataFrame (one row per segment built or
     skipped-from-checkpoint).
+
+    doc_lens is accepted for API symmetry but ignored: per-doc lengths are
+    re-derived inside each segment group as sum(tf) over its terms, so the
+    tokenizer (the expensive Python DFA stage) runs exactly ONCE and the
+    plan has exactly two shuffles (posting partial-agg, segment grouping) —
+    no doc-table join on the build path.
     """
     spark = tokens.sparkSession
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
@@ -194,19 +200,15 @@ def build_segments(
 
     seg_col = F.floor(F.col("doc_id") / F.lit(docs_per_segment)).alias("segment_id")
     tok = tokens.withColumn("segment_id", seg_col)
-    dl = doc_lens.withColumn("segment_id", seg_col)
     if done_ids:
         tok = tok.filter(~F.col("segment_id").isin(list(done_ids)))
-        dl = dl.filter(~F.col("segment_id").isin(list(done_ids)))
 
-    # partial aggregation BEFORE the segment grouping: (term, doc) rows with
-    # tf + positions — map-side combine shrinks the shuffle to one row per
-    # posting, and position arrays are bounded by one document.
-    aggs = [F.count("*").alias("tf")]
-    if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    per_doc = tok.groupBy("segment_id", "term", "doc_id").agg(*aggs)
-    per_doc = per_doc.join(dl.select("doc_id", "dl"), "doc_id")
+    # ONE shuffle: raw (doc_id, pos, term) rows hash to their segment group;
+    # the posting aggregation (tf, positions, doc lengths) happens in numpy
+    # inside the segment writer. A Spark-side partial agg would not shrink
+    # this shuffle (avg tf ≈ 1, collect_list keeps every position) — it
+    # would only add a second shuffle and Arrow list-column overhead.
+    per_doc = tok.select("segment_id", "term", "doc_id", "pos")
 
     idx_dir = index_dir
     wp = with_positions
@@ -219,39 +221,46 @@ def build_segments(
         tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
         os.makedirs(tmp_path, exist_ok=True)
 
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        rows = []
-        for term, grp in pdf.groupby("term", sort=True):
-            docs = grp["doc_id"].to_numpy(np.int64)
-            tfs = grp["tf"].to_numpy(np.int64)
-            dls = grp["dl"].to_numpy(np.int64)
-            poss = list(grp["positions"]) if wp else None
-            enc = encode_postings(docs, tfs, dls, poss)
-            rows.append(
-                (
-                    term,
-                    enc["df"],
-                    int(tfs.sum()),
-                    enc["doc_blob"],
-                    enc["tf_blob"],
-                    enc["dl_blob"],
-                    enc["pos_blob"] if wp else None,
-                    enc["blk_min_doc"].tolist(),
-                    enc["blk_max_doc"].tolist(),
-                    enc["blk_max_tf"].tolist(),
-                    enc["blk_min_dl"].tolist(),
-                )
-            )
+        # numpy invert: sort tokens by (term, doc, pos), find posting runs
+        pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
+        t = pdf["term"].to_numpy()
+        d = pdf["doc_id"].to_numpy(np.int64)
+        p = pdf["pos"].to_numpy(np.int64)
+        n_tok = len(d)
+        post_change = np.ones(n_tok, dtype=bool)
+        if n_tok > 1:
+            post_change[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+        post_idx = np.flatnonzero(post_change)
+        docs_p = d[post_idx]
+        tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
+        terms_p = t[post_idx]
+        term_change = np.ones(len(post_idx), dtype=bool)
+        if len(post_idx) > 1:
+            term_change[1:] = terms_p[1:] != terms_p[:-1]
+        # per-doc lengths -> per-posting dl
+        uniq_docs, dl_counts = np.unique(d, return_counts=True)
+        dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
+
+        enc = encode_postings_frame(
+            term_change, docs_p, tfs, dls_p,
+            positions_flat=p if wp else None,
+        )
         seg_pdf = pd.DataFrame(
-            rows,
-            columns=[
-                "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
-                "blk_min_doc", "blk_max_doc", "blk_max_tf", "blk_min_dl",
-            ],
+            {
+                "term": terms_p[term_change],
+                "df": enc["df"],
+                "cf": enc["cf"],
+                "doc_blob": enc["doc_blob"],
+                "tf_blob": enc["tf_blob"],
+                "dl_blob": enc["dl_blob"],
+                "pos_blob": enc["pos_blob"],
+                "blk_min_doc": enc["blk_min_doc"],
+                "blk_max_doc": enc["blk_max_doc"],
+                "blk_max_tf": enc["blk_max_tf"],
+                "blk_min_dl": enc["blk_min_dl"],
+            }
         )
-        dl_pdf = (
-            pdf[["doc_id", "dl"]].drop_duplicates("doc_id").sort_values("doc_id")
-        )
+        dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -265,16 +274,14 @@ def build_segments(
         )
         os.rename(tmp_path, seg_path)  # atomic publish of the segment dir
 
-        n_docs = int(dl_pdf.shape[0])
-        n_tokens = int(pdf["tf"].sum())
         ck = {
             "segment": name,
             "segment_id": seg_id,
-            "min_doc": int(pdf["doc_id"].min()),
-            "max_doc": int(pdf["doc_id"].max()),
-            "n_docs": n_docs,
-            "n_tokens": n_tokens,
-            "n_postings": int(len(pdf)),
+            "min_doc": int(uniq_docs[0]),
+            "max_doc": int(uniq_docs[-1]),
+            "n_docs": int(len(uniq_docs)),
+            "n_tokens": int(n_tok),
+            "n_postings": int(len(post_idx)),
             "n_terms": int(seg_pdf.shape[0]),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
@@ -301,6 +308,202 @@ def build_segments(
         for c in sorted(cks, key=lambda c: c["segment_id"])
     ]
     commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment})
+    return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
+
+
+def build_segments_fused(
+    docs: DataFrame,
+    index_dir: str,
+    docs_per_segment: int = 4096,
+    analyzer: str = "standard",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    with_positions: bool = True,
+    resume: bool = True,
+) -> DataFrame:
+    """Single-Python-stage index build: tokenize + invert + encode fused.
+
+    The CLucene DocumentsWriter pattern (reference _DocumentsWriter.h:79-104:
+    each thread inverts its own documents into a private in-RAM index, no
+    cross-thread traffic until segment flush) restated for Spark: group RAW
+    documents by doc-range (the only shuffle moves text bytes, ~50B/token
+    cheaper than an exploded token row), then one applyInPandas group =
+    analyze + invert + compress + write one segment. Tokens never cross the
+    Arrow boundary back to the JVM, so the plan is:
+
+        scan -> repartition(segment_id)[text bytes] -> python[DFA+numpy+write]
+
+    This is the scale shape: python CPU dominates, everything else is
+    embarrassingly parallel, shuffle volume = corpus text size / no token
+    explosion. Global term stats are NOT built here — the query side sums
+    per-segment dictionaries (SegmentStore.term_dict), mirroring how
+    MultiSearcher derives global df (MultiSearcher.cpp:72-74).
+    """
+    spark = docs.sparkSession
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
+
+    done_ids = set()
+    if resume:
+        done_ids = {c["segment_id"] for c in read_checkpoints(index_dir)}
+
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).withColumn(
+        "segment_id", F.floor(F.col("doc_id") / F.lit(docs_per_segment))
+    )
+    if done_ids:
+        src = src.filter(~F.col("segment_id").isin(list(done_ids)))
+
+    idx_dir = index_dir
+    wp = with_positions
+    an = analyzer
+
+    def _build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        # one task = one core (Spark's scheduling assumption): stop pyarrow
+        # from silently grabbing the whole box for parquet compression
+        import pyarrow as _pa
+
+        try:
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(1)
+        except Exception:
+            pass
+        seg_id = int(key[0])
+        name = f"seg_{seg_id:08d}"
+        seg_path = os.path.join(idx_dir, "segments", name)
+        tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
+        os.makedirs(tmp_path, exist_ok=True)
+
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
+        texts = pdf["text"].to_numpy()
+        if an == "standard":
+            # dense post-stopword positions: derived as one vectorized
+            # arange-per-doc, no per-token position bookkeeping in python
+            from clucene_spark.analysis.standard import standard_analyze_terms
+
+            per_doc = [
+                standard_analyze_terms(t) if t is not None else [] for t in texts
+            ]
+            counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
+                                 count=len(per_doc))
+            total = int(counts.sum())
+            offsets = np.cumsum(counts) - counts
+            p = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+            t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+        else:  # whitespace: raw split-array positions kept (empties skipped)
+            per_doc = []
+            pos_doc = []
+            for t in texts:
+                terms_i, pos_i = [], []
+                if t is not None:
+                    for i, w in enumerate(t.split(" ")):
+                        if w:
+                            terms_i.append(w)
+                            pos_i.append(i)
+                per_doc.append(terms_i)
+                pos_doc.append(pos_i)
+            counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
+                                 count=len(per_doc))
+            total = int(counts.sum())
+            p = np.fromiter((i for ps in pos_doc for i in ps),
+                            dtype=np.int64, count=total)
+            t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+        d = np.repeat(doc_ids_in, counts)
+        # stable sort by term keeps (doc asc, pos asc) inside each term run.
+        # factorize (C hash) + rank of the ~small unique-term set avoids a
+        # python-compare sort over every token.
+        codes, uniques = pd.factorize(t_arr)
+        rank_of_code = np.empty(len(uniques), dtype=np.int64)
+        rank_of_code[np.argsort(uniques)] = np.arange(len(uniques))
+        order = np.argsort(rank_of_code[codes], kind="stable")
+        t_arr, d, p = t_arr[order], d[order], p[order]
+
+        n_tok = total
+        post_change = np.ones(n_tok, dtype=bool)
+        if n_tok > 1:
+            post_change[1:] = (t_arr[1:] != t_arr[:-1]) | (d[1:] != d[:-1])
+        post_idx = np.flatnonzero(post_change)
+        docs_p = d[post_idx]
+        tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
+        terms_p = t_arr[post_idx]
+        term_change = np.ones(len(post_idx), dtype=bool)
+        if len(post_idx) > 1:
+            term_change[1:] = terms_p[1:] != terms_p[:-1]
+        uniq_docs = doc_ids_in[counts > 0]
+        dl_counts = counts[counts > 0]
+        dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
+
+        enc = encode_postings_frame(
+            term_change, docs_p, tfs, dls_p, positions_flat=p if wp else None
+        )
+        seg_pdf = pd.DataFrame(
+            {
+                "term": terms_p[term_change].astype(str),
+                "df": enc["df"],
+                "cf": enc["cf"],
+                "doc_blob": enc["doc_blob"],
+                "tf_blob": enc["tf_blob"],
+                "dl_blob": enc["dl_blob"],
+                "pos_blob": enc["pos_blob"],
+                "blk_min_doc": enc["blk_min_doc"],
+                "blk_max_doc": enc["blk_max_doc"],
+                "blk_max_tf": enc["blk_max_tf"],
+                "blk_min_dl": enc["blk_min_dl"],
+            }
+        )
+        dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(seg_pdf, preserve_index=False),
+            os.path.join(tmp_path, "postings.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pandas(dl_pdf, preserve_index=False),
+            os.path.join(tmp_path, "doc_lens.parquet"),
+        )
+        os.rename(tmp_path, seg_path)
+
+        ck = {
+            "segment": name,
+            "segment_id": seg_id,
+            "min_doc": int(uniq_docs[0]) if len(uniq_docs) else -1,
+            "max_doc": int(uniq_docs[-1]) if len(uniq_docs) else -1,
+            "n_docs": int(len(uniq_docs)),
+            "n_tokens": int(n_tok),
+            "n_postings": int(len(post_idx)),
+            "n_terms": int(seg_pdf.shape[0]),
+            "build_sec": round(time.perf_counter() - t0, 4),
+        }
+        ck_tmp = os.path.join(idx_dir, "checkpoints", f".part_{seg_id:08d}.tmp")
+        with open(ck_tmp, "w") as f:
+            json.dump(ck, f)
+        os.rename(ck_tmp, os.path.join(idx_dir, "checkpoints", f"part_{seg_id:08d}.json"))
+        return pd.DataFrame([ck])
+
+    built = src.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
+    built_rows = built.collect()
+
+    cks = read_checkpoints(index_dir)
+    segments = [
+        {
+            "name": c["segment"],
+            "min_doc": c["min_doc"],
+            "max_doc": c["max_doc"],
+            "n_docs": c["n_docs"],
+            "n_tokens": c["n_tokens"],
+            "n_terms": c["n_terms"],
+        }
+        for c in sorted(cks, key=lambda c: c["segment_id"])
+    ]
+    commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment,
+                                                "analyzer": analyzer})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
 
 

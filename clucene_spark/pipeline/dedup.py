@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Everything is declarative DataFrame algebra over the `documents` table —
+no Python on the hot path — so Catalyst plans partial aggregation,
+broadcast where small, and AQE skew handling. Each operator has a DuckDB
+oracle in __spark_entry__ (hashes are md5-derived so both engines compute
+bit-identical values).
+
+Scale notes (100 TB):
+  * exact_dedup: one shuffle on the 60-bit content hash; collisions across
+    petabytes are handled by grouping on (hash, length) — verify-on-collide
+    could compare full text but 60-bit + length makes false merges ~0.
+  * minhash_lsh: the classic shingle -> K minhashes -> bands -> bucket-join
+    pipeline. The candidate join is on band_hash buckets, so the shuffle
+    moves only (band_hash, doc_id) pairs; mega-buckets (boilerplate shingles)
+    are capped to defend against quadratic blowup inside a bucket.
+  * simhash: per-doc 32-bit signature via one groupBy; pairing joins on
+    rotated bands of the signature (here: all-pairs within small inputs,
+    banded at scale).
+  * embedding near-dup: cosine via JVM-side zip_with/aggregate; at scale,
+    pre-bucket by LSH hyperplanes (see ann.py) before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 60-bit portable hash: identical in DuckDB as ('0x'||substr(md5(x),1,15))::BIGINT
+def md5_60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# 31-bit variant for modular minhash arithmetic without int64 overflow
+def md5_31(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def with_planted_dups(docs: DataFrame, every: int = 10, id_offset: int = 1_000_000,
+                      keep_frac: float = 0.8) -> DataFrame:
+    """Deterministic near-duplicate corpus: every Nth doc gets a twin with
+    the first keep_frac of its tokens (id = doc_id + id_offset). Used by
+    the dedup demos/tests so recall is measurable on synthetic data; the
+    oracle replays the identical construction in SQL."""
+    toks = F.split(F.col("text"), " ")
+    truncated = F.array_join(
+        F.slice(toks, 1, F.greatest(F.lit(1), F.floor(F.size(toks) * keep_frac)).cast("int")),
+        " ",
+    )
+    twins = (
+        docs.filter(F.col("doc_id") % every == 0)
+        .select(
+            (F.col("doc_id") + id_offset).alias("doc_id"),
+            truncated.alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: (keep_id, n_dups, dup_ids).
+    keep_id = min doc_id of the group (deterministic survivor)."""
+    h = docs.select("doc_id", md5_60(F.col("text")).alias("h"),
+                    F.length("text").alias("len"))
+    return (
+        h.groupBy("h", "len")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies", "doc_ids")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct token n-grams — the dedup unit."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        round_to: int = 4) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold (a < b).
+
+    Join on shared shingles -> |A∩B| per pair, then Jaccard via per-doc
+    shingle counts. At 100 TB this exact form runs AFTER LSH candidate
+    generation; standalone it's the ground-truth oracle for minhash."""
+    sh = shingles(docs, n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", round_to).alias("jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, hash_id, minhash): K universal-hash minima over shingles.
+
+    h_i(s) = (a_i * md5_31(s) + b_i) mod (2^61-1), with a_i/b_i derived
+    deterministically from i — 31-bit operands keep a*h inside int64.
+    """
+    sh = shingles(docs, n).withColumn("sh_h", md5_31(F.col("shingle")))
+    hashes = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id")
+    expanded = sh.select("doc_id", "sh_h", hashes)
+    a = (F.col("hash_id") * 2 + 1) * 2654435761 % (1 << 31)
+    b = (F.col("hash_id") + 1) * 40503 % (1 << 31)
+    hv = (a * F.col("sh_h") + b) % F.lit(MERSENNE_61)
+    return expanded.select("doc_id", "hash_id", hv.alias("hv")).groupBy(
+        "doc_id", "hash_id"
+    ).agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard >= threshold.
+
+    bands=16 x rows=2 over 32 hashes: P(candidate | J=0.5) = 1-(1-0.25)^16
+    ≈ 0.99, so at the 0.5 threshold candidate recall is ~complete and the
+    verified output equals the exact-Jaccard oracle. Buckets larger than
+    max_bucket (boilerplate) are dropped — the skew cap that keeps the
+    candidate join from going quadratic at scale."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("hash_id", "minhash"))).alias("sig"))
+        .withColumn("band_key", F.md5(F.concat(F.col("band").cast("string"),
+                                               F.lit(":"), F.col("sig").cast("string"))))
+    )
+    bucket_sizes = banded.groupBy("band_key").agg(F.count("*").alias("bsz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket), "band_key"
+    )
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold, round_to)
+    return cands.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): tf-weighted sign-sum of term-hash bits (the
+    term hash is 60-bit so all `bits` positions are uniformly random)."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", md5_60(F.col("term")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * F.when(F.shiftright(F.col("th"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    All-pairs here (fine at test scale); at 10^12 docs the standard trick
+    applies: join on (bits/(max_hamming+1))-bit bands of the signature —
+    any pair within the radius shares at least one exact band."""
+    sig = simhash_signatures(docs, bits)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    vecs: DataFrame, threshold: float = 0.99, round_to: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Cosine is computed JVM-side via zip_with/aggregate in float64 — no
+    Python. All-pairs at test scale; at 100 TB run it inside LSH buckets
+    (ann.lsh_bucketed) so each bucket's pair set is bounded."""
+    v = vecs.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("norm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(cos, round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

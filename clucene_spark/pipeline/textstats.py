@@ -1,0 +1,110 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Pure column expressions (JVM-side, whole-stage codegen); each has a DuckDB
+oracle in __spark_entry__. These are the per-document map stage of a
+training-data pipeline — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from clucene_spark.pipeline.dedup import md5_31
+
+# largest prime < 2^53: keeps acc*31 + token_hash inside int64 in the
+# rolling-hash fold (2^53*31 < 2^58.96 < 2^63)
+FP_MOD = 9007199254740881
+
+# the reference's 33-word English stop list (Analyzers.cpp:293-300) doubles
+# as the language-ID evidence set
+STOP33 = (
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with"
+).split()
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-alnum marks
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.12) -> DataFrame:
+    """N-gram-heuristic language ID: stopword ratio over whitespace tokens.
+
+    (doc_id, stop_ratio, pred_lang): 'en' if ratio >= threshold, else 'und'.
+    A real pipeline swaps the evidence set per language; the operator shape
+    (map-only, ratio of set-membership hits) is the same."""
+    toks = _tokens(F.col("text"))
+    stops = F.filter(toks, lambda t: t.isin(STOP33))
+    ratio = F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + score in [0,1]:
+      * n_tokens, mean token length
+      * stopword ratio (natural-language evidence)
+      * digit/symbol character ratio (boilerplate evidence)
+    score = clamp(stop_ratio*2, 0, 1) * clamp(n_tokens/64, 0, 1)
+            * (1 - symbol_ratio)."""
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(STOP33)))
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+    stop_ratio = F.when(n_toks > 0, stops / n_toks).otherwise(0.0)
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(0.0)
+    mean_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_toks,
+    ).otherwise(0.0)
+    score = (
+        F.least(stop_ratio * 2, F.lit(1.0))
+        * F.least(n_toks / F.lit(64.0), F.lit(1.0))
+        * (F.lit(1.0) - sym_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, chars_per_bpe_token): whitespace
+    count plus a BPE-ish regex segmentation count — the standard cheap
+    proxy pair for LLM token budgeting."""
+    ws = F.size(_tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(
+            F.when(bpe > 0, F.length("text") / bpe).otherwise(0.0), 4
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): order-sensitive rolling hash over tokens —
+    fp = fold(h = (h*31 + md5_31(token)) mod FP_MOD). Equal texts collide
+    exactly; any token edit/reorder changes fp (vs the order-insensitive
+    minhash family). The sub-2^53 modulus keeps h*31+t inside int64."""
+    toks = _tokens(F.col("text"))
+    fp = F.aggregate(
+        F.transform(toks, lambda t: md5_31(t)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + t) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fp"))

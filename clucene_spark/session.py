@@ -33,6 +33,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CPU-heavy Python stages (tokenizer DFA) need scan partitions ~
+        # cores, not ~128MB blocks: a 200MB text corpus must not collapse
+        # into 2 tasks on a 32-core executor fleet
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # shuffle spill dir: on a real cluster every node contributes its
+        # own local SSDs, so aggregate shuffle bandwidth scales with the
+        # node count; a single sandbox box has ONE virtio disk, which would
+        # serialize the measurement. tmpfs emulates per-node local disk.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

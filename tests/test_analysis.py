@@ -118,3 +118,53 @@ def test_stopwords_list():
 def test_positions_dense_over_survivors():
     got = standard_analyze("alpha the beta of gamma")
     assert [(t[0], t[1]) for t in got] == [("alpha", 0), ("beta", 1), ("gamma", 2)]
+
+
+# ---------------------------------------------------------------------------
+# fast-path equivalence (standard_analyze split-on-space vs the full DFA)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from clucene_spark.analysis.standard import (
+    ENGLISH_STOP_WORDS,
+    StandardTokenizer,
+    lower_case_filter,
+    standard_analyze,
+    standard_filter,
+)
+
+
+def _dfa_analyze(text):
+    out = []
+    pos = 0
+    for tok in StandardTokenizer(text).tokens():
+        tok = lower_case_filter(standard_filter(tok))
+        if tok.term in ENGLISH_STOP_WORDS:
+            continue
+        out.append((tok.term, pos, tok.start, tok.end, tok.type))
+        pos += 1
+    return out
+
+
+@given(st.text(alphabet="abcz019 ", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_fast_path_equivalent_to_dfa(text):
+    assert standard_analyze(text) == _dfa_analyze(text)
+
+
+@given(st.text(alphabet="aZ3.' @&-_一 ", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_mixed_text_same_with_or_without_fast_path(text):
+    # messy text never takes the fast path; result must equal the DFA
+    assert standard_analyze(text) == _dfa_analyze(text)
+
+
+def test_fast_path_examples():
+    assert standard_analyze("3x y3 the") == _dfa_analyze("3x y3 the")
+    assert standard_analyze("a" * 300) == _dfa_analyze("a" * 300)
+    assert standard_analyze("33 x3 abc") == [
+        ("33", 0, 0, 2, "<NUM>"),
+        ("x3", 1, 3, 5, "<ALPHANUM>"),
+        ("abc", 2, 6, 9, "<ALPHANUM>"),
+    ]

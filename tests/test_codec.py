@@ -136,3 +136,46 @@ def test_term_index_interval():
     assert idx[0] == ("t0000", 0)
     assert idx[1] == ("t0128", 128)
     assert len(idx) == 3
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),      # term code
+            st.integers(min_value=0, max_value=10**6),   # doc_id
+            st.integers(min_value=1, max_value=40),      # tf
+            st.integers(min_value=1, max_value=500),     # dl
+        ),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_frame_encoder_matches_per_term(rows):
+    from clucene_spark.index.codec import encode_postings_frame
+
+    rows.sort()
+    tc = np.array([rows[0][0]] + [r[0] for r in rows[1:]])
+    prev = np.array([rows[0][0] - 1] + [r[0] for r in rows[:-1]])
+    term_change = tc != prev
+    docs = np.array([r[1] for r in rows], dtype=np.int64)
+    tfs = np.array([r[2] for r in rows], dtype=np.int64)
+    dls = np.array([r[3] for r in rows], dtype=np.int64)
+    rng = np.random.RandomState(7)
+    positions = [np.sort(rng.choice(10**6, size=t, replace=False)) for t in tfs]
+    got = encode_postings_frame(term_change, docs, tfs, dls, positions)
+
+    starts = np.flatnonzero(term_change)
+    ends = np.concatenate([starts[1:], [len(rows)]])
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        want = encode_postings(docs[s:e], tfs[s:e], dls[s:e], positions[s:e])
+        assert got["doc_blob"][i] == want["doc_blob"]
+        assert got["tf_blob"][i] == want["tf_blob"]
+        assert got["dl_blob"][i] == want["dl_blob"]
+        assert got["pos_blob"][i] == want["pos_blob"]
+        assert got["df"][i] == want["df"]
+        assert got["blk_min_doc"][i] == want["blk_min_doc"].tolist()
+        assert got["blk_max_doc"][i] == want["blk_max_doc"].tolist()
+        assert got["blk_max_tf"][i] == want["blk_max_tf"].tolist()
+        assert got["blk_min_dl"][i] == want["blk_min_dl"].tolist()

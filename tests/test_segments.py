@@ -179,3 +179,40 @@ def test_wand_k_larger_than_corpus(store, searcher):
         for r in wand_query(store, ["spark"], k=10_000).collect()
     ]
     assert got == _naive_or(searcher, ["spark"], k=10_000)
+
+
+# ---------------------------------------------------------------------------
+# fused (single-python-stage) builder == relational builder
+# ---------------------------------------------------------------------------
+
+def test_fused_build_equals_relational(spark, tmp_path):
+    from clucene_spark.index.segments import build_segments_fused
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = InvertedIndex(docs, analyzer="standard")
+    d_rel = str(tmp_path / "rel")
+    d_fus = str(tmp_path / "fus")
+    build_segments(idx.tokens, None, d_rel, docs_per_segment=32)
+    build_segments_fused(docs, d_fus, docs_per_segment=32, analyzer="standard")
+
+    s_rel = SegmentStore(spark, d_rel)
+    s_fus = SegmentStore(spark, d_fus)
+    td_rel = {r["term"]: (r["df"], r["cf"]) for r in s_rel.term_dict().collect()}
+    td_fus = {r["term"]: (r["df"], r["cf"]) for r in s_fus.term_dict().collect()}
+    assert td_fus == td_rel
+    assert s_fus.stats() == s_rel.stats()
+
+    # full blob-level equality per (segment, term)
+    rel = {(r["segment"], r["term"]): (bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+                                       bytes(r["dl_blob"]), bytes(r["pos_blob"]))
+           for r in s_rel.postings().collect()}
+    fus = {(r["segment"], r["term"]): (bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+                                       bytes(r["dl_blob"]), bytes(r["pos_blob"]))
+           for r in s_fus.postings().collect()}
+    assert fus == rel
+
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query(s_fus, ["spark", "table"], k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in wand_query(s_rel, ["spark", "table"], k=10).collect()]
+    assert got == want

@@ -50,10 +50,17 @@ def test_spark_tokenizer_parity(spark, webtext):
     from clucene_spark.analysis.spark import tokenize_standard
 
     got = {}
-    for r in tokenize_standard(webtext).collect():
+    for r in tokenize_standard(webtext, full=True).collect():
         got.setdefault(r["doc_id"], []).append(
             (r["pos"], r["term"], r["start_off"], r["end_off"], r["type"])
         )
+    # slim indexing path agrees with the full path
+    slim = {}
+    for r in tokenize_standard(webtext).collect():
+        slim.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    assert {k: sorted(v) for k, v in slim.items()} == {
+        k: sorted((p, t) for p, t, _, _, _ in v) for k, v in got.items()
+    }
     for doc_id in range(N_DOCS):
         want = [
             (pos, term, s, e, ty)

@@ -1,0 +1,129 @@
+"""spark-submit entrypoint: build a compressed segment index.
+
+Usage (spark-submit or plain python — session config comes from
+clucene_spark.session unless spark-submit overrides master/memory):
+
+    spark-submit --py-files clucene_spark.zip tools/index_job.py \
+        --input /path/docs.parquet --index-dir /path/index \
+        --analyzer standard --docs-per-segment 4096 [--merge] [--fresh]
+
+    # or generate a deterministic webtext corpus instead of reading one:
+    python tools/index_job.py --gen-docs 100000 --index-dir /tmp/idx
+
+Prints ONE JSON line with docs/sec throughput + per-phase seconds, and the
+lineage/metrics summary from the per-partition checkpoints. Re-running with
+the same --index-dir resumes from checkpoints (add --fresh to wipe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clucene_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet of documents")
+    ap.add_argument("--gen-docs", type=int, default=0,
+                    help="generate N deterministic webtext docs instead of --input")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--analyzer", default="standard",
+                    choices=["standard", "whitespace"])
+    ap.add_argument("--docs-per-segment", type=int, default=4096)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--merge", action="store_true",
+                    help="run the log-structured merge policy after build")
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe the index dir first (no resume)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    if args.fresh and os.path.isdir(args.index_dir):
+        shutil.rmtree(args.index_dir)
+
+    spark = get_spark("index_job", master=args.master)
+
+    from clucene_spark.index.merge import maybe_merge
+    from clucene_spark.index.segments import build_segments_fused, read_checkpoints
+
+    # warm the Python workers (module imports + Arrow init) before the timed
+    # section — steady-state throughput excludes cold start, exactly as a
+    # long-lived cluster amortizes it. The warm job imports the same modules
+    # the build stage uses so no import cost lands in the measurement.
+    def _warm(batches):
+        import numpy, pandas, pyarrow, pyarrow.parquet  # noqa: F401
+        from clucene_spark.analysis.standard import standard_analyze_terms
+        from clucene_spark.index.codec import encode_postings_frame  # noqa: F401
+
+        standard_analyze_terms("warm up text tokens")
+        for pdf in batches:
+            yield pdf
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
+        _warm, "id long"
+    ).count()
+
+    t0 = time.perf_counter()
+    if args.gen_docs:
+        from clucene_spark.data.webtext import webtext_df
+
+        docs = webtext_df(spark, args.gen_docs)
+    else:
+        docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+        # ensure the tokenizer stage parallelizes even over few input files;
+        # only (id, text) travel through this shuffle
+        min_parts = spark.sparkContext.defaultParallelism * 2
+        if docs.rdd.getNumPartitions() < min_parts:
+            docs = docs.repartition(min_parts)
+
+    built_rows = build_segments_fused(
+        docs,
+        args.index_dir,
+        docs_per_segment=args.docs_per_segment,
+        analyzer=args.analyzer,
+        text_col=args.text_col,
+        doc_id_col=args.id_col,
+        with_positions=not args.no_positions,
+        resume=not args.fresh,
+    ).collect()
+    t_build = time.perf_counter() - t0
+    n_built = len(built_rows)
+    n_docs = sum(r["n_docs"] for r in built_rows)  # docs indexed THIS run
+
+    t_merge = 0.0
+    merged = []
+    if args.merge:
+        tm = time.perf_counter()
+        merged = maybe_merge(spark, args.index_dir)
+        t_merge = time.perf_counter() - tm
+
+    cks = read_checkpoints(args.index_dir)
+    out = {
+        "metric": "indexing_throughput",
+        "value": round(n_docs / t_build, 2),
+        "unit": "docs/sec",
+        "n_docs": n_docs,
+        "build_sec": round(t_build, 3),
+        "merge_sec": round(t_merge, 3),
+        "segments_built": n_built,
+        "segments_merged_into": len(merged),
+        "n_tokens": sum(c["n_tokens"] for c in cks),
+        "n_postings": sum(c["n_postings"] for c in cks),
+        "analyzer": args.analyzer,
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
