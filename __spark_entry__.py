@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_brute,
         "ann_cosine_topk_pandas": _q_ann_pandas,
         "ann_ivf_topk": _q_ann_ivf,
+        # --- multimodal plumbing (decode stubbed; schema/batching real) ---
+        "multimodal_features": _q_mm_features,
+        "multimodal_frame_sample": _q_mm_frames,
         # --- text analysis ---
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -344,6 +347,21 @@ def _q_ann_ivf(spark, sf):
     ]
     return ivf_topk(_vecs(spark, sf), cents, _query_vec(spark, sf, vec_id=3),
                     k=10, n_probe=3)
+
+
+def _q_mm_features(spark, sf):
+    from clucene_spark.pipeline.multimodal import attach_media, extract_features
+
+    feats = extract_features(attach_media(_docs(spark, sf)), fake=True)
+    return feats.select("media_id", "n_bytes", "digest60").orderBy("media_id")
+
+
+def _q_mm_frames(spark, sf):
+    from clucene_spark.pipeline.multimodal import attach_media, frame_sample_stub
+
+    return frame_sample_stub(attach_media(_docs(spark, sf)), every_n=10).orderBy(
+        "media_id", "frame_no"
+    )
 
 
 def _q_lang_id(spark, sf):
@@ -655,6 +673,22 @@ ORDER BY a, b
         "ann_cosine_topk": _ann_brute_sql(7),
         "ann_cosine_topk_pandas": _ann_brute_sql(7),
         "ann_ivf_topk": _IVF_SQL,
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x'||substr(md5(text),1,15))::BIGINT AS digest60
+FROM documents ORDER BY media_id
+""",
+        "multimodal_frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(floor(octet_length(encode(text)) / 100.0 + 1) AS INT) AS n_frames
+  FROM documents)
+SELECT media_id, CAST(i AS INT) AS frame_no
+FROM (SELECT media_id, unnest(generate_series(0, n_frames - 1)) AS i FROM m)
+WHERE i % 10 = 0
+ORDER BY media_id, frame_no
+""",
         "text_lang_id": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 r AS (SELECT doc_id,
@@ -663,7 +697,7 @@ r AS (SELECT doc_id,
              ELSE 0.0 END AS ratio
       FROM t)
 SELECT doc_id, ROUND(ratio, 4) AS stop_ratio,
-       CASE WHEN ratio >= 0.12 THEN 'en' ELSE 'und' END AS pred_lang
+       CASE WHEN ratio >= 0.04 THEN 'en' ELSE 'und' END AS pred_lang
 FROM r ORDER BY doc_id
 """,
         "text_quality": f"""

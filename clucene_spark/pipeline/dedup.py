@@ -114,18 +114,24 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     return j.select("a", "b", F.round("jaccard", round_to).alias("jaccard"))
 
 
+MERSENNE_31 = (1 << 31) - 1
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
     """(doc_id, hash_id, minhash): K universal-hash minima over shingles.
 
-    h_i(s) = (a_i * md5_31(s) + b_i) mod (2^61-1), with a_i/b_i derived
-    deterministically from i — 31-bit operands keep a*h inside int64.
+    h_i(s) = (a_i * md5_31(s) + b_i) mod (2^31-1), a_i/b_i deterministic
+    per i. The modulus must be SMALL enough that a*h wraps it many times —
+    a non-wrapping modulus leaves every h_i monotone in h, making all K
+    minima pick the same shingle (zero independence, LSH degenerates).
+    a*h < 2^31 * 2^28 = 2^59 stays inside int64.
     """
     sh = shingles(docs, n).withColumn("sh_h", md5_31(F.col("shingle")))
     hashes = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id")
     expanded = sh.select("doc_id", "sh_h", hashes)
-    a = (F.col("hash_id") * 2 + 1) * 2654435761 % (1 << 31)
-    b = (F.col("hash_id") + 1) * 40503 % (1 << 31)
-    hv = (a * F.col("sh_h") + b) % F.lit(MERSENNE_61)
+    a = ((F.col("hash_id") * 2 + 1) * 2654435761 % MERSENNE_31) + 1
+    b = (F.col("hash_id") + 1) * 40503 % MERSENNE_31
+    hv = (a * F.col("sh_h") + b) % F.lit(MERSENNE_31)
     return expanded.select("doc_id", "hash_id", hv.alias("hv")).groupBy(
         "doc_id", "hash_id"
     ).agg(F.min("hv").alias("minhash"))
@@ -135,18 +141,20 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.5,
     max_bucket: int = 1000,
     round_to: int = 4,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard >= threshold.
 
-    bands=16 x rows=2 over 32 hashes: P(candidate | J=0.5) = 1-(1-0.25)^16
-    ≈ 0.99, so at the 0.5 threshold candidate recall is ~complete and the
-    verified output equals the exact-Jaccard oracle. Buckets larger than
-    max_bucket (boilerplate) are dropped — the skew cap that keeps the
-    candidate join from going quadratic at scale."""
+    Default bands=32 x rows=1 over 32 hashes: P(miss | J=0.5) = (1-J)^32
+    ≈ 2e-10, so at the 0.5 threshold candidate recall is complete and the
+    verified output equals the exact-Jaccard oracle; precision comes from
+    the verify join, not the buckets. (Wider rows_per_band trade recall
+    for fewer candidates — set bands=16 for 2-row bands.) Buckets larger
+    than max_bucket (boilerplate) are dropped — the skew cap that keeps
+    the candidate join from going quadratic at scale."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
     banded = (

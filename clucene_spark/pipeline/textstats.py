@@ -31,7 +31,7 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
-def lang_id(docs: DataFrame, threshold: float = 0.12) -> DataFrame:
+def lang_id(docs: DataFrame, threshold: float = 0.04) -> DataFrame:
     """N-gram-heuristic language ID: stopword ratio over whitespace tokens.
 
     (doc_id, stop_ratio, pred_lang): 'en' if ratio >= threshold, else 'und'.

@@ -1,0 +1,144 @@
+"""Training-data pipeline tests (dedup / ANN / textstats / multimodal).
+
+Cross-engine value parity is enforced by the DuckDB oracle gate
+(tools/check_oracle.py); these tests cover behavior the gate can't:
+recall of the planted duplicates, IVF-vs-brute recall, stub determinism
+across executors, and NotImplementedError surfacing for real decodes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_all_planted(docs):
+    from clucene_spark.pipeline.dedup import exact_dedup, with_planted_dups
+
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    corpus = with_planted_dups(docs, every=10, keep_frac=1.0)
+    groups = exact_dedup(corpus).collect()
+    assert len(groups) == n_planted
+    for g in groups:
+        assert g["n_copies"] == 2
+        assert g["doc_ids"][1] == g["doc_ids"][0] + 1_000_000
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    from clucene_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        with_planted_dups,
+    )
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(corpus, 3, 0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in minhash_lsh_pairs(corpus, 3, threshold=0.5).collect()}
+    assert exact, "planted twins must be detectable"
+    assert lsh == exact  # 16x2 bands: ~full recall at J>=0.5, verified subset
+
+
+def test_simhash_planted_twins_close(docs):
+    from clucene_spark.pipeline.dedup import simhash_pairs, with_planted_dups
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_pairs(corpus, bits=32, max_hamming=6).collect()}
+    planted = [(i, i + 1_000_000) for i in range(0, 100, 10)]
+    hits = [p for p in planted if p in pairs]
+    assert len(hits) >= len(planted) // 2  # most twins within hamming 6
+
+
+def test_ivf_recall_vs_brute(vecs):
+    from clucene_spark.pipeline.ann import cosine_topk, ivf_topk
+
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in vecs.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    brute = [r["vec_id"] for r in cosine_topk(vecs, q, k=10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(vecs, cents, q, k=10, n_probe=8).collect()]
+    # probing ALL centroids == brute force (recall 1.0)
+    assert ivf == brute
+
+
+def test_ann_pandas_equals_sql_path(vecs):
+    from clucene_spark.pipeline.ann import cosine_topk, cosine_topk_pandas
+
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    a = [(r["vec_id"], r["cosine"]) for r in cosine_topk(vecs, q, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in cosine_topk_pandas(vecs, q, k=10).collect()]
+    assert a == b
+
+
+def test_multimodal_features_deterministic(docs):
+    from clucene_spark.pipeline.multimodal import attach_media, extract_features
+
+    media = attach_media(docs.limit(20))
+    a = {r["media_id"]: (r["digest60"], tuple(r["features"]))
+         for r in extract_features(media).collect()}
+    b = {r["media_id"]: (r["digest60"], tuple(r["features"]))
+         for r in extract_features(media).collect()}
+    assert a == b
+    for dg, feats in a.values():
+        assert len(feats) == 8 and all(0.0 <= f < 1.0 for f in feats)
+
+
+def test_multimodal_real_decode_raises(docs):
+    from clucene_spark.pipeline.multimodal import attach_media, extract_features
+
+    media = attach_media(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        extract_features(media, fake=False).collect()
+
+
+def test_resize_and_frame_sample_shapes(docs):
+    from clucene_spark.pipeline.multimodal import (
+        attach_media,
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    media = attach_media(docs.limit(10))
+    r = resize_stub(media, 224, 224)
+    rows = r.collect()
+    assert len(rows) == 10
+    assert all(row["resized_w"] == 224 for row in rows)
+    f = frame_sample_stub(media, every_n=10)
+    grp = f.groupBy("media_id").count().collect()
+    assert len(grp) == 10
+    assert all(row["count"] >= 1 for row in grp)
+
+
+def test_lang_id_flags_english(docs):
+    from clucene_spark.pipeline.textstats import lang_id
+
+    rows = lang_id(docs).collect()
+    en = sum(1 for r in rows if r["pred_lang"] == "en")
+    assert en > len(rows) * 0.5  # corpus is stopword-rich synthetic English
+
+
+def test_fingerprint_order_sensitive(spark):
+    from clucene_spark.pipeline.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
