@@ -5,19 +5,24 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <dir>, ...extras}
 
 Measures:
-  * index_build: full inverted-index materialization (tokenize -> postings
-    + doc_lens + term_dict, cached) over the documents table
-  * headline query latencies (BM25 term / boolean AND / OR / phrase /
-    prefix / fuzzy top-10) against the warm index
-Extras reported (not part of the driver contract but used by BASELINE.md):
-  docs_per_sec for the index build.
+  * seg_build_fused: persistent compressed segment index build (tokenize +
+    invert + delta-gap/varbyte encode fused in one python stage) over the
+    documents table — the production write path
+  * wand_or / wand_and: block-max WAND BM25 top-10 over the segment store
+  * relational engine latencies (BM25 term / boolean AND / OR / phrase /
+    prefix / fuzzy top-10) against the warm in-memory index
+  * pipeline ops: minhash+LSH near-dup pass and brute-force ANN top-10
+Extras: docs_per_sec for the fused build, scaling efficiency pointer
+(BENCH/BASELINE.md holds the N vs 4N evidence).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,7 +34,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
 
+    from pyspark.sql import functions as F
+
     from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+    from clucene_spark.pipeline.ann import cosine_topk
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs, with_planted_dups
     from clucene_spark.search.engine import (
         MUST,
         SHOULD,
@@ -40,21 +50,44 @@ def main() -> None:
         Searcher,
         TermQuery,
     )
+    from clucene_spark.search.wand import wand_query
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
+    # warm python workers (imports + Arrow init) outside the measurement
+    spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
     timings: dict[str, float] = {}
 
+    # --- write path: fused segment build (docs/sec headline) ---
+    idx_dir = tempfile.mkdtemp(
+        prefix="bench_idx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    build_segments_fused(
+        docs, idx_dir, docs_per_segment=max(256, n_docs // 64), analyzer="whitespace"
+    )
+    t1 = time.perf_counter()
+    timings["seg_build_fused"] = round(t1 - t0, 4)
+    store = SegmentStore(spark, idx_dir)
+
+    # --- WAND over the on-disk segments ---
+    t0 = time.perf_counter()
+    wand_query(store, ["spark", "vector", "window"], k=10).collect()
+    timings["wand_or"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    wand_query(store, ["spark", "join"], k=10, mode="AND").collect()
+    timings["wand_and"] = round(time.perf_counter() - t0, 4)
+
+    # --- relational engine (warm cached index) ---
     index = InvertedIndex(docs).cache()
-    # force materialization of all cached index tables
     index.postings.count()
     index.doc_lens.count()
     index.term_dict.count()
-    t1 = time.perf_counter()
-    timings["index_build"] = round(t1 - t0, 4)
-
     searcher = Searcher(index)
 
     headline = {
@@ -75,15 +108,28 @@ def main() -> None:
         searcher.topk(q, 10).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # --- pipeline ops ---
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(with_planted_dups(docs.select("doc_id", "text"))).count()
+    timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 4)
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in vecs.first()["embedding"]]
+    t0 = time.perf_counter()
+    cosine_topk(vecs, qv, k=10).collect()
+    timings["ann_cosine_topk"] = round(time.perf_counter() - t0, 4)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     out = {
-        "metric": "index_build_plus_topk_latency",
+        "metric": "seg_build_plus_topk_latency",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
         "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / timings["index_build"], 2),
+        "docs_per_sec": round(n_docs / timings["seg_build_fused"], 2),
     }
     print(json.dumps(out))
 
