@@ -25,7 +25,10 @@ from clucene_spark.search.engine import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstantScoreQuery,
+    FilteredQuery,
     FuzzyQuery,
+    MatchAllQuery,
     PhraseQuery,
     PrefixQuery,
     RangeQuery,
@@ -210,6 +213,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "range_topk": lambda spark, sf: _searcher(spark, sf).topk(
             RangeQuery(lower="sm", upper="st", inclusive=True), 10, round_to=4
+        ),
+        "phrase_sloppy_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            PhraseQuery(terms=["key", "value"], slop=2), 10, round_to=4
+        ),
+        "boosted_or_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            BooleanQuery()
+            .add(TermQuery(term="spark", boost=2.0), SHOULD)
+            .add(TermQuery(term="join"), SHOULD),
+            10,
+            round_to=4,
+        ),
+        "matchall_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            MatchAllQuery(), 10, round_to=4
+        ),
+        "constant_score_filter": lambda spark, sf: _searcher(spark, sf).topk(
+            ConstantScoreQuery(boost=2.5, predicate=F.col("source") == "src3"),
+            10,
+            round_to=4,
+        ),
+        "filtered_term_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            FilteredQuery(
+                query=TermQuery(term="spark"),
+                predicate=(F.col("n_chars") >= 100) & (F.col("n_chars") <= 300),
+            ),
+            10,
+            round_to=4,
+        ),
+        "sort_by_field": lambda spark, sf: _searcher(spark, sf).topk_sorted(
+            TermQuery(term="spark"), "n_chars", ascending=False, k=10
         ),
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
         "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
@@ -606,6 +638,59 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM bm25 WHERE term >= 'sm' AND term <= 'st'
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "phrase_sloppy_topk": _PRELUDE
+        + """
+, p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'key' GROUP BY doc_id)
+, p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'value' GROUP BY doc_id)
+, pf AS (
+    SELECT p0.doc_id,
+           list_sum(list_transform(p0.ps, a ->
+             coalesce(list_max(list_transform(list_filter(p1.ps, b -> abs(b - a - 1) <= 2),
+                                              b -> 1.0 / (abs(b - a - 1) + 1))), 0.0))) AS pfreq
+    FROM p0 JOIN p1 USING (doc_id))
+, idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value'))
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "boosted_or_topk": _PRELUDE
+        + """
+SELECT doc_id,
+       ROUND(SUM(sc * CASE term WHEN 'spark' THEN 2.0 ELSE 1.0 END), 4) AS score
+FROM bm25 WHERE term IN ('spark', 'join')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "matchall_topk": _PRELUDE
+        + """
+SELECT doc_id, 1.0 AS score FROM doc_lens
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "constant_score_filter": """
+SELECT doc_id, 2.5 AS score FROM documents WHERE source = 'src3'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "filtered_term_topk": _PRELUDE
+        + """
+SELECT b.doc_id, ROUND(SUM(b.sc), 4) AS score
+FROM bm25 b
+WHERE b.term = 'spark'
+  AND b.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300)
+GROUP BY b.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "sort_by_field": _PRELUDE
+        + """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
 """,
         "parsed_and_topk": _PRELUDE
         + """

@@ -113,6 +113,26 @@ class MatchAllQuery(Query):
 
 
 @dataclass
+class ConstantScoreQuery(Query):
+    """Uniform score = boost for every doc matching a docs-table predicate —
+    the ConstantScoreRangeQuery pattern (reference
+    search/ConstantScoreQuery.cpp:24-120): a filter promoted to a query so
+    multi-term expansion never blows the clause limit."""
+    predicate: Optional[object] = None  # pyspark Column over the docs table
+
+
+@dataclass
+class FilteredQuery(Query):
+    """query ∧ docs-subset filter (reference Filter/RangeFilter/QueryFilter,
+    search/RangeFilter.cpp:66-140, applied as a bitset AND during collection
+    IndexSearcher.cpp:90-106). The filter is a predicate over docs-table
+    columns; scores come from the wrapped query only — in Spark this is a
+    left-semi join against the filtered doc set."""
+    query: Optional[Query] = None
+    predicate: Optional[object] = None
+
+
+@dataclass
 class BooleanClause:
     query: Query = None
     occur: str = SHOULD
@@ -177,6 +197,24 @@ class Searcher:
         self.n_docs = int(row["n"])
         self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
         self._df_cache: dict[str, int] = {}
+        self._norms_df: Optional[DataFrame] = None
+
+    def _lnorm(self, df: DataFrame) -> tuple[DataFrame, "F.Column"]:
+        """Length-norm column for classic scoring. Exact 1/sqrt(dl) by
+        default; norm_bytes=True round-trips the reference's lossy 8-bit
+        codec (Similarity.cpp:99-160) via a broadcast (dl -> decoded norm)
+        join, because ranks diverge from the reference unless the norm is
+        quantized identically."""
+        if not self.norm_bytes:
+            return df, 1.0 / F.sqrt(F.col("dl"))
+        if self._norms_df is None:
+            dls = [r["dl"] for r in self.index.doc_lens.select("dl").distinct().collect()]
+            rows = [(int(dl), float(sim.decode_norm(sim.encode_norm(int(dl))))) for dl in dls]
+            spark = self.index.doc_lens.sparkSession
+            self._norms_df = F.broadcast(
+                spark.createDataFrame(rows, "dl long, lnorm double")
+            )
+        return df.join(self._norms_df, "dl"), F.col("lnorm")
 
     # -- statistics ---------------------------------------------------------
 
@@ -209,6 +247,8 @@ class Searcher:
         elif isinstance(query, BooleanQuery):
             for c in query.clauses:
                 out.extend(self._collect_terms(c.query))
+        elif isinstance(query, FilteredQuery):
+            out.extend(self._collect_terms(query.query))
         return out
 
     def _idf(self, df: int) -> float:
@@ -229,10 +269,11 @@ class Searcher:
                 * F.lit(boost)
             )
         else:
+            p, lnorm = self._lnorm(p)
             score = (
                 sim.classic_tf(F.col("tf"))
                 * F.lit(idf * idf * boost * query_norm)
-                * (1.0 / F.sqrt(F.col("dl")))
+                * lnorm
             )
         return p.select("doc_id", score.alias("score"))
 
@@ -347,10 +388,11 @@ class Searcher:
                 * F.lit(query.boost)
             )
         else:
+            scored, lnorm = self._lnorm(scored)
             score = (
                 F.sqrt(F.col("pfreq"))
                 * F.lit(idf_sum * idf_sum * query.boost * query_norm)
-                * (1.0 / F.sqrt(F.col("dl")))
+                * lnorm
             )
         return scored.select("doc_id", score.alias("score"))
 
@@ -382,9 +424,33 @@ class Searcher:
             return self.index.doc_lens.select(
                 "doc_id", (F.lit(1.0) * query.boost).alias("score")
             )
+        if isinstance(query, ConstantScoreQuery):
+            matched = self.index.docs.filter(query.predicate).select("doc_id")
+            return matched.select("doc_id", F.lit(float(query.boost)).alias("score"))
+        if isinstance(query, FilteredQuery):
+            scores = self.score(query.query, query_norm)
+            allowed = self.index.docs.filter(query.predicate).select("doc_id")
+            return scores.join(allowed, "doc_id", "left_semi")
         if isinstance(query, BooleanQuery):
             return self._score_boolean(query, query_norm)
         raise TypeError(f"unknown query type: {type(query)}")
+
+    def topk_sorted(
+        self,
+        query: Query,
+        sort_col: str,
+        ascending: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k by a stored-field sort instead of relevance — the
+        IndexSearcher::_search(..., Sort) path (reference
+        IndexSearcher.cpp:267-310, FieldSortedHitQueue). The sort key comes
+        straight from the docs table (the FieldCache un-inversion is free:
+        we kept the forward data as columns); tiebreak doc_id ASC."""
+        matched = self.score(query).select("doc_id")
+        rows = matched.join(self.index.docs, "doc_id").select("doc_id", sort_col)
+        order = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+        return rows.orderBy(order, F.col("doc_id").asc()).limit(k)
 
     def _score_boolean(self, query: BooleanQuery, query_norm: float = 1.0) -> DataFrame:
         """Union + groupBy plan: one shuffle for the whole boolean level.
@@ -467,6 +533,8 @@ class Searcher:
                 for c in q.clauses:
                     if c.occur != MUST_NOT:
                         walk(c.query, b)
+            elif isinstance(q, FilteredQuery):
+                walk(q.query, b)  # filters don't contribute weight
 
         walk(query, 1.0)
         term_list = [t for t, _ in leaves if not t.startswith("\0PHRASE\0")]

@@ -45,9 +45,16 @@ class PyIndex:
 
 
 class PySearcher:
-    def __init__(self, index: PyIndex, similarity: str = "bm25"):
+    def __init__(self, index: PyIndex, similarity: str = "bm25",
+                 norm_bytes: bool = False):
         self.ix = index
         self.similarity = similarity
+        self.norm_bytes = norm_bytes
+
+    def _lnorm(self, dl: int) -> float:
+        if self.norm_bytes:
+            return sim.decode_norm(sim.encode_norm(dl))
+        return 1.0 / math.sqrt(dl)
 
     def _idf(self, df: int) -> float:
         if self.similarity == "bm25":
@@ -67,7 +74,7 @@ class PySearcher:
                 ) * boost
             else:
                 out[doc] = (
-                    math.sqrt(tf) * idf * idf * boost * query_norm / math.sqrt(dl)
+                    math.sqrt(tf) * idf * idf * boost * query_norm * self._lnorm(dl)
                 )
         return out
 

@@ -49,3 +49,49 @@ def test_classic_math():
     assert sim.classic_idf_py(0, 1000) == math.log(1000.0) + 1.0
     assert sim.classic_tf_py(4) == 2.0
     assert sim.classic_query_norm_py(4.0) == 0.5
+
+
+def test_byte_norm_codec_roundtrip_monotone():
+    """The 8-bit norm codec (Similarity.cpp:99-160): decode(encode(x)) is a
+    lossy but monotone quantization, and known fixed points hold."""
+    from clucene_spark.search.similarity import (
+        decode_norm,
+        encode_norm,
+        _byte_to_float,
+        _float_to_byte,
+    )
+
+    assert _float_to_byte(0.0) == 0
+    assert _byte_to_float(0) == 0.0
+    assert abs(_byte_to_float(_float_to_byte(1.0)) - 1.0) < 1e-6
+    prev = None
+    for dl in [1, 2, 3, 5, 10, 50, 100, 1000, 10_000]:
+        n = decode_norm(encode_norm(dl))
+        assert 0.0 < n <= 1.0
+        if prev is not None:
+            assert n <= prev  # longer doc -> smaller norm
+        prev = n
+
+
+def test_classic_byte_norm_rank_parity(spark, sf_dir, docs_rows):
+    """Spark classic scoring with norm_bytes=True is rank-identical to the
+    python oracle using the same lossy codec."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import Searcher, TermQuery
+
+    from .oracle import PyIndex, PySearcher, topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = InvertedIndex(docs)
+    s = Searcher(index, similarity="classic", norm_bytes=True)
+    py = PySearcher(PyIndex(docs_rows), similarity="classic", norm_bytes=True)
+    from clucene_spark.search import similarity as simm
+
+    for term in ["spark", "table", "the"]:
+        got = [(r["doc_id"], r["score"])
+               for r in s.topk(TermQuery(term=term), 10, round_to=4).collect()]
+        idf = simm.classic_idf_py(py.ix.df(term), py.ix.n_docs)
+        qn = simm.classic_query_norm_py(idf * idf)
+        want = [(d, round(v, 4))
+                for d, v in topk(py.term_scores(term, query_norm=qn), 10)]
+        assert got == want, term
