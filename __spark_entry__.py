@@ -250,6 +250,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_nested_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("window OR (spark AND join)"), 10, round_to=4
         ),
+        "parsed_sloppy_phrase_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse('"key value"~2'), 10, round_to=4
+        ),
+        "parsed_boost_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("spark^2 OR join"), 10, round_to=4
+        ),
+        "parsed_range_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("[sm TO st]"), 10, round_to=4
+        ),
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         "wand_or_topk": lambda spark, sf: __import__(
@@ -546,7 +555,7 @@ _TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "term_topk_bm25": _bm25_topk_sql(["spark"]),
         "term_topk_classic": _PRELUDE
         + """
@@ -825,3 +834,9 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
     }
+    # parsed-path queries produce identical results to their programmatic
+    # twins — same oracle SQL
+    d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]
+    d["parsed_boost_topk"] = d["boosted_or_topk"]
+    d["parsed_range_topk"] = d["range_topk"]
+    return d

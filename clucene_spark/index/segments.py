@@ -149,6 +149,35 @@ def _ckpt_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "checkpoints")
 
 
+def _resume_done_ids(index_dir: str, docs_per_segment: int) -> set[int]:
+    """Checkpointed segment ids safe to skip on resume.
+
+    The highest checkpointed range is only skipped when provably FULL
+    (max_doc == range end): a previous run may have checkpointed a partial
+    tail (input ended mid-range), and an append with more docs in that
+    range must rebuild it or silently lose documents. The partial tail's
+    checkpoint + segment dir are removed so the rebuild is idempotent.
+    Input contract: a resumed/appended run's input is a superset of the
+    previous run's (doc ranges are immutable once full)."""
+    import shutil
+
+    cks = read_checkpoints(index_dir)
+    if not cks:
+        return set()
+    done = {c["segment_id"] for c in cks}
+    tail = max(cks, key=lambda c: c["segment_id"])
+    range_end = (tail["segment_id"] + 1) * docs_per_segment - 1
+    if tail["max_doc"] < range_end:
+        done.discard(tail["segment_id"])
+        os.remove(
+            os.path.join(_ckpt_dir(index_dir), f"part_{tail['segment_id']:08d}.json")
+        )
+        shutil.rmtree(
+            os.path.join(index_dir, "segments", tail["segment"]), ignore_errors=True
+        )
+    return done
+
+
 def read_checkpoints(index_dir: str) -> list[dict]:
     cdir = _ckpt_dir(index_dir)
     if not os.path.isdir(cdir):
@@ -196,7 +225,7 @@ def build_segments(
 
     done_ids = set()
     if resume:
-        done_ids = {c["segment_id"] for c in read_checkpoints(index_dir)}
+        done_ids = _resume_done_ids(index_dir, docs_per_segment)
 
     seg_col = F.floor(F.col("doc_id") / F.lit(docs_per_segment)).alias("segment_id")
     tok = tokens.withColumn("segment_id", seg_col)
@@ -345,7 +374,7 @@ def build_segments_fused(
 
     done_ids = set()
     if resume:
-        done_ids = {c["segment_id"] for c in read_checkpoints(index_dir)}
+        done_ids = _resume_done_ids(index_dir, docs_per_segment)
 
     src = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),

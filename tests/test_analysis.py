@@ -168,3 +168,67 @@ def test_fast_path_examples():
         ("x3", 1, 3, 5, "<ALPHANUM>"),
         ("abc", 2, 6, 9, "<ALPHANUM>"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# analyzer family (Analyzers.cpp) — token goldens per TestAnalyzers.cpp
+# ---------------------------------------------------------------------------
+
+from clucene_spark.analysis.analyzers import (
+    PerFieldAnalyzer,
+    accent_filter,
+    iso_latin1_accent_fold,
+    keyword_analyze,
+    length_filter,
+    simple_analyze,
+    stop_analyze,
+    whitespace_analyze,
+)
+
+
+def test_whitespace_analyzer_golden():
+    # TestAnalyzers.cpp whitespace cases: splits, case preserved
+    got = [(t, p, s, e) for t, p, s, e in whitespace_analyze("FOO bar  Baz-2 ")]
+    assert got == [("FOO", 0, 0, 3), ("bar", 1, 4, 7), ("Baz-2", 2, 9, 14)]
+
+
+def test_simple_analyzer_golden():
+    # letter runs only, lowercased: "foo2bar" -> foo, bar
+    assert [t for t, *_ in simple_analyze("Foo2Bar baz's")] == ["foo", "bar", "baz", "s"]
+    assert [t for t, *_ in simple_analyze("U.S.A.")] == ["u", "s", "a"]
+
+
+def test_stop_analyzer_drops_stopwords_dense_positions():
+    got = stop_analyze("the quick and the dead")
+    assert [(t, p) for t, p, *_ in got] == [("quick", 0), ("dead", 1)]
+
+
+def test_keyword_analyzer_single_token():
+    assert keyword_analyze("Hello World!") == [("Hello World!", 0, 0, 12)]
+    assert keyword_analyze("") == []
+
+
+def test_length_filter():
+    toks = whitespace_analyze("a bb ccc dddd")
+    kept = [t for t, *_ in length_filter(toks, 2, 3)]
+    assert kept == ["bb", "ccc"]
+
+
+def test_iso_latin1_accent_fold_golden():
+    # reference switch cases (Analyzers.cpp:371-507)
+    assert iso_latin1_accent_fold("été") == "ete"          # été
+    assert iso_latin1_accent_fold("Æon") == "AEon"              # Æon
+    assert iso_latin1_accent_fold("straße") == "strasse"        # straße
+    assert iso_latin1_accent_fold("Œuvre") == "OEuvre"          # Œuvre
+    assert iso_latin1_accent_fold("Ðþ") == "Dth"           # Ðþ
+    assert iso_latin1_accent_fold("naïve") == "naive"
+    assert iso_latin1_accent_fold("plain") == "plain"
+    got = accent_filter(whitespace_analyze("déjà vu"))
+    assert [t for t, *_ in got] == ["deja", "vu"]
+
+
+def test_per_field_analyzer_dispatch():
+    pfa = PerFieldAnalyzer(default="standard", overrides={"url": "keyword", "tags": "simple"})
+    assert pfa.for_field("url")("A B") == [("A B", 0, 0, 3)]
+    assert [t for t, *_ in pfa.for_field("tags")("Big-Data")] == ["big", "data"]
+    assert [t for t, *_ in pfa.for_field("text")("The Quick FOX")] == ["quick", "fox"]

@@ -120,3 +120,39 @@ def test_add_indexes_rebase(spark, tmp_path):
     lo = [i for i in ids if i < base]
     hi = [i - base for i in ids if i >= base]
     assert lo == hi
+
+
+def test_incremental_append_then_compact(spark, tmp_path):
+    """The LSM lifecycle end-to-end: index the first half, append the
+    second half (resume skips the checkpointed ranges), compact, and the
+    result is query-identical to a one-shot full build."""
+    from clucene_spark.index.segments import build_segments_fused
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") < 250)
+
+    d_inc = str(tmp_path / "inc")
+    d_full = str(tmp_path / "full")
+    first = build_segments_fused(half1, d_inc, docs_per_segment=64)
+    n_first = first.count()
+    assert n_first >= 3
+    # append: same call over the FULL corpus — checkpointed ranges skip
+    second = build_segments_fused(docs, d_inc, docs_per_segment=64)
+    assert second.count() >= 3
+    # the partial tail range (192-255, previously checkpointed only up to
+    # 249) is rebuilt; fully-checkpointed ranges below it are skipped
+    assert all(r["min_doc"] >= 192 for r in second.collect())
+    maybe_merge(spark, d_inc, merge_factor=4)
+
+    build_segments_fused(docs, d_full, docs_per_segment=64)
+    s_inc = SegmentStore(spark, d_inc)
+    s_full = SegmentStore(spark, d_full)
+    assert s_inc.stats() == s_full.stats()
+    td_i = {r["term"]: (r["df"], r["cf"]) for r in s_inc.term_dict().collect()}
+    td_f = {r["term"]: (r["df"], r["cf"]) for r in s_full.term_dict().collect()}
+    assert td_i == td_f
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query(s_inc, ["spark", "table"], k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in wand_query(s_full, ["spark", "table"], k=10).collect()]
+    assert got == want

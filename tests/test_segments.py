@@ -85,9 +85,16 @@ def test_resume_skips_completed_segments(spark, index, tmp_path):
     first = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
     n_first = first.count()
     assert n_first >= 2
-    # re-run: everything checkpointed -> nothing rebuilt, manifest advances
+    # re-run: full ranges are skipped; only the PARTIAL tail range (the
+    # corpus ends mid-range) is conservatively rebuilt — an appended run
+    # with more docs in that range must not lose them
     second = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
-    assert second.count() == 0
+    rebuilt = second.collect()
+    assert len(rebuilt) <= 1
+    if rebuilt:
+        assert rebuilt[0]["segment_id"] == max(
+            c["segment_id"] for c in read_checkpoints(d)
+        )
     assert read_manifest(d)["generation"] == 1
     assert len(read_manifest(d)["segments"]) == n_first
     # drop one checkpoint + segment -> exactly that range is rebuilt
@@ -99,7 +106,9 @@ def test_resume_skips_completed_segments(spark, index, tmp_path):
     os.remove(os.path.join(d, "checkpoints", victim))
     shutil.rmtree(os.path.join(d, "segments", seg_name))
     third = build_segments(index.tokens, index.doc_lens, d, docs_per_segment=16)
-    assert third.count() == 1
+    rebuilt_ids = {r["segment_id"] for r in third.collect()}
+    assert 0 in rebuilt_ids  # the dropped range was rebuilt
+    assert len(rebuilt_ids) <= 2  # plus (at most) the always-open partial tail
     assert len(read_manifest(d)["segments"]) == n_first
     # full logical equality after resume
     store = SegmentStore(spark, d)
