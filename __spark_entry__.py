@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_merged_topk": lambda spark, sf: __import__(
             "clucene_spark.search.wand", fromlist=["wand_query"]
         ).wand_query(_store(spark, sf, compacted=True), ["spark", "vector", "window"], k=10),
+        "wand_delete_topk": _q_wand_delete,
         # --- index-build aggregations (SURVEY §2b: term dict, norms) ---
         "term_dict": lambda spark, sf: _index(spark, sf).term_dict.orderBy("term"),
         "doc_lens": lambda spark, sf: _index(spark, sf).doc_lens.orderBy("doc_id"),
@@ -311,6 +312,35 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _vecs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_wand_delete(spark, sf):
+    """deleteDocuments filtering through the WAND path: a dedicated store
+    with docs 10/20/30 deleted; stats keep counting them until purge
+    (Lucene docFreq model), so the oracle only filters candidates."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_fused,
+        delete_docs,
+    )
+    from clucene_spark.search.wand import wand_query
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_del"
+    try:
+        store = SegmentStore(spark, d)
+    except FileNotFoundError:
+        build_segments_fused(
+            _docs(spark, sf).select("doc_id", "text"), d,
+            docs_per_segment=256, analyzer="whitespace",
+        )
+        store = SegmentStore(spark, d)
+    delete_docs(d, [10, 20, 30])  # idempotent (set union)
+    store = SegmentStore(spark, d)
+    return wand_query(store, ["spark", "vector", "window"], k=10)
 
 
 def _q_dedup_exact(spark, sf):
@@ -734,6 +764,14 @@ HAVING count(*) = 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "wand_merged_topk": _bm25_topk_sql(["spark", "vector", "window"]),
+        "wand_delete_topk": _PRELUDE
+        + """
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25
+WHERE term IN ('spark', 'vector', 'window') AND doc_id NOT IN (10, 20, 30)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "term_dict": _PRELUDE
         + "SELECT term, df, cf FROM term_dict ORDER BY term",
         "doc_lens": _PRELUDE

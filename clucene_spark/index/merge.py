@@ -42,8 +42,10 @@ from clucene_spark.index.codec import (
     vbyte_decode,
 )
 from clucene_spark.index.segments import (
+    clear_deletes,
     commit_manifest,
     gc_segments,
+    read_deletes,
     read_manifest,
 )
 
@@ -104,6 +106,11 @@ def merge_segments(
     posts = spark.read.parquet(*post_paths)
     wp = with_positions
     base = int(doc_base)
+    # merge physically purges buffered deletions from the segments it
+    # rewrites (SegmentMerger skips deleted docs, SegmentMerger.cpp merge
+    # loop); the deletes file stays until optimize() has rewritten ALL
+    # segments, after which surviving entries are no-ops anyway.
+    deleted = np.array(sorted(read_deletes(index_dir)), dtype=np.int64)
     out_dir = os.path.join(tmp_root, "postings.parquet")
 
     n_part = max(2, spark.sparkContext.defaultParallelism // 2)
@@ -143,11 +150,15 @@ def merge_segments(
             tfs = np.concatenate(tfs_list)
             dls = np.concatenate(dls_list)
             order = np.argsort(docs, kind="stable")
+            if deleted.size:
+                order = order[~np.isin(docs[order], deleted)]
+                if not order.size:
+                    continue
             poss = [pos_list[i] for i in order] if wp and pos_list else None
             enc = encode_postings(docs[order], tfs[order], dls[order], poss)
             rows.append(
                 (
-                    term, enc["df"], int(tfs.sum()),
+                    term, enc["df"], int(tfs[order].sum()),
                     enc["doc_blob"], enc["tf_blob"], enc["dl_blob"],
                     enc["pos_blob"] if wp else None,
                     enc["blk_min_doc"].tolist(), enc["blk_max_doc"].tolist(),
@@ -176,10 +187,18 @@ def merge_segments(
         F.sum("n_terms").alias("n_terms"), F.sum("n_postings").alias("n_postings")
     ).collect()[0]
 
-    # merged doc_lens: executor-written union (rebased if foreign)
+    # merged doc_lens: executor-written union (rebased if foreign, purged
+    # of deletions via anti-join — never a driver-side isin list)
     dl_all = spark.read.parquet(*dl_paths)
     if base:
         dl_all = dl_all.select((F.col("doc_id") + base).alias("doc_id"), "dl")
+    n_docs_merged = None
+    if deleted.size:
+        del_df = spark.createDataFrame(
+            [(int(x),) for x in deleted], "doc_id long"
+        )
+        dl_all = dl_all.join(F.broadcast(del_df), "doc_id", "left_anti")
+        n_docs_merged = dl_all.count()
     dl_all.repartitionByRange(max(1, n_part // 4), "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(os.path.join(tmp_root, "doc_lens.parquet"))
@@ -196,7 +215,8 @@ def merge_segments(
         "name": new_name,
         "min_doc": min(s["min_doc"] for s in gone) + base,
         "max_doc": max(s["max_doc"] for s in gone) + base,
-        "n_docs": sum(s["n_docs"] for s in gone),
+        "n_docs": n_docs_merged if n_docs_merged is not None
+        else sum(s["n_docs"] for s in gone),
         "n_tokens": sum(s["n_tokens"] for s in gone),
         "n_terms": int(stats["n_terms"]),
     }
@@ -229,9 +249,12 @@ def optimize(spark: SparkSession, index_dir: str) -> str:
     reference IndexWriter.cpp:802-874)."""
     manifest = read_manifest(index_dir)
     names = [s["name"] for s in manifest["segments"]]
-    if len(names) == 1:
+    if len(names) == 1 and not read_deletes(index_dir):
         return names[0]
-    return merge_segments(spark, index_dir, names)
+    out = merge_segments(spark, index_dir, names)
+    # every live segment was rewritten -> all buffered deletes are purged
+    clear_deletes(index_dir)
+    return out
 
 
 def add_indexes(

@@ -537,6 +537,45 @@ def build_segments_fused(
 
 
 # ---------------------------------------------------------------------------
+# deletes (the .del sidecar — reference IndexReader.h:631, applied during
+# posting iteration SegmentTermDocs.cpp:98-100)
+# ---------------------------------------------------------------------------
+
+def _deletes_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes.json")
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Buffer doc-id deletions (IndexWriter::deleteDocuments analogue,
+    reference IndexWriter.cpp:702-733). Deletions FILTER query results
+    immediately; postings are physically purged at the next merge touching
+    their segment (exactly the reference's apply-at-flush/merge model).
+    Corpus statistics (df, avgdl) intentionally keep counting deleted docs
+    until purge — same as Lucene's docFreq over un-merged deletes."""
+    cur = set(read_deletes(index_dir))
+    cur.update(int(d) for d in doc_ids)
+    tmp = _deletes_path(index_dir) + "." + uuid.uuid4().hex + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cur), f)
+    os.rename(tmp, _deletes_path(index_dir))
+    return len(cur)
+
+
+def read_deletes(index_dir: str) -> list[int]:
+    p = _deletes_path(index_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def clear_deletes(index_dir: str) -> None:
+    p = _deletes_path(index_dir)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+# ---------------------------------------------------------------------------
 # segment reader
 # ---------------------------------------------------------------------------
 
@@ -583,3 +622,7 @@ class SegmentStore:
         return self.postings().groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         )
+
+    def deleted_ids(self) -> set[int]:
+        """Buffered deletions (the .del bitset analogue)."""
+        return set(read_deletes(self.index_dir))

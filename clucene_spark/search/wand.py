@@ -105,6 +105,7 @@ def wand_topk_segment(
     avgdl: float,
     k: int,
     required: int = 1,
+    deleted: frozenset = frozenset(),
 ) -> list[tuple[int, float]]:
     """Doc-at-a-time block-max WAND over one segment's cursors.
 
@@ -171,7 +172,9 @@ def wand_topk_segment(
                     matched += 1
                     score += _bm25(float(c.tfs[c.i]), float(c.dls[c.i]), c.idf, avgdl)
                     c.i += 1
-            if matched >= required:
+            # deletions filter results without touching statistics — the
+            # .del check during posting iteration (SegmentTermDocs.cpp:98-100)
+            if matched >= required and pivot_doc not in deleted:
                 push(pivot_doc, score)
         else:
             # advance the lagging cursors up to the pivot document
@@ -206,6 +209,7 @@ def wand_query(
     required = len(terms) if mode == "AND" else 1
     if (mode == "AND" and len(live_terms) < len(terms)) or not live_terms:
         return store.spark.createDataFrame([], HIT_SCHEMA)
+    deleted = frozenset(store.deleted_ids())
 
     def _wand_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = []
@@ -222,7 +226,7 @@ def wand_query(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        hits = wand_topk_segment(cursors, avgdl, k, required)
+        hits = wand_topk_segment(cursors, avgdl, k, required, deleted)
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
         ).astype({"doc_id": "int64", "score": "float64"})

@@ -156,3 +156,40 @@ def test_incremental_append_then_compact(spark, tmp_path):
     want = [(r["doc_id"], r["score"])
             for r in wand_query(s_full, ["spark", "table"], k=10).collect()]
     assert got == want
+
+
+def test_delete_then_purge_on_optimize(spark, tmp_path):
+    """deleteDocuments semantics: results filtered immediately; postings
+    physically purged at merge; deletes cleared after optimize."""
+    from clucene_spark.index.segments import (
+        build_segments_fused,
+        delete_docs,
+        read_deletes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "del_idx")
+    build_segments_fused(docs, d, docs_per_segment=64)
+    store = SegmentStore(spark, d)
+
+    before = [r["doc_id"] for r in wand_query(store, ["spark"], k=5).collect()]
+    assert before
+    victim = before[0]
+    delete_docs(d, [victim])
+
+    store = SegmentStore(spark, d)
+    after = [r["doc_id"] for r in wand_query(store, ["spark"], k=5).collect()]
+    assert victim not in after
+    # stats still count the deleted doc until purge (Lucene docFreq model)
+    n_before, _ = store.stats()
+    assert n_before == 500
+
+    optimize(spark, d)
+    assert read_deletes(d) == []  # purged
+    store = SegmentStore(spark, d)
+    n_after, _ = store.stats()
+    assert n_after == 499
+    purged = [r["doc_id"] for r in wand_query(store, ["spark"], k=5).collect()]
+    assert victim not in purged
+    # doc really gone from postings, not just filtered
+    assert store.doc_lens().filter(F.col("doc_id") == victim).count() == 0
