@@ -214,6 +214,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_topk": lambda spark, sf: _searcher(spark, sf).topk(
             RangeQuery(lower="sm", upper="st", inclusive=True), 10, round_to=4
         ),
+        "multi_phrase_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            __import__("clucene_spark.search.engine", fromlist=["MultiPhraseQuery"])
+            .MultiPhraseQuery(slots=[["key", "hash"], ["value"]]),
+            10,
+            round_to=4,
+        ),
+        "explain_term": lambda spark, sf: _searcher(spark, sf)
+        .explain(TermQuery(term="spark"))
+        .select(
+            "doc_id", "tf", "dl",
+            F.round("idf", 4).alias("idf"),
+            F.round("tf_norm", 4).alias("tf_norm"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("doc_id"),
         "phrase_sloppy_topk": lambda spark, sf: _searcher(spark, sf).topk(
             PhraseQuery(terms=["key", "value"], slop=2), 10, round_to=4
         ),
@@ -677,6 +692,42 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM bm25 WHERE term >= 'sm' AND term <= 'st'
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "multi_phrase_topk": _PRELUDE
+        + """
+, s0 AS (
+    SELECT doc_id, list(pos ORDER BY pos) AS ps
+    FROM (SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ('key', 'hash'))
+    GROUP BY doc_id)
+, s1 AS (
+    SELECT doc_id, list(pos ORDER BY pos) AS ps
+    FROM (SELECT DISTINCT doc_id, pos FROM tok WHERE term = 'value')
+    GROUP BY doc_id)
+, pf AS (
+    SELECT s0.doc_id,
+           len(list_filter(s0.ps, a -> list_contains(s1.ps, a + 1))) AS pfreq
+    FROM s0 JOIN s1 USING (doc_id))
+, idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'hash', 'value'))
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "explain_term": _PRELUDE
+        + """
+SELECT p.doc_id, p.tf, d.dl,
+       ROUND(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)), 4) AS idf,
+       ROUND((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 4) AS tf_norm,
+       ROUND(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 4) AS score
+FROM postings p
+JOIN term_dict t USING (term) JOIN doc_lens d USING (doc_id) CROSS JOIN stats s
+WHERE p.term = 'spark'
+ORDER BY doc_id
 """,
         "phrase_sloppy_topk": _PRELUDE
         + """

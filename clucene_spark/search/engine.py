@@ -107,6 +107,22 @@ class RangeQuery(Query):
 
 
 @dataclass
+class MultiPhraseQuery(Query):
+    """Phrase with term ALTERNATIVES per slot (reference
+    search/MultiPhraseQuery.cpp, MultipleTermPositions.cpp: per-slot
+    posting lists are PQ-unioned before the position check). slots is a
+    list of term lists; a doc matches when some position p has, for every
+    slot i, (p + i) among that slot's union of positions."""
+    slots: list = field(default_factory=list)
+
+    def __str__(self) -> str:
+        body = " ".join(
+            s[0] if len(s) == 1 else "(" + "|".join(s) + ")" for s in self.slots
+        )
+        return _boosted(f'"{body}"', self.boost)
+
+
+@dataclass
 class MatchAllQuery(Query):
     def __str__(self) -> str:
         return _boosted("*:*", self.boost)
@@ -160,6 +176,12 @@ class BooleanQuery(Query):
 
 def _boosted(s: str, boost: float) -> str:
     return s if boost == 1.0 else f"{s}^{boost:g}"
+
+
+def _shift(offset: int):
+    """1-arg lambda for F.transform (a 2-arg lambda would bind arg2 to the
+    ARRAY INDEX, silently corrupting position math)."""
+    return lambda x: x - F.lit(offset)
 
 
 def _wildcard_to_regex(pattern: str) -> str:
@@ -249,6 +271,9 @@ class Searcher:
                 out.extend(self._collect_terms(c.query))
         elif isinstance(query, FilteredQuery):
             out.extend(self._collect_terms(query.query))
+        elif isinstance(query, MultiPhraseQuery):
+            for slot in query.slots:
+                out.extend(slot)
         return out
 
     def _idf(self, df: int) -> float:
@@ -396,6 +421,49 @@ class Searcher:
             )
         return scored.select("doc_id", score.alias("score"))
 
+    def _score_multi_phrase(self, query: MultiPhraseQuery) -> DataFrame:
+        """Union each slot's alternatives' positions per doc, then the same
+        shifted-intersection alignment as the exact phrase. idf sums over
+        ALL terms in all slots (MultiPhraseWeight's sumOfSquaredWeights)."""
+        all_terms = [t for slot in query.slots for t in slot]
+        dfs = self.doc_freqs(all_terms)
+        slot_dfs = []
+        for i, slot in enumerate(query.slots):
+            if all(dfs[t] == 0 for t in slot):
+                return self._empty_scores()
+            p = (
+                self.index.postings.filter(F.col("term").isin(slot))
+                .select("doc_id", F.explode("positions").alias("p"))
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_set("p")).alias(f"pos{i}"))
+            )
+            slot_dfs.append(p)
+        joined = slot_dfs[0]
+        for p in slot_dfs[1:]:
+            joined = joined.join(p, "doc_id")
+        aligned = F.col("pos0")
+        for i in range(1, len(query.slots)):
+            aligned = F.array_intersect(
+                aligned, F.transform(F.col(f"pos{i}"), _shift(i))
+            )
+        idf_sum = sum(self._idf(dfs[t]) for t in all_terms if dfs[t] > 0)
+        scored = joined.withColumn("pfreq", F.size(aligned)).filter(F.col("pfreq") > 0)
+        scored = scored.join(self.index.doc_lens, "doc_id")
+        if self.similarity == "bm25":
+            score = (
+                F.lit(idf_sum)
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
+                * F.lit(query.boost)
+            )
+        else:
+            scored, lnorm = self._lnorm(scored)
+            score = (
+                F.sqrt(F.col("pfreq"))
+                * F.lit(idf_sum * idf_sum * query.boost)
+                * lnorm
+            )
+        return scored.select("doc_id", score.alias("score"))
+
     def _empty_scores(self) -> DataFrame:
         return (
             self.index.doc_lens.sparkSession.createDataFrame(
@@ -418,6 +486,8 @@ class Searcher:
             if len(query.terms) == 1:
                 return self.score(TermQuery(boost=query.boost, term=query.terms[0]), query_norm)
             return self._score_phrase(query, query_norm)
+        if isinstance(query, MultiPhraseQuery):
+            return self._score_multi_phrase(query)
         if isinstance(query, (PrefixQuery, WildcardQuery, FuzzyQuery, RangeQuery)):
             return self._score_multiterm(query)
         if isinstance(query, MatchAllQuery):
@@ -434,6 +504,36 @@ class Searcher:
         if isinstance(query, BooleanQuery):
             return self._score_boolean(query, query_norm)
         raise TypeError(f"unknown query type: {type(query)}")
+
+    def explain(self, query: TermQuery) -> DataFrame:
+        """Score-component breakdown for a term query — the Explanation
+        tree (reference search/Explanation.cpp, TermWeight::explain at
+        TermQuery.cpp:150+) as columns. Invariant (TestExplanations): the
+        product of the components equals score()."""
+        df = self.doc_freqs([query.term])[query.term]
+        idf = self._idf(df)
+        p = self.index.postings.filter(F.col("term") == query.term).join(
+            self.index.doc_lens, "doc_id"
+        )
+        if self.similarity == "bm25":
+            tf_comp = sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(self.avgdl))
+            return p.select(
+                "doc_id", "tf", "dl",
+                F.lit(idf).alias("idf"),
+                tf_comp.alias("tf_norm"),
+                F.lit(query.boost).alias("boost"),
+                (F.lit(idf) * tf_comp * query.boost).alias("score"),
+            )
+        qn = self.query_norm_for(query)
+        p, lnorm = self._lnorm(p)
+        return p.select(
+            "doc_id", "tf", "dl",
+            F.lit(idf * idf * qn).alias("weight"),  # idf² · queryNorm
+            F.sqrt("tf").alias("tf_sqrt"),
+            lnorm.alias("length_norm"),
+            F.lit(query.boost).alias("boost"),
+            (F.sqrt("tf") * F.lit(idf * idf * qn * query.boost) * lnorm).alias("score"),
+        )
 
     def topk_sorted(
         self,

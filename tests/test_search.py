@@ -203,3 +203,48 @@ def test_query_tostring():
     assert str(q) == '+spark "data stream"~2 -vector^2'
     assert str(WildcardQuery(pattern="s?a*")) == "s?a*"
     assert str(RangeQuery(lower="a", upper="b", inclusive=False)) == "{a TO b}"
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery + Explanation invariants
+# ---------------------------------------------------------------------------
+
+def test_multi_phrase_degenerates_to_exact_phrase(spark, index):
+    from clucene_spark.search.engine import MultiPhraseQuery, PhraseQuery, Searcher
+
+    s = Searcher(index)
+    mp = [(r["doc_id"], r["score"]) for r in
+          s.topk(MultiPhraseQuery(slots=[["key"], ["value"]]), 10, round_to=4).collect()]
+    ph = [(r["doc_id"], r["score"]) for r in
+          s.topk(PhraseQuery(terms=["key", "value"]), 10, round_to=4).collect()]
+    assert mp == ph
+
+
+def test_multi_phrase_union_superset(spark, index):
+    from clucene_spark.search.engine import MultiPhraseQuery, Searcher
+
+    s = Searcher(index)
+    narrow = {r["doc_id"] for r in
+              s.score(MultiPhraseQuery(slots=[["key"], ["value"]])).collect()}
+    wide = {r["doc_id"] for r in
+            s.score(MultiPhraseQuery(slots=[["key", "hash"], ["value"]])).collect()}
+    assert narrow <= wide
+
+
+def test_explanation_value_equals_score(spark, index):
+    """TestExplanations invariant: component product == score, both sims."""
+    from clucene_spark.search.engine import Searcher, TermQuery
+
+    for simname in ("bm25", "classic"):
+        s = Searcher(index, similarity=simname)
+        q = TermQuery(term="spark")
+        exp = {r["doc_id"]: r for r in s.explain(q).collect()}
+        scores = {r["doc_id"]: r["score"] for r in s.score(q, s.query_norm_for(q)).collect()}
+        assert set(exp) == set(scores)
+        for doc, e in exp.items():
+            assert abs(e["score"] - scores[doc]) < 1e-9
+            if simname == "bm25":
+                prod = e["idf"] * e["tf_norm"] * e["boost"]
+            else:
+                prod = e["weight"] * e["tf_sqrt"] * e["length_norm"] * e["boost"]
+            assert abs(prod - e["score"]) < 1e-9
