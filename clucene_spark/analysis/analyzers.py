@@ -85,6 +85,41 @@ def keyword_analyze(text: str) -> list[tuple[str, int, int, int]]:
     return [(text, 0, 0, len(text))] if text else []
 
 
+def cjk_bigram_analyze(text: str) -> list[tuple[str, int, int, int]]:
+    """CJK overlapping bigrams, non-CJK alnum runs lowercased — the contrib
+    CJKAnalyzer behaviour (src/contribs-lib/CLucene/analysis/cjk/
+    CJKAnalyzer.cpp): a run of N CJK chars yields N-1 bigrams (a single
+    isolated CJK char yields itself)."""
+    from clucene_spark.analysis.standard import _is_cjk
+
+    out = []
+    pos = 0
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if _is_cjk(c):
+            s = i
+            while i < n and _is_cjk(text[i]):
+                i += 1
+            run = text[s:i]
+            if len(run) == 1:
+                out.append((run, pos, s, s + 1))
+                pos += 1
+            else:
+                for j in range(len(run) - 1):
+                    out.append((run[j : j + 2], pos, s + j, s + j + 2))
+                    pos += 1
+        elif c.isalnum():
+            s = i
+            while i < n and text[i].isalnum() and not _is_cjk(text[i]):
+                i += 1
+            out.append((text[s:i].lower(), pos, s, i))
+            pos += 1
+        else:
+            i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # filters
 # ---------------------------------------------------------------------------

@@ -181,6 +181,11 @@ def merge_segments(
                 pa.Table.from_pandas(out, preserve_index=False),
                 os.path.join(out_dir, f"part_{part_id:05d}.parquet"),
             )
+            from clucene_spark.index.segments import _write_term_index
+
+            _write_term_index(
+                tmp_root, out["term"], part_file=f"part_{part_id:05d}.parquet"
+            )
         yield pd.DataFrame({"n_terms": [len(rows)], "n_postings": [n_postings]})
 
     stats = ranged.mapInPandas(_merge_part, stat_schema).agg(

@@ -43,7 +43,47 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from clucene_spark.index.codec import encode_postings_frame
+from clucene_spark.index.codec import (
+    TERM_INDEX_INTERVAL,
+    encode_postings_frame,
+    encode_term_block,
+)
+
+
+def _write_term_index(dir_path: str, terms, part_file: str | None = None) -> None:
+    """Write the segment's prefix-compressed term dictionary blocks — the
+    .tis layout with every TERM_INDEX_INTERVAL-th term promoted to an
+    in-RAM index row (.tii, reference TermInfosWriter.cpp:167-241). One row
+    per 128-term block: (block_id, first_term, n_terms, blob); a reader
+    binary-searches first_term then decodes <=interval terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    terms = list(terms)
+    rows = []
+    for b in range(0, len(terms), TERM_INDEX_INTERVAL):
+        chunk = terms[b : b + TERM_INDEX_INTERVAL]
+        rows.append(
+            (
+                b // TERM_INDEX_INTERVAL,
+                chunk[0],
+                len(chunk),
+                encode_term_block(chunk),
+            )
+        )
+    tab = pa.table(
+        {
+            "block_id": pa.array([r[0] for r in rows], pa.int32()),
+            "first_term": pa.array([r[1] for r in rows], pa.string()),
+            "n_terms": pa.array([r[2] for r in rows], pa.int32()),
+            "blob": pa.array([r[3] for r in rows], pa.binary()),
+        }
+    )
+    if part_file is None:
+        pq.write_table(tab, os.path.join(dir_path, "term_index.parquet"))
+    else:  # merged segments: one part per reducer (disjoint term ranges)
+        os.makedirs(os.path.join(dir_path, "term_index.parquet"), exist_ok=True)
+        pq.write_table(tab, os.path.join(dir_path, "term_index.parquet", part_file))
 
 SEGMENT_SCHEMA = T.StructType(
     [
@@ -301,6 +341,8 @@ def build_segments(
             pa.Table.from_pandas(dl_pdf, preserve_index=False),
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
+        if len(seg_pdf):
+            _write_term_index(tmp_path, seg_pdf["term"])
         os.rename(tmp_path, seg_path)  # atomic publish of the segment dir
 
         ck = {
@@ -497,6 +539,8 @@ def build_segments_fused(
             pa.Table.from_pandas(dl_pdf, preserve_index=False),
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
+        if len(seg_pdf):
+            _write_term_index(tmp_path, seg_pdf["term"])
         os.rename(tmp_path, seg_path)
 
         ck = {
@@ -626,3 +670,19 @@ class SegmentStore:
     def deleted_ids(self) -> set[int]:
         """Buffered deletions (the .del bitset analogue)."""
         return set(read_deletes(self.index_dir))
+
+
+def read_term_index(index_dir: str, segment: str) -> list[str]:
+    """Decode a segment's prefix-compressed term dictionary back to the
+    full sorted term list (reader side of _write_term_index)."""
+    import pyarrow.parquet as pq
+
+    from clucene_spark.index.codec import decode_term_block
+
+    tab = pq.read_table(os.path.join(index_dir, "segments", segment, "term_index.parquet"))
+    out: list[str] = []
+    # first_term order is the global block order (block_id restarts per
+    # reducer part in merged segments; term ranges across parts are disjoint)
+    for blob in tab.sort_by("first_term")["blob"].to_pylist():
+        out.extend(decode_term_block(bytes(blob)))
+    return out

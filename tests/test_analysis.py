@@ -232,3 +232,55 @@ def test_per_field_analyzer_dispatch():
     assert pfa.for_field("url")("A B") == [("A B", 0, 0, 3)]
     assert [t for t, *_ in pfa.for_field("tags")("Big-Data")] == ["big", "data"]
     assert [t for t, *_ in pfa.for_field("text")("The Quick FOX")] == ["quick", "fox"]
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (contrib PorterStemmer.cpp) — classic published pairs
+# ---------------------------------------------------------------------------
+
+def test_porter_stemmer_classic_pairs():
+    from clucene_spark.analysis.porter import porter_stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun", "activate": "activ",
+        "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+        "rate": "rate", "controlling": "control", "rolling": "roll",
+    }
+    for word, want in pairs.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_porter_analyze_chain():
+    from clucene_spark.analysis.porter import porter_analyze
+
+    got = [t for t, *_ in porter_analyze("The Motoring caresses were effective")]
+    assert got == ["motor", "caress", "were", "effect"]
+
+
+def test_cjk_bigram_analyzer():
+    from clucene_spark.analysis.analyzers import cjk_bigram_analyze
+
+    got = [(t, p) for t, p, *_ in cjk_bigram_analyze("Hello 你好世界 OK 中 x")]
+    assert got == [
+        ("hello", 0),
+        ("你好", 1), ("好世", 2), ("世界", 3),
+        ("ok", 4), ("中", 5), ("x", 6),
+    ]
+    # offsets cover the source slice
+    toks = cjk_bigram_analyze("你好")
+    assert toks == [("你好", 0, 0, 2)]

@@ -99,6 +99,12 @@ def test_optimize_to_single_segment(spark, built):
     assert store.term_dict().count() == index.term_dict.count()
     n, avg = store.stats()
     assert n == index.doc_lens.count()
+    # merged segment's prefix-compressed term dictionary round-trips
+    from clucene_spark.index.segments import read_term_index
+
+    seg = m["segments"][0]["name"]
+    want = sorted(r["term"] for r in index.term_dict.collect())
+    assert read_term_index(d, seg) == want
 
 
 def test_add_indexes_rebase(spark, tmp_path):

@@ -225,3 +225,22 @@ def test_fused_build_equals_relational(spark, tmp_path):
     want = [(r["doc_id"], r["score"])
             for r in wand_query(s_rel, ["spark", "table"], k=10).collect()]
     assert got == want
+
+
+def test_term_index_blocks_roundtrip(spark, store):
+    """Each segment's prefix-compressed .tis/.tii analogue decodes back to
+    exactly the sorted term column of its postings file."""
+    from clucene_spark.index.segments import read_term_index
+
+    segs = {r["segment"] for r in store.postings().select("segment").distinct().collect()}
+    assert segs
+    for seg in segs:
+        want = [
+            r["term"]
+            for r in store.postings()
+            .filter(F.col("segment") == seg)
+            .orderBy("term")
+            .select("term")
+            .collect()
+        ]
+        assert read_term_index(store.index_dir, seg) == want
