@@ -19,7 +19,10 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # respect a master provided by spark-submit (exported as $MASTER
+        # for python drivers) before falling back to local[$SPARK_GRAFT_CPUS]
+        master = os.environ.get("MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus if cpus.isdigit() else 32)
     builder = (
         SparkSession.builder.master(master)
