@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy_topk": lambda spark, sf: _searcher(spark, sf).topk(
             PhraseQuery(terms=["key", "value"], slop=2), 10, round_to=4
         ),
+        "phrase_sloppy3_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            PhraseQuery(terms=["key", "value", "table"], slop=4), 10, round_to=4
+        ),
         "boosted_or_topk": lambda spark, sf: _searcher(spark, sf).topk(
             BooleanQuery()
             .add(TermQuery(term="spark", boost=2.0), SHOULD)
@@ -288,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_delete_topk": _q_wand_delete,
         # --- index-build aggregations (SURVEY §2b: term dict, norms) ---
         "term_dict": lambda spark, sf: _index(spark, sf).term_dict.orderBy("term"),
+        "term_dict_salted": lambda spark, sf: __import__(
+            "clucene_spark.index.build", fromlist=["salted_term_dict"]
+        ).salted_term_dict(_index(spark, sf).tokens, n_salts=16).orderBy("term"),
         "doc_lens": lambda spark, sf: _index(spark, sf).doc_lens.orderBy("doc_id"),
         "corpus_stats": lambda spark, sf: _index(spark, sf).doc_lens.agg(
             F.count("*").alias("n_docs"), F.round(F.avg("dl"), 4).alias("avgdl")
@@ -749,6 +755,30 @@ FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
 WHERE p.pfreq > 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        "phrase_sloppy3_topk": _PRELUDE
+        + """
+, p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'key' GROUP BY doc_id)
+, p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'value' GROUP BY doc_id)
+, p2 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'table' GROUP BY doc_id)
+, pf AS (
+    SELECT p0.doc_id,
+           list_sum(list_transform(p0.ps, a ->
+             CASE WHEN (list_min(list_transform(p1.ps, q -> abs(q - a - 1)))
+                      + list_min(list_transform(p2.ps, q -> abs(q - a - 2)))) <= 4
+                  THEN 1.0 / ((list_min(list_transform(p1.ps, q -> abs(q - a - 1)))
+                             + list_min(list_transform(p2.ps, q -> abs(q - a - 2)))) + 1)
+                  ELSE 0.0 END)) AS pfreq
+    FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id))
+, idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value', 'table'))
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "boosted_or_topk": _PRELUDE
         + """
 SELECT doc_id,
@@ -928,4 +958,6 @@ FROM documents ORDER BY doc_id
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]
     d["parsed_boost_topk"] = d["boosted_or_topk"]
     d["parsed_range_topk"] = d["range_topk"]
+    # the exact two-level salted aggregation must equal the plain term dict
+    d["term_dict_salted"] = d["term_dict"]
     return d

@@ -389,20 +389,24 @@ class Searcher:
                     aligned, F.transform(F.col(f"pos{i}"), _shift_by(i))
                 )
             freq = F.size(aligned)
-        elif len(terms) == 2:
-            # sloppyFreq = Σ over left positions of 1/(best_distance+1) within
-            # slop (best = closest alignment). Same 1/(d+1) payoff as the
-            # reference (Similarity.cpp:223-225); alignment enumeration is a
-            # simplified per-left-position best-match rather than the full
+        else:
+            # sloppyFreq = Σ over anchor positions p0 of 1/(D+1), where D is
+            # the total displacement of the best alignment anchored at p0:
+            # D = Σ_i min_q |q - p0 - i| over term i's positions, kept only
+            # when D <= slop. Same 1/(d+1) payoff as the reference
+            # (Similarity.cpp:223-225); alignment enumeration is a
+            # simplified per-anchor best-match rather than the full
             # repeating-terms window walk of SloppyPhraseScorer.cpp.
             slop = query.slop
+            d_expr = " + ".join(
+                f"array_min(transform(pos{i}, q -> abs(q - p0 - {i})))"
+                for i in range(1, len(terms))
+            )
             freq = F.expr(
                 "aggregate(pos0, cast(0.0 as double), (acc, p0) -> acc + "
-                "coalesce(array_max(transform(filter(pos1, p1 -> abs(p1 - p0 - 1) <= "
-                f"{slop}), p1 -> 1.0 / (abs(p1 - p0 - 1) + 1))), cast(0.0 as double)))"
+                f"(CASE WHEN ({d_expr}) <= {slop} "
+                f"THEN 1.0 / (({d_expr}) + 1) ELSE 0.0D END))"
             )
-        else:
-            raise NotImplementedError("sloppy phrases with >2 terms: use WAND path")
         idf_sum = sum(self._idf(dfs[t]) for t in terms)
         scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)
         scored = scored.join(self.index.doc_lens, "doc_id")
