@@ -1,0 +1,87 @@
+"""Physical-plan quality gates (.explain-driven).
+
+The scale story depends on specific plan shapes, so we pin them:
+  * term predicates PUSH DOWN into the parquet scans (postings + docs) —
+    the two-level term-dictionary behaviour (row-group pruning stands in
+    for the .tii binary search);
+  * top-k compiles to TakeOrderedAndProject (per-partition bounded PQ +
+    driver merge — the MultiSearcher scatter-gather for free);
+  * the fused build plan contains exactly ONE exchange (the segment
+    grouping) — no hidden extra shuffles creep in.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    build_segments_fused(docs, d, docs_per_segment=128, analyzer="whitespace")
+    return SegmentStore(spark, d)
+
+
+def test_term_filter_pushed_to_postings_scan(store):
+    df = store.postings().filter(F.col("term") == "spark").select("term", "df")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,spark)" in plan
+
+
+def test_docs_filter_pushed_and_columns_pruned(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.filter(F.col("lang") == "en").select("doc_id")
+    plan = _plan(df)
+    assert "EqualTo(lang,en)" in plan
+    # column pruning: the scan must not read `text` (the wide column)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema and "text" not in scan_schema[0]
+
+
+def test_topk_plan_is_take_ordered(spark):
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import Searcher, TermQuery
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = Searcher(InvertedIndex(docs))
+    plan = _plan(s.topk(TermQuery(term="spark"), 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fused_build_single_exchange(spark):
+    """The fused build's lineage has exactly one Exchange (segment
+    grouping); tokenize work lives inside the same python stage."""
+    from clucene_spark.index.segments import CHECKPOINT_SCHEMA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = docs.select("doc_id", "text").withColumn(
+        "segment_id", F.floor(F.col("doc_id") / 128)
+    )
+    import pandas as pd
+
+    def nop(key, pdf):
+        return pd.DataFrame(
+            [{f.name: (0 if f.dataType.typeName() != "string" else "x")
+              for f in CHECKPOINT_SCHEMA.fields}]
+        )
+
+    out = src.groupBy("segment_id").applyInPandas(nop, CHECKPOINT_SCHEMA)
+    plan = _plan(out)
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan
