@@ -656,10 +656,33 @@ class SegmentStore:
         return self.spark.read.parquet(*paths)
 
     def stats(self) -> tuple[int, float]:
-        row = self.doc_lens().agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        return int(row["n"]), float(row["avgdl"] or 1.0)
+        """(n_docs, avgdl), memoized — an open IndexReader computes corpus
+        stats once, not per query."""
+        if getattr(self, "_stats", None) is None:
+            row = self.doc_lens().agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            self._stats = (int(row["n"]), float(row["avgdl"] or 1.0))
+        return self._stats
+
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term, memoized per store (the hot-term dictionary
+        cache; one small aggregation per cold term batch)."""
+        if not hasattr(self, "_df_cache"):
+            self._df_cache: dict[str, int] = {}
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.postings()
+                .filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def term_dict(self) -> DataFrame:
         """Global (term, df, cf) — sums the per-segment dictionaries."""
@@ -670,6 +693,20 @@ class SegmentStore:
     def deleted_ids(self) -> set[int]:
         """Buffered deletions (the .del bitset analogue)."""
         return set(read_deletes(self.index_dir))
+
+    def dataset(self, segment: str):
+        """Memoized pyarrow dataset handle for a segment's postings file —
+        an open IndexReader keeps per-segment readers open instead of
+        re-parsing parquet footers per query."""
+        if not hasattr(self, "_ds_cache"):
+            self._ds_cache = {}
+        if segment not in self._ds_cache:
+            import pyarrow.dataset as pa_ds
+
+            self._ds_cache[segment] = pa_ds.dataset(
+                os.path.join(self.index_dir, "segments", segment, "postings.parquet")
+            )
+        return self._ds_cache[segment]
 
 
 def read_term_index(index_dir: str, segment: str) -> list[str]:

@@ -244,3 +244,38 @@ def test_term_index_blocks_roundtrip(spark, store):
             .collect()
         ]
         assert read_term_index(store.index_dir, seg) == want
+
+
+@pytest.mark.parametrize("terms", QUERY_SETS[:5], ids=["-".join(t) for t in QUERY_SETS[:5]])
+def test_wand_direct_rank_identical(store, searcher, terms):
+    from clucene_spark.search.wand import wand_query_direct
+
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query_direct(store, terms, k=10).collect()]
+    assert got == _naive_or(searcher, terms)
+
+
+def test_wand_direct_and_mode(store, searcher):
+    from clucene_spark.search.wand import wand_query_direct
+
+    terms = ["spark", "join"]
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query_direct(store, terms, k=10, mode="AND").collect()]
+    assert got == _naive_and(searcher, terms)
+
+
+@pytest.mark.parametrize("terms", QUERY_SETS[:5], ids=["-".join(t) for t in QUERY_SETS[:5]])
+def test_taat_rank_identical(store, searcher, terms):
+    """vectorized TAAT == python BMW == naive Spark scorer."""
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query(store, terms, k=10, algo="taat").collect()]
+    bmw = [(r["doc_id"], r["score"])
+           for r in wand_query(store, terms, k=10, algo="wand").collect()]
+    assert got == bmw == _naive_or(searcher, terms)
+
+
+@pytest.mark.parametrize("terms", QUERY_SETS[:4], ids=["-".join(t) for t in QUERY_SETS[:4]])
+def test_wand_local_rank_identical(store, searcher, terms):
+    from clucene_spark.search.wand import wand_query_local
+
+    assert wand_query_local(store, terms, k=10) == _naive_or(searcher, terms)
