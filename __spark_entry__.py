@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": lambda spark, sf: _searcher(spark, sf).topk_sorted(
             TermQuery(term="spark"), "n_chars", ascending=False, k=10
         ),
+        "span_near_topk": _q_span_near,
+        "span_first_topk": _q_span_first,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
         "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("spark AND join"), 10, round_to=4
@@ -333,6 +335,32 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _vecs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+_SPAN_CACHE: dict[str, object] = {}
+
+
+def _span_searcher(spark, sf):
+    from clucene_spark.search.spans import SpanSearcher
+
+    if sf not in _SPAN_CACHE:
+        _SPAN_CACHE[sf] = SpanSearcher(_index(spark, sf))
+    return _SPAN_CACHE[sf]
+
+
+def _q_span_near(spark, sf):
+    from clucene_spark.search.spans import SpanNear, SpanTerm
+
+    q = SpanNear([SpanTerm("key"), SpanTerm("value")], slop=3, in_order=True)
+    return _span_searcher(spark, sf).topk(q, 10, round_to=4)
+
+
+def _q_span_first(spark, sf):
+    from clucene_spark.search.spans import SpanFirst, SpanTerm
+
+    return _span_searcher(spark, sf).topk(
+        SpanFirst(SpanTerm("spark"), end=10), 10, round_to=4
+    )
 
 
 def _q_wand_delete(spark, sf):
@@ -811,6 +839,38 @@ SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
+        "span_near_topk": _PRELUDE
+        + """
+, sp AS (
+    SELECT DISTINCT a.doc_id, a.pos AS s0, b.pos AS s1
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+    WHERE a.term = 'key' AND b.term = 'value'
+      AND a.pos + 1 <= b.pos AND (b.pos - a.pos - 1) <= 3)
+, pf AS (SELECT doc_id, SUM(1.0 / (s1 - s0)) AS pfreq FROM sp GROUP BY doc_id)
+, idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value'))
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "span_first_topk": _PRELUDE
+        + """
+, pf AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    FROM tok WHERE term = 'spark' AND pos + 1 <= 10
+    GROUP BY doc_id)
+, idf AS (
+    SELECT ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf_sum,
+           s.avgdl AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term = 'spark')
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "parsed_and_topk": _PRELUDE
         + """

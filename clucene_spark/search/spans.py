@@ -1,0 +1,211 @@
+"""Span queries: position-interval algebra over the token table.
+
+The reference's span family (src/core/CLucene/search/spans/*, ~2200 LoC:
+SpanTermQuery, SpanFirstQuery, SpanNearQuery with slop+inOrder via
+NearSpansOrdered/Unordered, SpanNotQuery, SpanOrQuery) restated as
+DataFrame algebra: a *span stream* is a DataFrame (doc_id, s, e) of
+half-open position intervals [s, e), and every composite is a join/union
+on doc_id with interval arithmetic — exactly the shape Catalyst optimizes.
+
+Scoring follows the span-scorer model: freq(doc) = Σ over matching spans
+of sloppy_freq(matchLength) with matchLength = (e - s) - width_min (the
+positions "wasted" beyond the tightest possible match), payoff
+1/(matchLength + 1) (Similarity::sloppyFreq, Similarity.cpp:223-225), then
+the standard BM25/classic tf pipeline — mirroring SpanWeight/SpanScorer.
+
+Span streams compose arbitrarily: near(or(a,b), c), not(near(...), d), …
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from clucene_spark.index.build import InvertedIndex
+from clucene_spark.search import similarity as sim
+
+
+# ---------------------------------------------------------------------------
+# span query AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SpanQuery:
+    pass
+
+
+@dataclass
+class SpanTerm(SpanQuery):
+    term: str = ""
+
+
+@dataclass
+class SpanFirst(SpanQuery):
+    """Matches spans of `query` ending at position <= n (SpanFirstQuery)."""
+    query: Optional[SpanQuery] = None
+    end: int = 0
+
+
+@dataclass
+class SpanNear(SpanQuery):
+    """All clause spans within `slop` unmatched positions, optionally in
+    order (SpanNearQuery.h:34-37). Composite span = [min s, max e)."""
+    clauses: list = field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass
+class SpanOr(SpanQuery):
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
+class SpanNot(SpanQuery):
+    """Spans of `include` that do NOT overlap any span of `exclude`."""
+    include: Optional[SpanQuery] = None
+    exclude: Optional[SpanQuery] = None
+
+
+# ---------------------------------------------------------------------------
+# compiler: SpanQuery -> DataFrame (doc_id, s, e)
+# ---------------------------------------------------------------------------
+
+class SpanSearcher:
+    def __init__(self, index: InvertedIndex, similarity: str = "bm25"):
+        self.index = index
+        self.similarity = similarity
+        row = index.doc_lens.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        self.n_docs = int(row["n"])
+        self.avgdl = float(row["avgdl"] or 1.0)
+
+    def spans(self, q: SpanQuery) -> DataFrame:
+        """Compile to the (doc_id, s, e) span stream."""
+        if isinstance(q, SpanTerm):
+            return (
+                self.index.postings.filter(F.col("term") == q.term)
+                .select("doc_id", F.explode("positions").alias("s"))
+                .select("doc_id", "s", (F.col("s") + 1).alias("e"))
+            )
+        if isinstance(q, SpanFirst):
+            return self.spans(q.query).filter(F.col("e") <= q.end)
+        if isinstance(q, SpanOr):
+            out = None
+            for c in q.clauses:
+                df = self.spans(c)
+                out = df if out is None else out.unionByName(df)
+            return out.distinct()
+        if isinstance(q, SpanNot):
+            inc = self.spans(q.include)
+            exc = self.spans(q.exclude).select(
+                "doc_id", F.col("s").alias("xs"), F.col("e").alias("xe")
+            )
+            overlap = (F.col("s") < F.col("xe")) & (F.col("xs") < F.col("e"))
+            bad = inc.join(exc, "doc_id").filter(overlap).select("doc_id", "s", "e")
+            return inc.join(bad, ["doc_id", "s", "e"], "left_anti")
+        if isinstance(q, SpanNear):
+            return self._near(q)
+        raise TypeError(f"unknown span query: {type(q)}")
+
+    def _near(self, q: SpanNear) -> DataFrame:
+        """n-way near: join clause span streams on doc_id, keep tuples whose
+        composite width minus the sum of clause widths <= slop; ordered mode
+        additionally requires clause i to end before clause i+1 starts
+        (NearSpansOrdered semantics)."""
+        dfs = []
+        for i, c in enumerate(q.clauses):
+            dfs.append(
+                self.spans(c).select(
+                    "doc_id", F.col("s").alias(f"s{i}"), F.col("e").alias(f"e{i}")
+                )
+            )
+        joined = dfs[0]
+        for df in dfs[1:]:
+            joined = joined.join(df, "doc_id")
+        n = len(q.clauses)
+        comp_s = F.least(*[F.col(f"s{i}") for i in range(n)])
+        comp_e = F.greatest(*[F.col(f"e{i}") for i in range(n)])
+        widths = None
+        for i in range(n):
+            w = F.col(f"e{i}") - F.col(f"s{i}")
+            widths = w if widths is None else widths + w
+        slack = (comp_e - comp_s) - widths
+        cond = slack <= q.slop
+        if q.in_order:
+            for i in range(n - 1):
+                cond = cond & (F.col(f"e{i}") <= F.col(f"s{i+1}"))
+        return (
+            joined.filter(cond)
+            .select("doc_id", comp_s.alias("s"), comp_e.alias("e"))
+            .distinct()
+        )
+
+    # -- scoring ------------------------------------------------------------
+
+    def _width_min(self, q: SpanQuery) -> int:
+        """Tightest possible composite width (sum of leaf widths)."""
+        if isinstance(q, SpanTerm):
+            return 1
+        if isinstance(q, SpanFirst):
+            return self._width_min(q.query)
+        if isinstance(q, SpanOr):
+            return min(self._width_min(c) for c in q.clauses)
+        if isinstance(q, SpanNot):
+            return self._width_min(q.include)
+        if isinstance(q, SpanNear):
+            return sum(self._width_min(c) for c in q.clauses)
+        raise TypeError(type(q))
+
+    def _collect_terms(self, q: SpanQuery) -> list[str]:
+        if isinstance(q, SpanTerm):
+            return [q.term]
+        if isinstance(q, SpanFirst):
+            return self._collect_terms(q.query)
+        if isinstance(q, (SpanOr,)):
+            return [t for c in q.clauses for t in self._collect_terms(c)]
+        if isinstance(q, SpanNot):
+            return self._collect_terms(q.include)  # exclude doesn't weigh
+        if isinstance(q, SpanNear):
+            return [t for c in q.clauses for t in self._collect_terms(c)]
+        raise TypeError(type(q))
+
+    def score(self, q: SpanQuery) -> DataFrame:
+        """(doc_id, score): sloppyFreq over spans -> tf pipeline (the
+        SpanWeight/SpanScorer path)."""
+        wmin = self._width_min(q)
+        payoff = 1.0 / ((F.col("e") - F.col("s")) - F.lit(wmin) + 1.0)
+        freqs = self.spans(q).groupBy("doc_id").agg(F.sum(payoff).alias("pfreq"))
+        terms = sorted(set(self._collect_terms(q)))
+        td = {
+            r["term"]: int(r["df"])
+            for r in self.index.term_dict.filter(F.col("term").isin(terms)).collect()
+        }
+        if self.similarity == "bm25":
+            idf_sum = sum(
+                sim.bm25_idf_py(td[t], self.n_docs) for t in terms if t in td
+            )
+            scored = freqs.join(self.index.doc_lens, "doc_id")
+            score = F.lit(idf_sum) * sim.bm25_tf(
+                F.col("pfreq"), F.col("dl"), F.lit(self.avgdl)
+            )
+        else:
+            idf_sum = sum(
+                sim.classic_idf_py(td[t], self.n_docs) for t in terms if t in td
+            )
+            scored = freqs.join(self.index.doc_lens, "doc_id")
+            score = (
+                F.sqrt(F.col("pfreq"))
+                * F.lit(idf_sum * idf_sum)
+                * (1.0 / F.sqrt(F.col("dl")))
+            )
+        return scored.select("doc_id", score.alias("score"))
+
+    def topk(self, q: SpanQuery, k: int = 10, round_to: int | None = None) -> DataFrame:
+        s = self.score(q)
+        if round_to is not None:
+            s = s.select("doc_id", F.round("score", round_to).alias("score"))
+        return s.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
