@@ -1,0 +1,64 @@
+"""Structured Streaming micro-batch ingestion into the segment store."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clucene_spark.index.segments import SegmentStore, build_segments_fused
+from clucene_spark.search.wand import wand_query_local
+from clucene_spark.streaming.ingest import stream_ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_ingest_matches_batch_build(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two arriving FILES (flat — the file source doesn't recurse) =
+    # two micro-batch candidates, range-ordered
+    import glob
+    import shutil
+
+    for i, cond in enumerate([F.col("doc_id") < 256, F.col("doc_id") >= 256]):
+        staging = str(tmp_path / f"stage{i}")
+        docs.filter(cond).coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, f"b{i}.parquet"))
+
+    d_stream = str(tmp_path / "stream_idx")
+    q = stream_ingest(
+        spark,
+        src,
+        d_stream,
+        docs_per_segment=128,
+        analyzer="standard",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.lastProgress is not None
+
+    d_batch = str(tmp_path / "batch_idx")
+    build_segments_fused(docs, d_batch, docs_per_segment=128, analyzer="standard")
+
+    s1 = SegmentStore(spark, d_stream)
+    s2 = SegmentStore(spark, d_batch)
+    assert s1.stats() == s2.stats()
+    td1 = {r["term"]: (r["df"], r["cf"]) for r in s1.term_dict().collect()}
+    td2 = {r["term"]: (r["df"], r["cf"]) for r in s2.term_dict().collect()}
+    assert td1 == td2
+    assert wand_query_local(s1, ["spark", "table"], k=10) == wand_query_local(
+        s2, ["spark", "table"], k=10
+    )
+
+    # restart with the same checkpoint: no new data -> no change
+    gen_before = s1.manifest["generation"]
+    stream_ingest(
+        spark, src, d_stream, docs_per_segment=128,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    s1b = SegmentStore(spark, d_stream)
+    assert s1b.stats() == s2.stats()
