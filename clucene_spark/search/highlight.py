@@ -1,0 +1,107 @@
+"""Highlighter: best-fragment extraction + term markup (contrib analogue).
+
+Reference: src/contribs-lib/CLucene/highlighter/ — Highlighter drives a
+Fragmenter (SimpleFragmenter: fixed ~N-char fragments) and a Scorer
+(QueryScorer: fragment score = Σ weights of query terms it contains,
+weight = idf-like per unique term) and a Formatter (SimpleHTMLFormatter:
+<B>term</B>). This restates that pipeline over our analyzer's token
+offsets; the Spark entry point is an Arrow-batched mapInPandas so
+highlighting a result page is one small python stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from clucene_spark.analysis.standard import standard_analyze
+
+
+def best_fragment(
+    text: str,
+    query_terms: list[str],
+    fragment_size: int = 100,
+    pre: str = "<b>",
+    post: str = "</b>",
+    term_weights: dict[str, float] | None = None,
+) -> tuple[str, float]:
+    """-> (highlighted best fragment, fragment score).
+
+    Fragments = consecutive token runs closed when the fragment exceeds
+    fragment_size chars (SimpleFragmenter.getNewFragment semantics);
+    fragment score = Σ tf-within-fragment × weight(term) over query terms
+    (QueryScorer with default weights = 1, or per-term idf if provided);
+    the best-scoring fragment's matched tokens are wrapped pre/post."""
+    qset = set(query_terms)
+    weights = term_weights or {}
+    toks = standard_analyze(text)
+
+    # split tokens into fragments by character budget
+    fragments: list[list[tuple]] = [[]]
+    frag_start = 0
+    for tok in toks:
+        term, pos, s, e, ty = tok
+        if fragments[-1] and (e - frag_start) > fragment_size:
+            fragments.append([])
+            frag_start = s
+        fragments[-1].append(tok)
+
+    def frag_score(frag) -> float:
+        return sum(weights.get(t[0], 1.0) for t in frag if t[0] in qset)
+
+    best = max(fragments, key=frag_score)
+    score = frag_score(best)
+    if not best:
+        return "", 0.0
+    lo = best[0][2]
+    hi = best[-1][3]
+    # wrap matches back-to-front so offsets stay valid
+    out = text[lo:hi]
+    for term, pos, s, e, ty in reversed(best):
+        if term in qset:
+            out = out[: s - lo] + pre + out[s - lo : e - lo] + post + out[e - lo :]
+    return out, float(score)
+
+
+HL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fragment", T.StringType(), False),
+        T.StructField("n_matches", T.DoubleType(), False),
+    ]
+)
+
+
+def highlight(
+    docs: DataFrame,
+    query_terms: list[str],
+    fragment_size: int = 100,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fragment, n_matches) for every doc — apply after a top-k
+    join so only the result page pays the python stage."""
+    terms = list(query_terms)
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frags, scores = [], []
+            for text in pdf["text"]:
+                f, s = best_fragment(text or "", terms, fragment_size)
+                frags.append(f)
+                scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fragment": frags,
+                    "n_matches": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(_batch, HL_SCHEMA)

@@ -248,3 +248,43 @@ def test_explanation_value_equals_score(spark, index):
             else:
                 prod = e["weight"] * e["tf_sqrt"] * e["length_norm"] * e["boost"]
             assert abs(prod - e["score"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Highlighter (contrib Highlighter/SimpleFragmenter/QueryScorer analogue)
+# ---------------------------------------------------------------------------
+
+def test_best_fragment_golden():
+    from clucene_spark.search.highlight import best_fragment
+
+    text = ("alpha beta gamma " * 10) + "needle in the haystack here " + ("x " * 50)
+    frag, score = best_fragment(text, ["needle", "haystack"], fragment_size=40)
+    assert "<b>needle</b>" in frag
+    assert "<b>haystack</b>" in frag
+    assert score == 2.0
+    # no matches -> some fragment, zero score
+    frag0, s0 = best_fragment("plain words only", ["zzz"])
+    assert s0 == 0.0
+
+
+def test_best_fragment_weights_pick_rarer_term():
+    from clucene_spark.search.highlight import best_fragment
+
+    text = "common common common . rare thing"
+    # weight the rare term higher: its fragment must win
+    frag, score = best_fragment(
+        text, ["common", "rare"], fragment_size=14,
+        term_weights={"common": 0.1, "rare": 5.0},
+    )
+    assert "<b>rare</b>" in frag
+
+
+def test_highlight_dataframe_stage(spark, index):
+    from clucene_spark.search.highlight import highlight
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    out = highlight(docs, ["spark", "table"], fragment_size=80).collect()
+    assert len(out) == 20
+    for r in out:
+        if r["n_matches"] > 0:
+            assert "<b>" in r["fragment"]
