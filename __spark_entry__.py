@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": lambda spark, sf: _searcher(spark, sf).topk_sorted(
             TermQuery(term="spark"), "n_chars", ascending=False, k=10
         ),
+        "numeric_range_encoded": _q_numeric_range_encoded,
         "span_near_topk": _q_span_near,
         "span_first_topk": _q_span_first,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
@@ -335,6 +336,24 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _vecs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_numeric_range_encoded(spark, sf):
+    """Range search over the NumberTools sortable encoding: the STRING
+    range [enc(100), enc(300)] must select exactly the docs with
+    100 <= n_chars <= 300 (order-preservation is the whole point of the
+    encoding; the oracle checks the numeric semantics directly)."""
+    from clucene_spark.document.tools import long_to_string, long_to_string_col
+
+    docs = _docs(spark, sf).withColumn(
+        "enc", long_to_string_col(F.col("n_chars"))
+    )
+    lo, hi = long_to_string(100), long_to_string(300)
+    return (
+        docs.filter((F.col("enc") >= lo) & (F.col("enc") <= hi))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 _SPAN_CACHE: dict[str, object] = {}
@@ -839,6 +858,11 @@ SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
+        "numeric_range_encoded": """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 300
+ORDER BY doc_id
 """,
         "span_near_topk": _PRELUDE
         + """
