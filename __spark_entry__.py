@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_range_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("[sm TO st]"), 10, round_to=4
         ),
+        "parsed_fielded_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("source:src3 AND spark"), 10, round_to=4
+        ),
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         "wand_or_topk": lambda spark, sf: __import__(
@@ -1037,6 +1040,16 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
     }
+    # fielded keyword clause (source:src3) contributes constant 1.0 and
+    # filters; the text clause contributes its bm25 score
+    d["parsed_fielded_topk"] = _PRELUDE + """
+SELECT b.doc_id, ROUND(SUM(b.sc) + 1.0, 4) AS score
+FROM bm25 b
+WHERE b.term = 'spark'
+  AND b.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+GROUP BY b.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # parsed-path queries produce identical results to their programmatic
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]

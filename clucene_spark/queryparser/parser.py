@@ -315,6 +315,12 @@ class QueryParser:
             word = t.text
             if word == "*" and t.field in (None, "*"):
                 return MatchAllQuery(boost=boost)
+            if field not in (None, self.default_field, "*"):
+                # fielded term over a non-default field = keyword column
+                # (per-field analyzer dispatch: keyword identity)
+                from clucene_spark.search.engine import KeywordQuery
+
+                return KeywordQuery(boost=boost, field=field, value=word)
             if t.fuzzy is not None:
                 return FuzzyQuery(
                     boost=boost, term=word.lower(),

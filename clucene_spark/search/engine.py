@@ -129,6 +129,20 @@ class MatchAllQuery(Query):
 
 
 @dataclass
+class KeywordQuery(Query):
+    """Fielded term over an UNTOKENIZED docs-table column (the
+    INDEX_UNTOKENIZED / KeywordAnalyzer field model, Field.h:53-82): the
+    whole value is one term, matched by equality on the column. Scores a
+    constant `boost` per match (documented simplification: keyword fields
+    carry filter semantics, not tf/idf)."""
+    field: str = ""
+    value: str = ""
+
+    def __str__(self) -> str:
+        return _boosted(f"{self.field}:{self.value}", self.boost)
+
+
+@dataclass
 class ConstantScoreQuery(Query):
     """Uniform score = boost for every doc matching a docs-table predicate —
     the ConstantScoreRangeQuery pattern (reference
@@ -500,6 +514,11 @@ class Searcher:
             )
         if isinstance(query, ConstantScoreQuery):
             matched = self.index.docs.filter(query.predicate).select("doc_id")
+            return matched.select("doc_id", F.lit(float(query.boost)).alias("score"))
+        if isinstance(query, KeywordQuery):
+            matched = self.index.docs.filter(
+                F.col(query.field) == query.value
+            ).select("doc_id")
             return matched.select("doc_id", F.lit(float(query.boost)).alias("score"))
         if isinstance(query, FilteredQuery):
             scores = self.score(query.query, query_norm)
