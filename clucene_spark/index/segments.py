@@ -619,6 +619,27 @@ def clear_deletes(index_dir: str) -> None:
         os.remove(p)
 
 
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    delete_ids,
+    docs_per_segment: int = 4096,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """updateDocument = delete + add (reference IndexWriter.cpp:702-733:
+    an update is a buffered delete of the old term plus an add of the new
+    document under a NEW internal docID). Here: delete_ids are filtered
+    from queries immediately (purged at merge), new_docs append as fresh
+    doc ranges — their doc_ids must be NEW (beyond existing ranges or in
+    untouched ranges), matching Lucene's new-docID semantics."""
+    delete_docs(index_dir, delete_ids)
+    return build_segments_fused(
+        new_docs, index_dir, docs_per_segment=docs_per_segment,
+        analyzer=analyzer, resume=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # segment reader
 # ---------------------------------------------------------------------------

@@ -199,3 +199,34 @@ def test_delete_then_purge_on_optimize(spark, tmp_path):
     assert victim not in purged
     # doc really gone from postings, not just filtered
     assert store.doc_lens().filter(F.col("doc_id") == victim).count() == 0
+
+
+def test_update_documents(spark, tmp_path):
+    """updateDocument = delete old + add new under a fresh doc_id."""
+    from pyspark.sql import functions as F2
+
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_fused,
+        update_documents,
+    )
+    from clucene_spark.search.wand import wand_query_local
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    d = str(tmp_path / "upd_idx")
+    build_segments_fused(docs, d, docs_per_segment=128, analyzer="whitespace")
+    store = SegmentStore(spark, d)
+    hits = wand_query_local(store, ["spark"], k=3)
+    victim = hits[0][0]
+
+    new_row = spark.createDataFrame(
+        [(10_000, "replacement text featuring spark spark spark")],
+        "doc_id long, text string",
+    )
+    update_documents(spark, d, new_row, [victim],
+                     docs_per_segment=128, analyzer="whitespace")
+    store = SegmentStore(spark, d)
+    after = wand_query_local(store, ["spark"], k=10)
+    ids = [h[0] for h in after]
+    assert victim not in ids
+    assert 10_000 in ids
