@@ -33,7 +33,6 @@ segment a term's postings are bounded by the segment's doc-range size
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 import uuid
