@@ -62,17 +62,34 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- write path: fused segment build (docs/sec headline) ---
+    # --- write path: fused segment build (docs/sec headline) over a
+    # realistically-sized deterministic webtext corpus with the FULL
+    # StandardAnalyzer chain (the north-star indexing workload; the sf
+    # documents table is too small to measure throughput against)
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    from clucene_spark.data.webtext import webtext_df
+
+    corpus = webtext_df(spark, bench_docs)
     idx_dir = tempfile.mkdtemp(
         prefix="bench_idx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
     build_segments_fused(
-        docs, idx_dir, docs_per_segment=max(256, n_docs // 64), analyzer="whitespace"
+        corpus, idx_dir, docs_per_segment=2048, analyzer="standard"
     )
     t1 = time.perf_counter()
     timings["seg_build_fused"] = round(t1 - t0, 4)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- segment store over the sf documents table for query latencies ---
+    idx_dir = tempfile.mkdtemp(
+        prefix="bench_qidx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_segments_fused(
+        docs, idx_dir, docs_per_segment=max(256, n_docs // 64), analyzer="whitespace"
+    )
     store = SegmentStore(spark, idx_dir)
 
     # --- WAND over the on-disk segments ---
@@ -129,7 +146,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / timings["seg_build_fused"], 2),
+        "bench_corpus_docs": bench_docs,
+        "docs_per_sec": round(bench_docs / timings["seg_build_fused"], 2),
     }
     print(json.dumps(out))
 

@@ -22,12 +22,12 @@ index/SegmentInfos.cpp) restated for a distributed object store:
     commit step folds all checkpointed segments into the next manifest.
 
 Scale notes: segment build is embarrassingly parallel — one applyInPandas
-group per doc range, no cross-range shuffle after the groupBy(term, doc)
-partial aggregation (which combines map-side). Head-term skew cannot
-overload a reducer because grouping keys are (segment_id), and within a
-segment a term's postings are bounded by the segment's doc-range size
-(choose n_docs_per_segment accordingly; 10^12 docs / 10^6-doc segments =
-10^6 independent tasks).
+group per doc range; the fused builder's only shuffle moves raw text
+bytes to segment groups (the relational builder shuffles token rows once).
+Head-term skew cannot overload a reducer because grouping keys are
+(segment_id), and within a segment a term's postings are bounded by the
+segment's doc-range size (choose docs_per_segment accordingly; 10^12 docs
+/ 10^6-doc segments = 10^6 independent tasks).
 """
 
 from __future__ import annotations
