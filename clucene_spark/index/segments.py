@@ -390,8 +390,14 @@ def build_segments_fused(
     doc_id_col: str = "doc_id",
     with_positions: bool = True,
     resume: bool = True,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Single-Python-stage index build: tokenize + invert + encode fused.
+
+    analyzer: "standard" (DFA chain), "whitespace", or "lang" — per-row
+    analyzer dispatch on `lang_col` (the contrib LanguageBasedAnalyzer
+    model: 'zh'/'ja'/'ko' route through CJK bigrams, everything else the
+    StandardAnalyzer).
 
     The CLucene DocumentsWriter pattern (reference _DocumentsWriter.h:79-104:
     each thread inverts its own documents into a private in-RAM index, no
@@ -417,10 +423,13 @@ def build_segments_fused(
     if resume:
         done_ids = _resume_done_ids(index_dir, docs_per_segment)
 
-    src = docs.select(
+    cols = [
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-    ).withColumn(
+    ]
+    if analyzer == "lang" and lang_col:
+        cols.append(F.col(lang_col).alias("lang"))
+    src = docs.select(*cols).withColumn(
         "segment_id", F.floor(F.col("doc_id") / F.lit(docs_per_segment))
     )
     if done_ids:
@@ -450,14 +459,27 @@ def build_segments_fused(
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
         texts = pdf["text"].to_numpy()
-        if an == "standard":
+        if an in ("standard", "lang"):
             # dense post-stopword positions: derived as one vectorized
             # arange-per-doc, no per-token position bookkeeping in python
             from clucene_spark.analysis.standard import standard_analyze_terms
 
-            per_doc = [
-                standard_analyze_terms(t) if t is not None else [] for t in texts
-            ]
+            if an == "lang":
+                from clucene_spark.analysis.analyzers import cjk_bigram_analyze
+
+                langs = pdf["lang"].to_numpy()
+                per_doc = []
+                for t, lg in zip(texts, langs):
+                    if t is None:
+                        per_doc.append([])
+                    elif lg in ("zh", "ja", "ko"):
+                        per_doc.append([tok[0] for tok in cjk_bigram_analyze(t)])
+                    else:
+                        per_doc.append(standard_analyze_terms(t))
+            else:
+                per_doc = [
+                    standard_analyze_terms(t) if t is not None else [] for t in texts
+                ]
             counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
                                  count=len(per_doc))
             total = int(counts.sum())

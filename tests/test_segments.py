@@ -279,3 +279,32 @@ def test_wand_local_rank_identical(store, searcher, terms):
     from clucene_spark.search.wand import wand_query_local
 
     assert wand_query_local(store, terms, k=10) == _naive_or(searcher, terms)
+
+
+def test_lang_dispatch_build(spark, tmp_path):
+    """LanguageBasedAnalyzer dispatch: zh docs index as CJK bigrams, en
+    docs through the StandardAnalyzer — in one fused build."""
+    from clucene_spark.index.segments import build_segments_fused
+    from clucene_spark.search.wand import wand_query_local
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick analyzer pipeline", "en"),
+            (1, "你好世界欢迎", "zh"),
+            (2, "quick 你好", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path / "lang_idx")
+    build_segments_fused(df, d, docs_per_segment=16, analyzer="lang", lang_col="lang")
+    store = SegmentStore(spark, d)
+    terms = {r["term"] for r in store.term_dict().collect()}
+    assert "你好" in terms and "好世" in terms and "世界" in terms  # zh bigrams
+    assert "quick" in terms and "the" not in terms  # en stopwords removed
+    # both docs contain the term 你好: the zh doc as a bigram, the en doc
+    # as the StandardTokenizer's whole-CJK-run token (ReadCJK consumes the
+    # full run, StandardTokenizer.cpp:288-298)
+    hits = wand_query_local(store, ["你好"], k=10)
+    assert {h[0] for h in hits} == {1, 2}
+    # but the bigram 好世 exists ONLY via the zh CJKAnalyzer path
+    assert [h[0] for h in wand_query_local(store, ["好世"], k=10)] == [1]
