@@ -386,6 +386,9 @@ import re as _re
 # Equivalence is property-tested in tests/test_analysis.py.
 _FAST_OK = _re.compile(r"[a-z0-9 ]*\Z")
 _FAST_BAD = _re.compile(r"(?:(?<= )|^)[0-9][a-z0-9]*[a-z]|[a-z0-9]{256}")
+# hybrid-path helpers: whitespace chunks + per-chunk fast eligibility
+_CHUNK_RE = _re.compile(r"\S+")
+_TOKEN_FAST = _re.compile(r"[a-z0-9]+\Z")
 
 
 def standard_analyze(
@@ -413,15 +416,38 @@ def standard_analyze(
                 pos += 1
             off += len(w) + 1
         return out
+    # hybrid path: tokens never span whitespace (no DFA branch consumes a
+    # space char), so whitespace chunks dispatch independently — plain
+    # lowercase-alnum chunks bypass the DFA, only chunks with special
+    # characters pay for it. Chunk-level equivalence to the whole-text DFA
+    # is property-tested in tests/test_analysis.py.
     out = []
     pos = 0
-    for tok in StandardTokenizer(text).tokens():
-        tok = standard_filter(tok)
-        tok = lower_case_filter(tok)
-        if tok.term in stop_words:
+    n = len(text)
+    for m in _CHUNK_RE.finditer(text):
+        chunk = m.group()
+        base = m.start()
+        if (
+            len(chunk) <= MAX_WORD_LEN
+            and _TOKEN_FAST.match(chunk)
+            and not (chunk[0].isdigit() and not chunk.isdigit())
+        ):
+            if chunk not in stop_words:
+                out.append(
+                    (chunk, pos, base, base + len(chunk),
+                     NUM if chunk[0].isdigit() else ALPHANUM)
+                )
+                pos += 1
             continue
-        out.append((tok.term, pos, tok.start, tok.end, tok.type))
-        pos += 1
+        # the DFA's lookahead distinguishes EOS from a following space
+        # (e.g. "0_" vs "0_ "): feed the real next char class
+        piece = chunk if m.end() == n else chunk + " "
+        for tok in StandardTokenizer(piece).tokens():
+            tok = lower_case_filter(standard_filter(tok))
+            if tok.term in stop_words:
+                continue
+            out.append((tok.term, pos, tok.start + base, tok.end + base, tok.type))
+            pos += 1
     return out
 
 
@@ -435,10 +461,22 @@ def standard_analyze_terms(
     if _FAST_OK.match(text) and not _FAST_BAD.search(text):
         return [w for w in text.split(" ") if w and w not in stop_words]
     out = []
-    for tok in StandardTokenizer(text).tokens():
-        tok = lower_case_filter(standard_filter(tok))
-        if tok.term not in stop_words:
-            out.append(tok.term)
+    n = len(text)
+    for m in _CHUNK_RE.finditer(text):
+        chunk = m.group()
+        if (
+            len(chunk) <= MAX_WORD_LEN
+            and _TOKEN_FAST.match(chunk)
+            and not (chunk[0].isdigit() and not chunk.isdigit())
+        ):
+            if chunk not in stop_words:
+                out.append(chunk)
+            continue
+        piece = chunk if m.end() == n else chunk + " "
+        for tok in StandardTokenizer(piece).tokens():
+            tok = lower_case_filter(standard_filter(tok))
+            if tok.term not in stop_words:
+                out.append(tok.term)
     return out
 
 

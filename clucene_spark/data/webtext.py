@@ -84,14 +84,31 @@ def vocab() -> list[str]:
     return _VOCAB_CACHE
 
 
-def make_doc(doc_id: int) -> tuple[int, str, _dt.datetime, bytes, str, str]:
-    """One deterministic row. Zipf-distributed vocab; ~lognormal length."""
+def make_doc(
+    doc_id: int, messy: bool = False
+) -> tuple[int, str, _dt.datetime, bytes, str, str]:
+    """One deterministic row. Zipf-distributed vocab; ~lognormal length.
+
+    messy=True produces realistic Common-Crawl-grade text: ~12% of words
+    sentence-cased or UPPER, ~15% carrying trailing punctuation, commas and
+    periods between clauses — the shape real web text has, where the
+    analyzer DFA actually earns its keep (benchmarks should not run on
+    artificially pristine lowercase)."""
     v = vocab()
     rng = np.random.RandomState((SEED * 1_000_003 + doc_id) % (2**31 - 1))
     n_words = max(5, int(rng.lognormal(mean=4.6, sigma=0.6)))  # ~100 tokens
     # Zipf over the vocab (a=1.3), clipped into range
     idx = np.minimum(rng.zipf(1.3, size=n_words) - 1, len(v) - 1)
     words = [v[i] for i in idx]
+    if messy:
+        r = rng.rand(len(words))
+        for i, w in enumerate(words):
+            if r[i] < 0.08:
+                words[i] = w.capitalize()
+            elif r[i] < 0.12:
+                words[i] = w.upper()
+            if r[i] > 0.92:
+                words[i] += "." if r[i] > 0.96 else ","
     planted = None
     if doc_id % 4 == 0:
         # plant an edge-case token at a deterministic position; (doc_id//4)
@@ -143,7 +160,8 @@ WEBTEXT_SCHEMA = T.StructType(
 )
 
 
-def webtext_df(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+def webtext_df(spark: SparkSession, n_docs: int, partitions: int | None = None,
+               messy: bool = False) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas.
     No shuffle; each partition generates its id range independently, so the
     same code generates 2k docs for pytest or 10^9+ on a cluster."""
@@ -154,7 +172,7 @@ def webtext_df(spark: SparkSession, n_docs: int, partitions: int | None = None) 
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_doc(int(i)) for i in pdf["id"]]
+            rows = [make_doc(int(i), messy=messy) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "url", "warc_ts", "html", "text", "lang"]
             )

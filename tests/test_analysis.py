@@ -284,3 +284,14 @@ def test_cjk_bigram_analyzer():
     # offsets cover the source slice
     toks = cjk_bigram_analyze("你好")
     assert toks == [("你好", 0, 0, 2)]
+
+
+@given(st.text(alphabet="aZ3.' @&-_一z09 \t", max_size=100))
+@settings(max_examples=400, deadline=None)
+def test_hybrid_chunk_path_equivalent_to_whole_text_dfa(text):
+    """The per-whitespace-chunk dispatch must equal running the DFA over
+    the whole text (tokens never span whitespace)."""
+    assert standard_analyze(text) == _dfa_analyze(text)
+    from clucene_spark.analysis.standard import standard_analyze_terms
+
+    assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
