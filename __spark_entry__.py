@@ -611,6 +611,38 @@ WITH corpus AS (
 _COS_SQL = "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
 
 
+def _emb_neardup_sql(threshold: float = 0.99, n_planes: int = 8,
+                     seed: int = 42, dim: int = 64) -> str:
+    """Replays embedding_neardup_pairs exactly: the SAME hyperplane
+    constants (ann.hyperplanes) embedded as literals, sign-bit bucket,
+    flip-1 multi-probe, within-bucket cosine filter."""
+    from clucene_spark.pipeline.ann import hyperplanes
+
+    planes = hyperplanes(n_planes, seed, dim)
+    bits = []
+    for j in range(n_planes):
+        lst = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(e, {lst}) > 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        )
+    bucket = " + ".join(bits)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j}::BIGINT)" for j in range(n_planes)]
+    )
+    return _VEC_CORPUS_SQL + f"""
+, bk AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm,
+                {bucket} AS bucket FROM corpus)
+, pr AS (SELECT vec_id, e, nrm, unnest([{probes}]) AS pb FROM bk)
+SELECT * FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+  FROM pr x JOIN bk y ON x.pb = y.bucket AND x.vec_id < y.vec_id) t
+WHERE cosine >= {threshold}
+ORDER BY a, b
+"""
+
+
 def _ann_brute_sql(qid: int = 7) -> str:
     cos = _COS_SQL.format(a="embedding::DOUBLE[]", b="qe")
     return f"""
@@ -960,16 +992,7 @@ ORDER BY keep_id
         "dedup_ngram_jaccard": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
         "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(32, 4),
-        "dedup_embedding_cosine": _VEC_CORPUS_SQL
-        + f"""
-, n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM corpus)
-SELECT * FROM (
-  SELECT x.vec_id AS a, y.vec_id AS b,
-         ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
-  FROM n x JOIN n y ON x.vec_id < y.vec_id) t
-WHERE cosine >= 0.99
-ORDER BY a, b
-""",
+        "dedup_embedding_cosine": _emb_neardup_sql(0.99),
         "ann_cosine_topk": _ann_brute_sql(7),
         "ann_cosine_topk_pandas": _ann_brute_sql(7),
         "ann_ivf_topk": _IVF_SQL,

@@ -32,6 +32,10 @@ from clucene_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # bench-only: spill shuffles to tmpfs so the single sandbox disk does
+    # not serialize what per-node SSDs would parallelize on a real cluster
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     spark = get_spark("bench")
 
     from pyspark.sql import functions as F

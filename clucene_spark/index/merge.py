@@ -114,7 +114,12 @@ def merge_segments(
     out_dir = os.path.join(tmp_root, "postings.parquet")
 
     n_part = max(2, spark.sparkContext.defaultParallelism // 2)
-    ranged = posts.repartitionByRange(n_part, "term")
+    # range-partition THEN sort, so the reducer sees each term as one
+    # contiguous run and never holds more than one term's postings (plus a
+    # small output buffer) in memory — the same bound the reference's
+    # priority-queue merge has (SegmentMerger::mergeTermInfos). A dict of
+    # the whole term-range partition would OOM at a 100x index.
+    ranged = posts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
 
     stat_schema = T.StructType(
         [
@@ -122,21 +127,59 @@ def merge_segments(
             T.StructField("n_postings", T.LongType(), False),
         ]
     )
+    FLUSH_TERMS = 512  # encoded rows buffered before a ParquetWriter flush
 
-    def _merge_part(pdfs) -> pd.DataFrame:
+    def _merge_part(pdfs):
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        acc: dict[str, list] = {}
-        for pdf in pdfs:
-            for row in pdf.itertuples():
-                acc.setdefault(row.term, []).append(row)
-        rows = []
+        out_schema = pa.schema(
+            [
+                ("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64()),
+                ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
+                ("dl_blob", pa.binary()), ("pos_blob", pa.binary()),
+                ("blk_min_doc", pa.list_(pa.int64())),
+                ("blk_max_doc", pa.list_(pa.int64())),
+                ("blk_max_tf", pa.list_(pa.int64())),
+                ("blk_min_dl", pa.list_(pa.int64())),
+            ]
+        )
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc else 0
+        out_path = os.path.join(out_dir, f"part_{part_id:05d}.parquet")
+        writer = None
+        buf_rows: list[tuple] = []
+        all_terms: list[str] = []
+        n_terms = 0
         n_postings = 0
-        for term in sorted(acc):
-            docs_list, tfs_list, dls_list, pos_list = [], [], [], []
-            for r in acc[term]:
+        cur_term = None
+        cur_rows: list = []
+
+        def _flush_buf():
+            nonlocal writer
+            if not buf_rows:
+                return
+            cols = list(zip(*buf_rows))
+            tab = pa.table(
+                {
+                    name: pa.array(list(cols[i]), out_schema.field(i).type)
+                    for i, name in enumerate(out_schema.names)
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, out_schema)
+            writer.write_table(tab)
+            buf_rows.clear()
+
+        def _encode_current():
+            nonlocal n_terms, n_postings
+            docs_list, tfs_list, dls_list, pos_rows = [], [], [], []
+            # positions are all-or-none PER TERM: if any merged input row
+            # lacks pos_blob (e.g. addIndexes of a positions-free index),
+            # the merged term drops positions rather than misaligning them.
+            have_pos = wp
+            for r in cur_rows:
                 d, t = decode_postings(bytes(r.doc_blob), bytes(r.tf_blob))
                 dls = vbyte_decode(bytes(r.dl_blob)).astype(np.int64)
                 if base:
@@ -144,8 +187,13 @@ def merge_segments(
                 docs_list.append(d)
                 tfs_list.append(t)
                 dls_list.append(dls)
-                if wp and r.pos_blob is not None:
-                    pos_list.extend(decode_positions(bytes(r.pos_blob), t))
+                if wp:
+                    pb = r.pos_blob
+                    # Arrow nulls surface as None OR NaN through pandas
+                    if not isinstance(pb, (bytes, bytearray)):
+                        have_pos = False
+                    else:
+                        pos_rows.append(decode_positions(bytes(pb), t))
             docs = np.concatenate(docs_list)
             tfs = np.concatenate(tfs_list)
             dls = np.concatenate(dls_list)
@@ -153,40 +201,46 @@ def merge_segments(
             if deleted.size:
                 order = order[~np.isin(docs[order], deleted)]
                 if not order.size:
-                    continue
-            poss = [pos_list[i] for i in order] if wp and pos_list else None
+                    return
+            poss = None
+            if have_pos and pos_rows:
+                flat = [p for row_ps in pos_rows for p in row_ps]
+                poss = [flat[i] for i in order]
             enc = encode_postings(docs[order], tfs[order], dls[order], poss)
-            rows.append(
+            buf_rows.append(
                 (
-                    term, enc["df"], int(tfs[order].sum()),
+                    cur_term, enc["df"], int(tfs[order].sum()),
                     enc["doc_blob"], enc["tf_blob"], enc["dl_blob"],
-                    enc["pos_blob"] if wp else None,
+                    enc["pos_blob"] if poss is not None else None,
                     enc["blk_min_doc"].tolist(), enc["blk_max_doc"].tolist(),
                     enc["blk_max_tf"].tolist(), enc["blk_min_dl"].tolist(),
                 )
             )
+            all_terms.append(cur_term)
+            n_terms += 1
             n_postings += enc["df"]
-        tc = TaskContext.get()
-        part_id = tc.partitionId() if tc else 0
-        if rows:
-            out = pd.DataFrame(
-                rows,
-                columns=[
-                    "term", "df", "cf", "doc_blob", "tf_blob", "dl_blob",
-                    "pos_blob", "blk_min_doc", "blk_max_doc", "blk_max_tf",
-                    "blk_min_dl",
-                ],
-            )
-            pq.write_table(
-                pa.Table.from_pandas(out, preserve_index=False),
-                os.path.join(out_dir, f"part_{part_id:05d}.parquet"),
-            )
+
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                if row.term != cur_term:
+                    if cur_term is not None and cur_rows:
+                        _encode_current()
+                        if len(buf_rows) >= FLUSH_TERMS:
+                            _flush_buf()
+                    cur_term = row.term
+                    cur_rows = []
+                cur_rows.append(row)
+        if cur_term is not None and cur_rows:
+            _encode_current()
+        _flush_buf()
+        if writer is not None:
+            writer.close()
             from clucene_spark.index.segments import _write_term_index
 
             _write_term_index(
-                tmp_root, out["term"], part_file=f"part_{part_id:05d}.parquet"
+                tmp_root, all_terms, part_file=f"part_{part_id:05d}.parquet"
             )
-        yield pd.DataFrame({"n_terms": [len(rows)], "n_postings": [n_postings]})
+        yield pd.DataFrame({"n_terms": [n_terms], "n_postings": [n_postings]})
 
     stats = ranged.mapInPandas(_merge_part, stat_schema).agg(
         F.sum("n_terms").alias("n_terms"), F.sum("n_postings").alias("n_postings")

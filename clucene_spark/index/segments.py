@@ -188,33 +188,76 @@ def _ckpt_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "checkpoints")
 
 
-def _resume_done_ids(index_dir: str, docs_per_segment: int) -> set[int]:
-    """Checkpointed segment ids safe to skip on resume.
+def _resume_state(
+    index_dir: str, docs_per_segment: int
+) -> tuple[set[int], dict[int, list[dict]]]:
+    """(full_range_ids, partial_ranges) for resume.
 
-    The highest checkpointed range is only skipped when provably FULL
-    (max_doc == range end): a previous run may have checkpointed a partial
-    tail (input ended mid-range), and an append with more docs in that
-    range must rebuild it or silently lose documents. The partial tail's
-    checkpoint + segment dir are removed so the rebuild is idempotent.
-    Input contract: a resumed/appended run's input is a superset of the
-    previous run's (doc ranges are immutable once full)."""
-    import shutil
-
+    A doc range may be covered by SEVERAL piece segments (seg_X, seg_X_p1,
+    …) built across runs — e.g. a crashed build resumed with more input, or
+    update_documents appending new docs into a range whose earlier docs are
+    already indexed. A range is FULL (skippable wholesale) when its pieces
+    reach the range end; otherwise it is PARTIAL and the caller must
+    anti-join incoming rows against the range's already-indexed doc_ids and
+    build only the remainder as a new piece. Nothing is ever deleted
+    preemptively — existing pieces and checkpoints stay untouched, so a
+    crash mid-append can never lose previously committed documents
+    (pieces over one range have disjoint doc_ids; the query side treats
+    every manifest segment uniformly, and merges compact pieces away)."""
     cks = read_checkpoints(index_dir)
-    if not cks:
-        return set()
-    done = {c["segment_id"] for c in cks}
-    tail = max(cks, key=lambda c: c["segment_id"])
-    range_end = (tail["segment_id"] + 1) * docs_per_segment - 1
-    if tail["max_doc"] < range_end:
-        done.discard(tail["segment_id"])
-        os.remove(
-            os.path.join(_ckpt_dir(index_dir), f"part_{tail['segment_id']:08d}.json")
+    by_range: dict[int, list[dict]] = {}
+    for c in cks:
+        by_range.setdefault(c["segment_id"], []).append(c)
+    full: set[int] = set()
+    partial: dict[int, list[dict]] = {}
+    for sid, pieces in by_range.items():
+        range_end = (sid + 1) * docs_per_segment - 1
+        if max(p["max_doc"] for p in pieces) >= range_end:
+            full.add(sid)
+        else:
+            partial[sid] = pieces
+    return full, partial
+
+
+def _apply_resume_filter(src: DataFrame, index_dir: str,
+                         full_ids: set[int],
+                         partial: dict[int, list[dict]]) -> DataFrame:
+    """Drop incoming rows already indexed: whole full ranges by segment_id,
+    partial ranges by a broadcast anti-join on their existing doc_ids (the
+    broadcast is bounded by docs_per_segment x n_partial_ranges — small).
+    Re-delivered identical rows (stream replay) vanish entirely; only
+    genuinely new doc_ids survive to build an additional piece segment."""
+    if full_ids:
+        src = src.filter(~F.col("segment_id").isin(list(full_ids)))
+    if partial:
+        spark = src.sparkSession
+        dl_paths = [
+            os.path.join(index_dir, "segments", c["segment"], "doc_lens.parquet")
+            for pieces in partial.values()
+            for c in pieces
+        ]
+        existing = spark.read.parquet(*dl_paths).select("doc_id")
+        partial_ids = list(partial)
+        in_partial = F.col("segment_id").isin(partial_ids)
+        fresh = (
+            src.filter(in_partial)
+            .join(F.broadcast(existing), "doc_id", "left_anti")
         )
-        shutil.rmtree(
-            os.path.join(index_dir, "segments", tail["segment"]), ignore_errors=True
-        )
-    return done
+        src = src.filter(~in_partial).unionByName(fresh)
+    return src
+
+
+def _piece_name(seg_id: int, piece_idx: dict[int, int]) -> str:
+    k = piece_idx.get(seg_id, 0)
+    return f"seg_{seg_id:08d}" + (f"_p{k}" if k else "")
+
+
+def _write_checkpoint(index_dir: str, name: str, ck: dict) -> None:
+    fname = f"part_{name[len('seg_'):]}.json"
+    ck_tmp = os.path.join(index_dir, "checkpoints", "." + fname + ".tmp")
+    with open(ck_tmp, "w") as f:
+        json.dump(ck, f)
+    os.rename(ck_tmp, os.path.join(index_dir, "checkpoints", fname))
 
 
 def read_checkpoints(index_dir: str) -> list[dict]:
@@ -262,14 +305,14 @@ def build_segments(
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
 
-    done_ids = set()
+    full_ids, partial = (set(), {})
     if resume:
-        done_ids = _resume_done_ids(index_dir, docs_per_segment)
+        full_ids, partial = _resume_state(index_dir, docs_per_segment)
+    piece_idx = {sid: len(p) for sid, p in partial.items()}
 
     seg_col = F.floor(F.col("doc_id") / F.lit(docs_per_segment)).alias("segment_id")
     tok = tokens.withColumn("segment_id", seg_col)
-    if done_ids:
-        tok = tok.filter(~F.col("segment_id").isin(list(done_ids)))
+    tok = _apply_resume_filter(tok, index_dir, full_ids, partial)
 
     # ONE shuffle: raw (doc_id, pos, term) rows hash to their segment group;
     # the posting aggregation (tf, positions, doc lengths) happens in numpy
@@ -284,7 +327,7 @@ def build_segments(
     def _build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
         seg_id = int(key[0])
-        name = f"seg_{seg_id:08d}"
+        name = _piece_name(seg_id, piece_idx)
         seg_path = os.path.join(idx_dir, "segments", name)
         tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
         os.makedirs(tmp_path, exist_ok=True)
@@ -355,10 +398,7 @@ def build_segments(
             "n_terms": int(seg_pdf.shape[0]),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
-        ck_tmp = os.path.join(idx_dir, "checkpoints", f".part_{seg_id:08d}.tmp")
-        with open(ck_tmp, "w") as f:
-            json.dump(ck, f)
-        os.rename(ck_tmp, os.path.join(idx_dir, "checkpoints", f"part_{seg_id:08d}.json"))
+        _write_checkpoint(idx_dir, name, ck)
         return pd.DataFrame([ck])
 
     built = per_doc.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
@@ -375,7 +415,7 @@ def build_segments(
             "n_tokens": c["n_tokens"],
             "n_terms": c["n_terms"],
         }
-        for c in sorted(cks, key=lambda c: c["segment_id"])
+        for c in sorted(cks, key=lambda c: (c["segment_id"], c["segment"]))
     ]
     commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
@@ -419,9 +459,10 @@ def build_segments_fused(
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
 
-    done_ids = set()
+    full_ids, partial = (set(), {})
     if resume:
-        done_ids = _resume_done_ids(index_dir, docs_per_segment)
+        full_ids, partial = _resume_state(index_dir, docs_per_segment)
+    piece_idx = {sid: len(p) for sid, p in partial.items()}
 
     cols = [
         F.col(doc_id_col).cast("long").alias("doc_id"),
@@ -432,8 +473,7 @@ def build_segments_fused(
     src = docs.select(*cols).withColumn(
         "segment_id", F.floor(F.col("doc_id") / F.lit(docs_per_segment))
     )
-    if done_ids:
-        src = src.filter(~F.col("segment_id").isin(list(done_ids)))
+    src = _apply_resume_filter(src, index_dir, full_ids, partial)
 
     idx_dir = index_dir
     wp = with_positions
@@ -451,7 +491,7 @@ def build_segments_fused(
         except Exception:
             pass
         seg_id = int(key[0])
-        name = f"seg_{seg_id:08d}"
+        name = _piece_name(seg_id, piece_idx)
         seg_path = os.path.join(idx_dir, "segments", name)
         tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
         os.makedirs(tmp_path, exist_ok=True)
@@ -575,10 +615,7 @@ def build_segments_fused(
             "n_terms": int(seg_pdf.shape[0]),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
-        ck_tmp = os.path.join(idx_dir, "checkpoints", f".part_{seg_id:08d}.tmp")
-        with open(ck_tmp, "w") as f:
-            json.dump(ck, f)
-        os.rename(ck_tmp, os.path.join(idx_dir, "checkpoints", f"part_{seg_id:08d}.json"))
+        _write_checkpoint(idx_dir, name, ck)
         return pd.DataFrame([ck])
 
     built = src.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
@@ -594,7 +631,7 @@ def build_segments_fused(
             "n_tokens": c["n_tokens"],
             "n_terms": c["n_terms"],
         }
-        for c in sorted(cks, key=lambda c: c["segment_id"])
+        for c in sorted(cks, key=lambda c: (c["segment_id"], c["segment"]))
     ]
     commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment,
                                                 "analyzer": analyzer})
@@ -651,9 +688,11 @@ def update_documents(
     """updateDocument = delete + add (reference IndexWriter.cpp:702-733:
     an update is a buffered delete of the old term plus an add of the new
     document under a NEW internal docID). Here: delete_ids are filtered
-    from queries immediately (purged at merge), new_docs append as fresh
-    doc ranges — their doc_ids must be NEW (beyond existing ranges or in
-    untouched ranges), matching Lucene's new-docID semantics."""
+    from queries immediately (purged at merge), new_docs append under NEW
+    doc_ids (Lucene's new-docID semantics). New ids may land anywhere —
+    inside a partially-filled range they become an extra piece segment via
+    the resume anti-join (existing docs of the range are never touched);
+    ids already indexed are dropped by the same anti-join."""
     delete_docs(index_dir, delete_ids)
     return build_segments_fused(
         new_docs, index_dir, docs_per_segment=docs_per_segment,

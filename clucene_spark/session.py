@@ -40,15 +40,14 @@ def get_spark(
         # cores, not ~128MB blocks: a 200MB text corpus must not collapse
         # into 2 tasks on a 32-core executor fleet
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        # shuffle spill dir: on a real cluster every node contributes its
-        # own local SSDs, so aggregate shuffle bandwidth scales with the
-        # node count; a single sandbox box has ONE virtio disk, which would
-        # serialize the measurement. tmpfs emulates per-node local disk.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
     )
+    # shuffle spill dir: tmpfs (/dev/shm) emulates per-node local SSD for
+    # BENCH runs only — as a library-wide default it would push all shuffle
+    # spill into RAM (tmpfs caps at ~50% of memory -> ENOSPC/OOM on big
+    # shuffles). Opt in explicitly: SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-local.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

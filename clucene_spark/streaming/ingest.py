@@ -9,12 +9,13 @@ between batches. Exactly-once comes from the pairing of Structured
 Streaming's own checkpoint (source offsets) with our per-range segment
 checkpoints: a replayed batch re-encounters its checkpoints and skips.
 
-Ingest contract: doc_ids arrive in non-decreasing range order (each
-micro-batch holds doc ranges strictly after the previous batch, the
-normal shape for an ingest sequence number). A range split across batches
-is handled by the partial-tail rebuild rule as long as the LATER batch
-contains the full range content seen so far — for arbitrary out-of-order
-ids, route through a compaction-time dedup instead.
+Ingest contract: each doc_id is delivered with its final text (replays
+deliver identical rows). Ranges split across micro-batches are safe: a
+partial range keeps its existing piece segment(s); the next batch's rows
+are anti-joined against the range's already-indexed doc_ids and only the
+remainder builds an additional piece (seg_X_p1, …) — re-delivered rows
+vanish in the anti-join, so nothing is double-indexed and nothing is
+ever deleted. Merges compact pieces away like any other segments.
 """
 
 from __future__ import annotations

@@ -223,6 +223,7 @@ def test_update_documents(spark, tmp_path):
         [(10_000, "replacement text featuring spark spark spark")],
         "doc_id long, text string",
     )
+    pre_ids = {r["doc_id"] for r in store.doc_lens().select("doc_id").collect()}
     update_documents(spark, d, new_row, [victim],
                      docs_per_segment=128, analyzer="whitespace")
     store = SegmentStore(spark, d)
@@ -230,3 +231,89 @@ def test_update_documents(spark, tmp_path):
     ids = [h[0] for h in after]
     assert victim not in ids
     assert 10_000 in ids
+    # regression (round-1 data loss): the partial tail range must survive an
+    # update whose new docs don't re-supply it — no doc may vanish
+    n_after, _ = store.stats()
+    assert n_after == len(pre_ids) + 1  # victim still counted until purge
+    post_ids = {r["doc_id"] for r in store.doc_lens().select("doc_id").collect()}
+    assert pre_ids - post_ids == set()
+    assert 10_000 in post_ids
+
+
+def test_append_into_partial_range_no_loss(spark, tmp_path):
+    """New docs landing INSIDE a partially-filled range become an extra
+    piece segment; the range's existing docs are untouched (the exact
+    round-1 loss scenario: 300 docs @ dps=128 -> tail 256-299, then an
+    append of 300-305 into the same range)."""
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_fused,
+        read_manifest,
+        update_documents,
+    )
+    from clucene_spark.search.wand import wand_query_local
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    d = str(tmp_path / "piece_idx")
+    build_segments_fused(docs, d, docs_per_segment=128, analyzer="whitespace")
+    new_rows = spark.createDataFrame(
+        [(300 + i, f"fresh doc {i} mentions spark heavily") for i in range(6)],
+        "doc_id long, text string",
+    )
+    update_documents(spark, d, new_rows, [], docs_per_segment=128,
+                     analyzer="whitespace")
+    store = SegmentStore(spark, d)
+    n, _ = store.stats()
+    assert n == 306
+    ids = {r["doc_id"] for r in store.doc_lens().select("doc_id").collect()}
+    assert ids == set(range(306))
+    names = [s["name"] for s in read_manifest(d)["segments"]]
+    assert "seg_00000002" in names and "seg_00000002_p1" in names
+    # re-delivery of identical rows is a no-op (stream replay idempotence)
+    update_documents(spark, d, new_rows, [], docs_per_segment=128,
+                     analyzer="whitespace")
+    store = SegmentStore(spark, d)
+    assert store.stats()[0] == 306
+    # queries see both pieces; compaction folds them away
+    assert {h[0] for h in wand_query_local(store, ["fresh"], k=10)} == set(
+        range(300, 306)
+    )
+    optimize(spark, d)
+    store = SegmentStore(spark, d)
+    assert store.stats()[0] == 306
+
+
+def test_merge_mixed_positions_all_or_none(spark, tmp_path):
+    """Merging rows with and without pos_blob for the same term (addIndexes
+    of a positions-free index into a positions-enabled one) must not
+    misalign positions: the merged term drops positions entirely, while
+    terms whose inputs all carry positions keep them."""
+    from clucene_spark.index.merge import add_indexes, optimize
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+
+    texts = [(i, f"shared words plus unique{i} token") for i in range(20)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    d_pos = str(tmp_path / "with_pos")
+    d_nopos = str(tmp_path / "no_pos")
+    build_segments_fused(docs, d_pos, docs_per_segment=16,
+                         analyzer="whitespace", with_positions=True)
+    build_segments_fused(docs, d_nopos, docs_per_segment=16,
+                         analyzer="whitespace", with_positions=False)
+    add_indexes(spark, d_pos, d_nopos, doc_base=1000)
+    optimize(spark, d_pos)  # forces pos-ful and pos-free rows into one term
+
+    store = SegmentStore(spark, d_pos)
+    rows = {r["term"]: r for r in store.postings().collect()}
+    # 'shared' exists in both inputs -> merged with positions dropped
+    shared = rows["shared"]
+    assert shared["df"] == 40
+    assert shared["pos_blob"] is None
+    # doc ids intact on both sides of the rebase
+    from clucene_spark.index.codec import decode_postings
+    d_ids, tfs = decode_postings(bytes(shared["doc_blob"]), bytes(shared["tf_blob"]))
+    assert sorted(d_ids) == list(range(20)) + list(range(1000, 1020))
+    assert all(t == 1 for t in tfs)

@@ -142,3 +142,58 @@ def test_fingerprint_order_sensitive(spark):
     fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert fps[1] == fps[3]
     assert fps[1] != fps[2]
+
+
+def test_simhash_banded_equals_all_pairs(docs):
+    """The banded equi-join candidate plan must reproduce the all-pairs
+    theta-join result EXACTLY (pigeonhole recall = 1)."""
+    from clucene_spark.pipeline.dedup import simhash_signatures, simhash_pairs, with_planted_dups
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    banded = {(r["a"], r["b"]): r["hamming"]
+              for r in simhash_pairs(corpus, bits=32, max_hamming=4).collect()}
+    # all-pairs reference computed driver-side from the signatures
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(corpus, bits=32).collect()}
+    ids = sorted(sigs)
+    ref = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 4:
+                ref[(a, b)] = h
+    assert banded == ref
+
+
+def test_embedding_neardup_bucketed_recall(vecs):
+    """LSH-bucketed near-dup pairing with flip-1 probes vs the exact
+    all-pairs reference: full recall on the planted perturbed twins here,
+    and never a false positive (cosine is verified in-bucket)."""
+    import numpy as np
+
+    from clucene_spark.pipeline.dedup import embedding_neardup_pairs
+
+    v = vecs.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twins = v.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = v.unionByName(twins)
+    got = {(r["a"], r["b"]) for r in
+           embedding_neardup_pairs(corpus, threshold=0.99).collect()}
+    rows = corpus.collect()
+    m = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(m)
+    ref = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            cos = m[a] @ m[b] / (np.linalg.norm(m[a]) * np.linalg.norm(m[b]))
+            if round(cos, 4) >= 0.99:
+                ref.add((a, b))
+    assert ref, "planted twins must exceed the threshold"
+    assert got <= ref          # no false positives (exact in-bucket verify)
+    recall = len(got & ref) / len(ref)
+    assert recall == 1.0       # flip-1 probing recovers every planted twin here

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--serving", default="direct", choices=["direct", "local"])
     args = ap.parse_args()
 
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     spark = get_spark("query_bench")
 
     from pyspark.sql import functions as F

@@ -60,6 +60,9 @@ def run_once(cpus: int, n_docs: int, corpus: str, docs_per_segment: int = 2048) 
         OMP_NUM_THREADS="1",
         OPENBLAS_NUM_THREADS="1",
         MKL_NUM_THREADS="1",
+        # shuffle spill on tmpfs too (bench-only opt-in; library default
+        # spills to disk)
+        **({"SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-local"} if base else {}),
     )
     cmd = [
         # taskset caps the WHOLE process tree (JVM + python workers) at N
