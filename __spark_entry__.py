@@ -281,8 +281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _parse("[sm TO st]"), 10, round_to=4
         ),
         "parsed_fielded_topk": lambda spark, sf: _searcher(spark, sf).topk(
-            _parse("source:src3 AND spark"), 10, round_to=4
+            _parse("source:src3 AND spark", keyword_fields={"source", "lang"}),
+            10, round_to=4,
         ),
+        # --- multi-field index: Term=(field,text), per-field tf/idf/norms
+        #     (reference index/Term.cpp, FieldInfos.cpp) ---
+        "fielded_tf_topk": _q_fielded_tf,
+        "parsed_fielded_tf_topk": _q_fielded_parsed,
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         "wand_or_topk": lambda spark, sf: __import__(
@@ -412,6 +417,47 @@ def _q_wand_delete(spark, sf):
     delete_docs(d, [10, 20, 30])  # idempotent (set union)
     store = SegmentStore(spark, d)
     return wand_query(store, ["spark", "vector", "window"], k=10)
+
+
+_FIELDED_CACHE: dict[str, tuple] = {}
+
+
+def _fielded_index(spark, sf):
+    """Two-field corpus (title = first 4 tokens, text = full body) indexed
+    with the multi-field model: postings/doc_lens/term_dict keyed by field,
+    per-field analyzer dispatch in InvertedIndex(fields=...)."""
+    if sf not in _FIELDED_CACHE:
+        docs = _docs(spark, sf)
+        toks = F.split(F.col("text"), " ")
+        two = docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+            "text",
+        )
+        idx = InvertedIndex(
+            two,
+            fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+        ).cache()
+        _FIELDED_CACHE[sf] = (idx, Searcher(idx, similarity="bm25"))
+    return _FIELDED_CACHE[sf]
+
+
+def _q_fielded_tf(spark, sf):
+    from clucene_spark.search.engine import SHOULD, BooleanQuery, TermQuery
+
+    _, s = _fielded_index(spark, sf)
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="join", field="title"), SHOULD)
+        .add(TermQuery(term="spark", field="text"), SHOULD)
+    )
+    return s.topk(q, 10, round_to=4)
+
+
+def _q_fielded_parsed(spark, sf):
+    _, s = _fielded_index(spark, sf)
+    q = _parse("title:join OR spark", indexed_fields={"title", "text"})
+    return s.topk(q, 10, round_to=4)
 
 
 def _q_dedup_exact(spark, sf):
@@ -1073,6 +1119,36 @@ WHERE b.term = 'spark'
 GROUP BY b.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # multi-field BM25: per-field df/dl/avgdl, global n_docs (maxDoc model)
+    d["fielded_tf_topk"] = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+fieldtok AS (
+  SELECT doc_id, 'title' AS field, unnest(toks[1:4]) AS term FROM raw
+  UNION ALL
+  SELECT doc_id, 'text' AS field, unnest(toks) AS term FROM raw
+),
+tok AS (SELECT * FROM fieldtok WHERE term <> ''),
+postings AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+doc_lens AS (SELECT doc_id, field, count(*) AS dl FROM tok GROUP BY 1, 2),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM doc_lens GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doc_lens),
+term_dict AS (SELECT field, term, count(*) AS df FROM postings GROUP BY 1, 2),
+bm25 AS (
+  SELECT p.doc_id, p.field, p.term,
+         ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS sc
+  FROM postings p
+  JOIN term_dict t ON t.field = p.field AND t.term = p.term
+  JOIN doc_lens d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fstats s ON s.field = p.field
+  CROSS JOIN nd n
+)
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25
+WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    d["parsed_fielded_tf_topk"] = d["fielded_tf_topk"]
     # parsed-path queries produce identical results to their programmatic
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]

@@ -119,11 +119,40 @@ def corpus_stats(doc_lens: DataFrame) -> DataFrame:
     )
 
 
+def _tokenize_one(docs: DataFrame, text_col: str, doc_id_col: str,
+                  analyzer: str) -> DataFrame:
+    if analyzer == "standard":
+        from clucene_spark.analysis.spark import tokenize_standard
+
+        return tokenize_standard(docs, text_col, doc_id_col).select(
+            "doc_id", "pos", "term"
+        )
+    return tokenize_whitespace(docs, text_col, doc_id_col)
+
+
 class InvertedIndex:
     """Bundle of the four index DataFrames over one corpus.
 
     Lazily-evaluated logical plans; call .cache() on the members when a
     query session will reuse them (the analogue of an open IndexReader).
+
+    Single-field by default. Pass ``fields=[(field_name, source_col,
+    analyzer), ...]`` for the multi-field model — Term is a (field, text)
+    pair (reference index/Term.cpp; dictionary ordered by (field, text) at
+    index/TermInfosWriter.cpp:108-140; per-field metadata FieldInfos.cpp;
+    per-field analyzer choice = PerFieldAnalyzerWrapper driving the build).
+    In that mode every index table carries a `field` column:
+
+        tokens(doc_id, field, pos, term)
+        postings(field, term, doc_id, tf, positions)
+        doc_lens(doc_id, field, dl)       # per-field lengths -> norms
+        term_dict(field, term, df, cf)    # per-field df for fielded idf
+
+    The union of per-field token streams is one scan per source column of
+    the same docs DataFrame; Catalyst collapses them into a single pass
+    when the plan allows, and the posting aggregation shuffles on
+    (field, term, doc_id) — field skew behaves like term skew and gets the
+    same salting/AQE treatment.
     """
 
     def __init__(
@@ -132,19 +161,39 @@ class InvertedIndex:
         text_col: str = "text",
         doc_id_col: str = "doc_id",
         analyzer: str = "whitespace",
+        fields: list[tuple[str, str, str]] | None = None,
     ):
         self.docs = docs
-        if analyzer == "standard":
-            from clucene_spark.analysis.spark import tokenize_standard
-
-            self.tokens = tokenize_standard(docs, text_col, doc_id_col).select(
-                "doc_id", "pos", "term"
+        if fields:
+            self.default_field = fields[0][0]
+            self.field_names = [f[0] for f in fields]
+            parts = []
+            for fname, col, an in fields:
+                t = _tokenize_one(docs, col, doc_id_col, an)
+                parts.append(
+                    t.select("doc_id", F.lit(fname).alias("field"), "pos", "term")
+                )
+            toks = parts[0]
+            for p in parts[1:]:
+                toks = toks.unionByName(p)
+            self.tokens = toks
+            self.postings = toks.groupBy("field", "term", "doc_id").agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            self.doc_lens = toks.groupBy("doc_id", "field").agg(
+                F.count("*").alias("dl")
+            )
+            self.term_dict = self.postings.groupBy("field", "term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
         else:
-            self.tokens = tokenize_whitespace(docs, text_col, doc_id_col)
-        self.postings = build_postings(self.tokens)
-        self.doc_lens = build_doc_lens(self.tokens)
-        self.term_dict = build_term_dict(self.postings)
+            self.default_field = text_col
+            self.field_names = [text_col]
+            self.tokens = _tokenize_one(docs, text_col, doc_id_col, analyzer)
+            self.postings = build_postings(self.tokens)
+            self.doc_lens = build_doc_lens(self.tokens)
+            self.term_dict = build_term_dict(self.postings)
 
     def cache(self) -> "InvertedIndex":
         self.postings = self.postings.cache()

@@ -65,11 +65,29 @@ class QueryParserError(ValueError):
 
 
 class QueryParser:
+    """Field routing (reference QueryParser::GetFieldQuery dispatches every
+    leaf to the named field's analyzer+postings):
+
+      * field is the default field / absent / '*'  -> analyzed query on the
+        default field
+      * field in `indexed_fields`  -> analyzed query carrying field=... so
+        the engine scores it against that field's postings (per-field
+        tf/idf)
+      * field in `keyword_fields`  -> KeywordQuery equality on the
+        untokenized docs-table column (the INDEX_UNTOKENIZED model)
+      * anything else -> matches NOTHING (the reference searches a field
+        absent from the index and finds no postings) — never an
+        AnalysisException from treating an unknown name as a docs column.
+    """
+
     def __init__(self, default_field: str = "text", analyzer=None,
-                 default_operator: str = "OR"):
+                 default_operator: str = "OR",
+                 indexed_fields=None, keyword_fields=None):
         self.default_field = default_field
         self.analyze = analyzer or (lambda t: [x[0] for x in standard_analyze(t)])
         self.default_operator = default_operator
+        self.indexed_fields = set(indexed_fields or ()) | {default_field}
+        self.keyword_fields = set(keyword_fields or ())
 
     # -- lexer ---------------------------------------------------------------
 
@@ -298,48 +316,122 @@ class QueryParser:
             bq.add(q, occur)
         return bq
 
+    def _match_nothing(self, boost: float) -> Query:
+        """Query over an unknown field: zero hits (the reference would scan
+        an absent field's postings and find none)."""
+        from pyspark.sql import functions as F
+
+        from clucene_spark.search.engine import ConstantScoreQuery
+
+        return ConstantScoreQuery(boost=boost, predicate=F.lit(False))
+
     def _leaf_query(self, t: _Tok, field: str) -> Query | None:
         boost = t.boost if t.boost is not None else 1.0
+        explicit = field not in (None, self.default_field, "*")
+        qfield: str | None = None
+        if explicit:
+            if field in self.indexed_fields:
+                qfield = field
+            elif field in self.keyword_fields:
+                from clucene_spark.search.engine import KeywordQuery
+
+                if t.kind == "TERM":
+                    return KeywordQuery(boost=boost, field=field, value=t.text)
+                if t.kind == "QUOTED":  # keyword fields are untokenized
+                    return KeywordQuery(boost=boost, field=field, value=t.text)
+                return self._match_nothing(boost)
+            else:
+                return self._match_nothing(boost)
         if t.kind == "RANGE":
             lo = t.lower.lower() if t.lower else None
             hi = t.upper.lower() if t.upper else None
-            return RangeQuery(boost=boost, lower=lo, upper=hi, inclusive=t.inclusive)
+            return RangeQuery(boost=boost, lower=lo, upper=hi,
+                              inclusive=t.inclusive, field=qfield)
         if t.kind == "QUOTED":
             terms = self.analyze(t.text)
             if not terms:
                 return None
             if len(terms) == 1:
-                return TermQuery(boost=boost, term=terms[0])
-            return PhraseQuery(boost=boost, terms=terms, slop=t.slop)
+                return TermQuery(boost=boost, term=terms[0], field=qfield)
+            return PhraseQuery(boost=boost, terms=terms, slop=t.slop, field=qfield)
         if t.kind == "TERM":
             word = t.text
             if word == "*" and t.field in (None, "*"):
                 return MatchAllQuery(boost=boost)
-            if field not in (None, self.default_field, "*"):
-                # fielded term over a non-default field = keyword column
-                # (per-field analyzer dispatch: keyword identity)
-                from clucene_spark.search.engine import KeywordQuery
-
-                return KeywordQuery(boost=boost, field=field, value=word)
             if t.fuzzy is not None:
                 return FuzzyQuery(
                     boost=boost, term=word.lower(),
                     min_similarity=t.fuzzy if t.fuzzy > 0 else 0.5,
+                    field=qfield,
                 )
             has_wild = "*" in word or "?" in word
             if has_wild:
                 w = word.lower()
                 if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-                    return PrefixQuery(boost=boost, prefix=w[:-1])
-                return WildcardQuery(boost=boost, pattern=w)
+                    return PrefixQuery(boost=boost, prefix=w[:-1], field=qfield)
+                return WildcardQuery(boost=boost, pattern=w, field=qfield)
             terms = self.analyze(word)
             if not terms:
                 return None
             if len(terms) == 1:
-                return TermQuery(boost=boost, term=terms[0])
-            return PhraseQuery(boost=boost, terms=terms, slop=0)
+                return TermQuery(boost=boost, term=terms[0], field=qfield)
+            return PhraseQuery(boost=boost, terms=terms, slop=0, field=qfield)
         raise QueryParserError(f"unexpected leaf {t.kind}")
 
 
 def parse(s: str, default_field: str = "text", **kw) -> Query | None:
     return QueryParser(default_field, **kw).parse(s)
+
+
+class MultiFieldQueryParser:
+    """Parse one query string against SEVERAL fields and OR the per-field
+    trees — the reference's MultiFieldQueryParser::parse loop (reference
+    queryParser/MultiFieldQueryParser.cpp:40-76: one QueryParser per field
+    over the same string, combined into a BooleanQuery with optional
+    per-field boosts). Explicit `field:term` clauses inside the string
+    still win over the expansion, exactly as in the reference."""
+
+    def __init__(self, fields: list[str], analyzer=None,
+                 default_operator: str = "OR", boosts: dict | None = None,
+                 keyword_fields=None):
+        self.fields = list(fields)
+        self.boosts = dict(boosts or {})
+        self._parsers = [
+            QueryParser(
+                default_field=f,
+                analyzer=analyzer,
+                default_operator=default_operator,
+                indexed_fields=set(self.fields),
+                keyword_fields=keyword_fields,
+            )
+            for f in self.fields
+        ]
+
+    @staticmethod
+    def _bind(q: Query, f: str) -> None:
+        """Pin unfielded leaves to field f (the per-field parse of the
+        reference produces Terms on that field)."""
+        if isinstance(q, BooleanQuery):
+            for c in q.clauses:
+                MultiFieldQueryParser._bind(c.query, f)
+        elif hasattr(q, "field") and getattr(q, "field") is None:
+            q.field = f
+
+    def parse(self, s: str) -> Query | None:
+        bq = BooleanQuery()
+        found = False
+        for f, p in zip(self.fields, self._parsers):
+            q = p.parse(s)
+            if q is None:
+                continue
+            self._bind(q, f)
+            b = self.boosts.get(f)
+            if b is not None:
+                q.boost *= b
+            bq.add(q, SHOULD)
+            found = True
+        if not found:
+            return None
+        if len(bq.clauses) == 1:
+            return bq.clauses[0].query
+        return bq

@@ -50,21 +50,31 @@ class Query:
     boost: float = 1.0
 
 
+def _fpfx(f: Optional[str]) -> str:
+    return f"{f}:" if f else ""
+
+
 @dataclass
 class TermQuery(Query):
+    """Term = (field, text) pair like the reference's interned Term
+    (reference index/Term.cpp; ordering by (field, text) at
+    index/TermInfosWriter.cpp:108-140). field=None resolves to the
+    searcher's default field."""
     term: str = ""
+    field: Optional[str] = None
 
     def __str__(self) -> str:
-        return _boosted(self.term, self.boost)
+        return _boosted(_fpfx(self.field) + self.term, self.boost)
 
 
 @dataclass
 class PhraseQuery(Query):
     terms: list = field(default_factory=list)
     slop: int = 0
+    field: Optional[str] = None
 
     def __str__(self) -> str:
-        s = '"' + " ".join(self.terms) + '"'
+        s = _fpfx(self.field) + '"' + " ".join(self.terms) + '"'
         if self.slop:
             s += f"~{self.slop}"
         return _boosted(s, self.boost)
@@ -73,26 +83,30 @@ class PhraseQuery(Query):
 @dataclass
 class PrefixQuery(Query):
     prefix: str = ""
+    field: Optional[str] = None
 
     def __str__(self) -> str:
-        return _boosted(self.prefix + "*", self.boost)
+        return _boosted(_fpfx(self.field) + self.prefix + "*", self.boost)
 
 
 @dataclass
 class WildcardQuery(Query):
     pattern: str = ""  # glob with * and ?
+    field: Optional[str] = None
 
     def __str__(self) -> str:
-        return _boosted(self.pattern, self.boost)
+        return _boosted(_fpfx(self.field) + self.pattern, self.boost)
 
 
 @dataclass
 class FuzzyQuery(Query):
     term: str = ""
     min_similarity: float = 0.5  # reference default queryParser/QueryParser.h:123
+    field: Optional[str] = None
 
     def __str__(self) -> str:
-        return _boosted(f"{self.term}~{self.min_similarity:g}", self.boost)
+        return _boosted(f"{_fpfx(self.field)}{self.term}~{self.min_similarity:g}",
+                        self.boost)
 
 
 @dataclass
@@ -100,10 +114,14 @@ class RangeQuery(Query):
     lower: Optional[str] = None
     upper: Optional[str] = None
     inclusive: bool = True
+    field: Optional[str] = None
 
     def __str__(self) -> str:
         o, c = ("[", "]") if self.inclusive else ("{", "}")
-        return _boosted(f"{o}{self.lower or '*'} TO {self.upper or '*'}{c}", self.boost)
+        return _boosted(
+            f"{_fpfx(self.field)}{o}{self.lower or '*'} TO {self.upper or '*'}{c}",
+            self.boost,
+        )
 
 
 @dataclass
@@ -114,6 +132,7 @@ class MultiPhraseQuery(Query):
     list of term lists; a doc matches when some position p has, for every
     slot i, (p + i) among that slot's union of positions."""
     slots: list = field(default_factory=list)
+    field: Optional[str] = None
 
     def __str__(self) -> str:
         body = " ".join(
@@ -227,13 +246,60 @@ class Searcher:
         self.index = index
         self.similarity = similarity
         self.norm_bytes = norm_bytes
-        row = index.doc_lens.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        self.n_docs = int(row["n"])
-        self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
-        self._df_cache: dict[str, int] = {}
+        # multi-field mode (Term = (field, text), per-field FieldInfos —
+        # reference index/Term.cpp, index/FieldInfos.cpp): postings carry a
+        # `field` column, dl/avgdl are per field, n_docs stays global like
+        # the reference's maxDoc in idf
+        self.fielded = "field" in index.postings.columns
+        self.default_field = getattr(index, "default_field", "text")
+        if self.fielded:
+            rows = index.doc_lens.groupBy("field").agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()
+            self._field_stats = {
+                r["field"]: (int(r["n"]), float(r["avgdl"] or 1.0)) for r in rows
+            }
+            self.n_docs = int(index.doc_lens.select("doc_id").distinct().count())
+            self.avgdl = self._field_stats.get(self.default_field, (0, 1.0))[1]
+        else:
+            row = index.doc_lens.agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            self.n_docs = int(row["n"])
+            self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
+        self._df_cache: dict[tuple[str, str], int] = {}
         self._norms_df: Optional[DataFrame] = None
+
+    # -- field plumbing -------------------------------------------------------
+
+    def _f(self, field: Optional[str]) -> str:
+        return field or self.default_field
+
+    def _avgdl(self, field: Optional[str]) -> float:
+        if not self.fielded:
+            return self.avgdl
+        return self._field_stats.get(self._f(field), (0, 1.0))[1]
+
+    def _postings(self, field: Optional[str]) -> DataFrame:
+        if not self.fielded:
+            return self.index.postings
+        return self.index.postings.filter(
+            F.col("field") == self._f(field)
+        ).drop("field")
+
+    def _doclens(self, field: Optional[str]) -> DataFrame:
+        if not self.fielded:
+            return self.index.doc_lens
+        return self.index.doc_lens.filter(
+            F.col("field") == self._f(field)
+        ).drop("field")
+
+    def _tdict(self, field: Optional[str]) -> DataFrame:
+        if not self.fielded:
+            return self.index.term_dict
+        return self.index.term_dict.filter(
+            F.col("field") == self._f(field)
+        ).drop("field")
 
     def _lnorm(self, df: DataFrame) -> tuple[DataFrame, "F.Column"]:
         """Length-norm column for classic scoring. Exact 1/sqrt(dl) by
@@ -254,32 +320,45 @@ class Searcher:
 
     # -- statistics ---------------------------------------------------------
 
-    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+    def doc_freqs(self, terms: list, field: Optional[str] = None) -> dict:
         """Per-term docFreq — the stats pass of weight creation
         (reference: search/TermQuery.cpp:114-118 pulls docFreq/maxDoc).
-        Cached per searcher; one Spark job fetches all missing terms, so a
-        whole query tree costs a single stats pass (the MultiSearcher
-        global-df pattern, MultiSearcher.cpp:72-74)."""
+        Cached per searcher keyed by (field, term); one Spark job per cold
+        field fetches all its missing terms, so a whole query tree costs a
+        single stats pass per field touched (the MultiSearcher global-df
+        pattern, MultiSearcher.cpp:72-74). Accepts plain term strings
+        (resolved against `field`/default field) or (field, term) tuples;
+        the returned dict is keyed by whatever was passed in."""
         if not terms:
             return {}
-        missing = [t for t in set(terms) if t not in self._df_cache]
+        norm = {}
+        for k in terms:
+            if isinstance(k, tuple):
+                norm[k] = (self._f(k[0]), k[1])
+            else:
+                norm[k] = (self._f(field), k)
+        missing = {v for v in norm.values() if v not in self._df_cache}
         if missing:
-            rows = (
-                self.index.term_dict.filter(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                self._df_cache[t] = found.get(t, 0)
-        return {t: self._df_cache[t] for t in terms}
+            by_field: dict[str, set] = {}
+            for f, t in missing:
+                by_field.setdefault(f, set()).add(t)
+            for f, ts in by_field.items():
+                rows = (
+                    self._tdict(f).filter(F.col("term").isin(list(ts)))
+                    .select("term", "df")
+                    .collect()
+                )
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in ts:
+                    self._df_cache[(f, t)] = found.get(t, 0)
+        return {k: self._df_cache[v] for k, v in norm.items()}
 
-    def _collect_terms(self, query: Query) -> list[str]:
-        out: list[str] = []
+    def _collect_terms(self, query: Query) -> list:
+        out: list = []
         if isinstance(query, TermQuery):
-            out.append(query.term)
+            out.append((query.field, query.term))
         elif isinstance(query, PhraseQuery):
-            out.extend(query.terms)
+            out.extend((query.field, t) for t in query.terms)
         elif isinstance(query, BooleanQuery):
             for c in query.clauses:
                 out.extend(self._collect_terms(c.query))
@@ -287,7 +366,7 @@ class Searcher:
             out.extend(self._collect_terms(query.query))
         elif isinstance(query, MultiPhraseQuery):
             for slot in query.slots:
-                out.extend(slot)
+                out.extend((query.field, t) for t in slot)
         return out
 
     def _idf(self, df: int) -> float:
@@ -298,13 +377,14 @@ class Searcher:
     # -- leaf scorers ---------------------------------------------------------
 
     def _score_term_postings(self, postings: DataFrame, idf: float, boost: float,
-                             query_norm: float = 1.0) -> DataFrame:
+                             query_norm: float = 1.0,
+                             field: Optional[str] = None) -> DataFrame:
         """postings(term-filtered): (doc_id, tf) -> (doc_id, score)."""
-        p = postings.join(self.index.doc_lens, "doc_id")
+        p = postings.join(self._doclens(field), "doc_id")
         if self.similarity == "bm25":
             score = (
                 F.lit(idf)
-                * sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(self.avgdl))
+                * sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(self._avgdl(field)))
                 * F.lit(boost)
             )
         else:
@@ -322,7 +402,7 @@ class Searcher:
         The reference expands against the term enum and caps at 1024
         clauses (BooleanQuery.cpp:147-149); a term-column predicate has no
         such cap and Catalyst pushes it into the dictionary scan."""
-        td = self.index.term_dict
+        td = self._tdict(getattr(query, "field", None))
         if isinstance(query, PrefixQuery):
             return td.filter(F.col("term").startswith(query.prefix))
         if isinstance(query, WildcardQuery):
@@ -349,13 +429,14 @@ class Searcher:
         MultiTermQuery::rewrite -> BooleanQuery pattern, scored with
         constant idf=1 per expanded term like ConstantScore mode to avoid a
         driver-side stats pass over an unbounded expansion)."""
+        qf = getattr(query, "field", None)
         matches = self._expand_terms(query).select("term", "df")
-        p = self.index.postings.join(F.broadcast(matches), "term")
-        p = p.join(self.index.doc_lens, "doc_id")
+        p = self._postings(qf).join(F.broadcast(matches), "term")
+        p = p.join(self._doclens(qf), "doc_id")
         if self.similarity == "bm25":
             per_term = sim.bm25_score(
                 F.col("tf"), F.col("df"), F.col("dl"),
-                F.lit(float(self.n_docs)), F.lit(self.avgdl),
+                F.lit(float(self.n_docs)), F.lit(self._avgdl(qf)),
             )
         else:
             idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
@@ -377,13 +458,13 @@ class Searcher:
         deferred to the WAND/segment path.
         """
         terms = query.terms
-        dfs = self.doc_freqs(terms)
+        dfs = self.doc_freqs(terms, field=query.field)
         if any(dfs[t] == 0 for t in terms):
             return self._empty_scores()
         parts = []
         for i, t in enumerate(terms):
             p = (
-                self.index.postings.filter(F.col("term") == t)
+                self._postings(query.field).filter(F.col("term") == t)
                 .select("doc_id", F.col("positions").alias(f"pos{i}"))
             )
             parts.append(p)
@@ -423,11 +504,12 @@ class Searcher:
             )
         idf_sum = sum(self._idf(dfs[t]) for t in terms)
         scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)
-        scored = scored.join(self.index.doc_lens, "doc_id")
+        scored = scored.join(self._doclens(query.field), "doc_id")
         if self.similarity == "bm25":
             score = (
                 F.lit(idf_sum)
-                * sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"),
+                              F.lit(self._avgdl(query.field)))
                 * F.lit(query.boost)
             )
         else:
@@ -444,13 +526,13 @@ class Searcher:
         shifted-intersection alignment as the exact phrase. idf sums over
         ALL terms in all slots (MultiPhraseWeight's sumOfSquaredWeights)."""
         all_terms = [t for slot in query.slots for t in slot]
-        dfs = self.doc_freqs(all_terms)
+        dfs = self.doc_freqs(all_terms, field=query.field)
         slot_dfs = []
         for i, slot in enumerate(query.slots):
             if all(dfs[t] == 0 for t in slot):
                 return self._empty_scores()
             p = (
-                self.index.postings.filter(F.col("term").isin(slot))
+                self._postings(query.field).filter(F.col("term").isin(slot))
                 .select("doc_id", F.explode("positions").alias("p"))
                 .groupBy("doc_id")
                 .agg(F.sort_array(F.collect_set("p")).alias(f"pos{i}"))
@@ -466,11 +548,12 @@ class Searcher:
             )
         idf_sum = sum(self._idf(dfs[t]) for t in all_terms if dfs[t] > 0)
         scored = joined.withColumn("pfreq", F.size(aligned)).filter(F.col("pfreq") > 0)
-        scored = scored.join(self.index.doc_lens, "doc_id")
+        scored = scored.join(self._doclens(query.field), "doc_id")
         if self.similarity == "bm25":
             score = (
                 F.lit(idf_sum)
-                * sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"),
+                              F.lit(self._avgdl(query.field)))
                 * F.lit(query.boost)
             )
         else:
@@ -494,24 +577,30 @@ class Searcher:
     def score(self, query: Query, query_norm: float = 1.0) -> DataFrame:
         """Compile to a (doc_id, score) DataFrame."""
         if isinstance(query, TermQuery):
-            df = self.doc_freqs([query.term])[query.term]
+            df = self.doc_freqs([query.term], field=query.field)[query.term]
             if df == 0:
                 return self._empty_scores()
             idf = self._idf(df)
-            p = self.index.postings.filter(F.col("term") == query.term)
-            return self._score_term_postings(p, idf, query.boost, query_norm)
+            p = self._postings(query.field).filter(F.col("term") == query.term)
+            return self._score_term_postings(p, idf, query.boost, query_norm,
+                                             field=query.field)
         if isinstance(query, PhraseQuery):
             if len(query.terms) == 1:
-                return self.score(TermQuery(boost=query.boost, term=query.terms[0]), query_norm)
+                return self.score(
+                    TermQuery(boost=query.boost, term=query.terms[0],
+                              field=query.field),
+                    query_norm,
+                )
             return self._score_phrase(query, query_norm)
         if isinstance(query, MultiPhraseQuery):
             return self._score_multi_phrase(query)
         if isinstance(query, (PrefixQuery, WildcardQuery, FuzzyQuery, RangeQuery)):
             return self._score_multiterm(query)
         if isinstance(query, MatchAllQuery):
-            return self.index.doc_lens.select(
-                "doc_id", (F.lit(1.0) * query.boost).alias("score")
-            )
+            ids = self.index.doc_lens.select("doc_id")
+            if self.fielded:
+                ids = ids.distinct()
+            return ids.select("doc_id", (F.lit(1.0) * query.boost).alias("score"))
         if isinstance(query, ConstantScoreQuery):
             matched = self.index.docs.filter(query.predicate).select("doc_id")
             return matched.select("doc_id", F.lit(float(query.boost)).alias("score"))
@@ -533,13 +622,14 @@ class Searcher:
         tree (reference search/Explanation.cpp, TermWeight::explain at
         TermQuery.cpp:150+) as columns. Invariant (TestExplanations): the
         product of the components equals score()."""
-        df = self.doc_freqs([query.term])[query.term]
+        df = self.doc_freqs([query.term], field=query.field)[query.term]
         idf = self._idf(df)
-        p = self.index.postings.filter(F.col("term") == query.term).join(
-            self.index.doc_lens, "doc_id"
+        p = self._postings(query.field).filter(F.col("term") == query.term).join(
+            self._doclens(query.field), "doc_id"
         )
         if self.similarity == "bm25":
-            tf_comp = sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(self.avgdl))
+            tf_comp = sim.bm25_tf(F.col("tf"), F.col("dl"),
+                                  F.lit(self._avgdl(query.field)))
             return p.select(
                 "doc_id", "tf", "dl",
                 F.lit(idf).alias("idf"),
@@ -643,15 +733,15 @@ class Searcher:
         TermQuery.cpp:131-140). BM25 has no queryNorm (returns 1)."""
         if self.similarity != "classic":
             return 1.0
-        leaves: list[tuple[str, float]] = []
+        leaves: list[tuple[str, tuple, float]] = []  # (kind, (field, terms..), boost)
 
         def walk(q: Query, boost: float):
             b = boost * q.boost
             if isinstance(q, TermQuery):
-                leaves.append((q.term, b))
+                leaves.append(("T", (q.field, q.term), b))
             elif isinstance(q, PhraseQuery):
                 # phrase weight = sum(idf) * boost
-                leaves.append(("\0PHRASE\0" + "\0".join(q.terms), b))
+                leaves.append(("P", (q.field, tuple(q.terms)), b))
             elif isinstance(q, BooleanQuery):
                 for c in q.clauses:
                     if c.occur != MUST_NOT:
@@ -660,16 +750,21 @@ class Searcher:
                 walk(q.query, b)  # filters don't contribute weight
 
         walk(query, 1.0)
-        term_list = [t for t, _ in leaves if not t.startswith("\0PHRASE\0")]
-        phrase_lists = [t.split("\0")[2:] for t, _ in leaves if t.startswith("\0PHRASE\0")]
-        all_terms = term_list + [t for pl in phrase_lists for t in pl]
-        dfs = self.doc_freqs(all_terms)
-        sum_sq = 0.0
-        for t, b in leaves:
-            if t.startswith("\0PHRASE\0"):
-                idf = sum(self._idf(dfs[x]) for x in t.split("\0")[2:])
+        pairs = []
+        for kind, key, _ in leaves:
+            f = key[0]
+            if kind == "T":
+                pairs.append((f, key[1]))
             else:
-                idf = self._idf(dfs[t])
+                pairs.extend((f, t) for t in key[1])
+        dfs = self.doc_freqs(pairs)
+        sum_sq = 0.0
+        for kind, key, b in leaves:
+            f = key[0]
+            if kind == "P":
+                idf = sum(self._idf(dfs[(f, x)]) for x in key[1])
+            else:
+                idf = self._idf(dfs[(f, key[1])])
             sum_sq += (idf * b) ** 2
         return sim.classic_query_norm_py(sum_sq)
 

@@ -123,3 +123,65 @@ def test_parse_and_execute(index):
     )
     want = {r["doc_id"] for r in s.topk(manual, 10).collect()}
     assert got == want and len(got) == 10
+
+
+def test_parser_fielded_routing_and_unknown_fields(spark):
+    """indexed fields -> fielded analyzed queries; keyword fields ->
+    KeywordQuery; unknown fields -> matches nothing (never an
+    AnalysisException at plan time)."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.queryparser.parser import QueryParser
+    from clucene_spark.search.engine import (
+        KeywordQuery,
+        PrefixQuery,
+        Searcher,
+        TermQuery,
+    )
+
+    p = QueryParser(default_field="text", indexed_fields={"title", "text"},
+                    keyword_fields={"source"})
+    q = p.parse("title:Spark")
+    assert isinstance(q, TermQuery) and q.field == "title" and q.term == "spark"
+    q = p.parse("title:spar*")
+    assert isinstance(q, PrefixQuery) and q.field == "title"
+    q = p.parse("source:src3")
+    assert isinstance(q, KeywordQuery) and q.field == "source"
+    # unknown field: parses, and MATCHES NOTHING against a real index
+    q = p.parse("bogus:foo")
+    docs = spark.createDataFrame(
+        [(0, "t", "foo bar")], "doc_id long, title string, text string"
+    )
+    idx = InvertedIndex(
+        docs, fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")]
+    )
+    s = Searcher(idx)
+    assert s.topk(q, 10).count() == 0
+    # ...including under MUST in a boolean
+    q2 = p.parse("foo AND bogus:bar")
+    assert s.topk(q2, 10).count() == 0
+
+
+def test_multifield_query_parser(spark):
+    """MultiFieldQueryParser: unfielded terms expand to OR over all fields
+    with per-field boosts; explicit fields still win."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.queryparser.parser import MultiFieldQueryParser
+    from clucene_spark.search.engine import Searcher
+
+    rows = [
+        (0, "spark guide", "engine details"),
+        (1, "sql tuning", "spark joins"),
+        (2, "unrelated", "nothing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    idx = InvertedIndex(
+        docs, fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")]
+    )
+    s = Searcher(idx, similarity="bm25")
+    mp = MultiFieldQueryParser(["title", "text"], boosts={"title": 2.0})
+    q = mp.parse("spark")
+    hits = {r["doc_id"]: r["score"] for r in s.topk(q, 10).collect()}
+    assert set(hits) == {0, 1}
+    assert hits[0] > hits[1]  # title match boosted 2x
+    q2 = mp.parse("text:joins")
+    assert {r["doc_id"] for r in s.topk(q2, 10).collect()} == {1}

@@ -288,3 +288,76 @@ def test_highlight_dataframe_stage(spark, index):
     for r in out:
         if r["n_matches"] > 0:
             assert "<b>" in r["fragment"]
+
+
+def test_multifield_index_per_field_scoring(spark):
+    """Term=(field,text): same token scores differently per field (per-field
+    df/dl/avgdl; global n_docs like maxDoc) and fields are isolated."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import (
+        SHOULD,
+        BooleanQuery,
+        Searcher,
+        TermQuery,
+    )
+
+    rows = [
+        (0, "spark guide", "spark spark is a fast engine"),
+        (1, "sql tuning", "joins in spark need care"),
+        (2, "spark internals", "catalyst optimizer details"),
+        (3, "other title", "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    idx = InvertedIndex(
+        docs, fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")]
+    )
+    s = Searcher(idx, similarity="bm25")
+    title_hits = {r["doc_id"] for r in s.topk(TermQuery(term="spark", field="title"), 10).collect()}
+    assert title_hits == {0, 2}
+    text_hits = {r["doc_id"] for r in s.topk(TermQuery(term="spark", field="text"), 10).collect()}
+    assert text_hits == {0, 1}
+    # default field resolves to the first declared field (text)
+    assert {r["doc_id"] for r in s.topk(TermQuery(term="spark"), 10).collect()} == {0, 1}
+    # per-field df: spark has df=2 in both fields but different avgdl/dl ->
+    # different scores for doc 0 in title vs text
+    st = s.topk(TermQuery(term="spark", field="title"), 10).collect()
+    sx = s.topk(TermQuery(term="spark", field="text"), 10).collect()
+    t0 = [r["score"] for r in st if r["doc_id"] == 0][0]
+    x0 = [r["score"] for r in sx if r["doc_id"] == 0][0]
+    assert t0 != x0
+    # cross-field boolean combines per-field scores
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="spark", field="title"), SHOULD)
+        .add(TermQuery(term="joins", field="text"), SHOULD)
+    )
+    got = {r["doc_id"] for r in s.topk(q, 10).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_multifield_phrase_prefix_and_range(spark):
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import (
+        PhraseQuery,
+        PrefixQuery,
+        Searcher,
+        TermQuery,
+    )
+
+    rows = [
+        (0, "alpha beta", "gamma delta alpha"),
+        (1, "beta alpha", "alpha beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    idx = InvertedIndex(
+        docs, fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")]
+    )
+    s = Searcher(idx, similarity="bm25")
+    ph = PhraseQuery(terms=["alpha", "beta"], field="title")
+    assert {r["doc_id"] for r in s.topk(ph, 10).collect()} == {0}
+    ph2 = PhraseQuery(terms=["alpha", "beta"], field="text")
+    assert {r["doc_id"] for r in s.topk(ph2, 10).collect()} == {1}
+    pre = PrefixQuery(prefix="gam", field="title")
+    assert s.topk(pre, 10).count() == 0
+    pre2 = PrefixQuery(prefix="gam", field="text")
+    assert s.topk(pre2, 10).count() == 2
