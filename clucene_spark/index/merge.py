@@ -250,7 +250,8 @@ def merge_segments(
     # of deletions via anti-join — never a driver-side isin list)
     dl_all = spark.read.parquet(*dl_paths)
     if base:
-        dl_all = dl_all.select((F.col("doc_id") + base).alias("doc_id"), "dl")
+        # rebase in place: fielded stores carry extra columns (field)
+        dl_all = dl_all.withColumn("doc_id", F.col("doc_id") + base)
     n_docs_merged = None
     if deleted.size:
         del_df = spark.createDataFrame(

@@ -84,6 +84,122 @@ def _write_term_index(dir_path: str, terms, part_file: str | None = None) -> Non
         os.makedirs(os.path.join(dir_path, "term_index.parquet"), exist_ok=True)
         pq.write_table(tab, os.path.join(dir_path, "term_index.parquet", part_file))
 
+# multi-field segment stores key postings by the composite term
+# "field<US>term" — the reference's Term ordering by (field, text)
+# (index/TermInfosWriter.cpp:108-140) realized as a prefixed sort key; 0x1f
+# sorts below every printable char so field blocks stay contiguous.
+FIELD_SEP = "\x1f"
+
+
+def fielded_term(field: str, term: str) -> str:
+    return field + FIELD_SEP + term
+
+
+def _analyze_docs(texts, analyzer: str, langs=None):
+    """Per-doc token lists + flat positions + counts for one text column.
+    Shared by the single-field and multi-field fused builders."""
+    if analyzer in ("standard", "lang"):
+        # dense post-stopword positions: derived as one vectorized
+        # arange-per-doc, no per-token position bookkeeping in python
+        from clucene_spark.analysis.standard import standard_analyze_terms
+
+        if analyzer == "lang":
+            from clucene_spark.analysis.analyzers import cjk_bigram_analyze
+
+            per_doc = []
+            for t, lg in zip(texts, langs):
+                if t is None:
+                    per_doc.append([])
+                elif lg in ("zh", "ja", "ko"):
+                    per_doc.append([tok[0] for tok in cjk_bigram_analyze(t)])
+                else:
+                    per_doc.append(standard_analyze_terms(t))
+        else:
+            per_doc = [
+                standard_analyze_terms(t) if t is not None else [] for t in texts
+            ]
+        counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
+                             count=len(per_doc))
+        total = int(counts.sum())
+        offsets = np.cumsum(counts) - counts
+        p = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+    else:  # whitespace: raw split-array positions kept (empties skipped)
+        per_doc = []
+        pos_doc = []
+        for t in texts:
+            terms_i, pos_i = [], []
+            if t is not None:
+                for i, w in enumerate(t.split(" ")):
+                    if w:
+                        terms_i.append(w)
+                        pos_i.append(i)
+            per_doc.append(terms_i)
+            pos_doc.append(pos_i)
+        counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
+                             count=len(per_doc))
+        total = int(counts.sum())
+        p = np.fromiter((i for ps in pos_doc for i in ps),
+                        dtype=np.int64, count=total)
+    return per_doc, p, counts
+
+
+def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
+                   term_prefix: str = ""):
+    """Sort-invert-encode one token stream (numpy, no python per token).
+    Returns (seg_pdf, uniq_docs, dl_counts, n_tok, n_postings)."""
+    total = int(counts.sum())
+    if term_prefix:
+        t_arr = np.array(
+            [term_prefix + w for ws in per_doc for w in ws], dtype=object
+        )
+    else:
+        t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+    d = np.repeat(doc_ids_in, counts)
+    # stable sort by term keeps (doc asc, pos asc) inside each term run.
+    # factorize (C hash) + rank of the ~small unique-term set avoids a
+    # python-compare sort over every token.
+    codes, uniques = pd.factorize(t_arr)
+    rank_of_code = np.empty(len(uniques), dtype=np.int64)
+    rank_of_code[np.argsort(uniques)] = np.arange(len(uniques))
+    order = np.argsort(rank_of_code[codes], kind="stable")
+    t_arr, d, p = t_arr[order], d[order], p[order]
+
+    n_tok = total
+    post_change = np.ones(n_tok, dtype=bool)
+    if n_tok > 1:
+        post_change[1:] = (t_arr[1:] != t_arr[:-1]) | (d[1:] != d[:-1])
+    post_idx = np.flatnonzero(post_change)
+    docs_p = d[post_idx]
+    tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
+    terms_p = t_arr[post_idx]
+    term_change = np.ones(len(post_idx), dtype=bool)
+    if len(post_idx) > 1:
+        term_change[1:] = terms_p[1:] != terms_p[:-1]
+    uniq_docs = doc_ids_in[counts > 0]
+    dl_counts = counts[counts > 0]
+    dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
+
+    enc = encode_postings_frame(
+        term_change, docs_p, tfs, dls_p, positions_flat=p if wp else None
+    )
+    seg_pdf = pd.DataFrame(
+        {
+            "term": terms_p[term_change].astype(str),
+            "df": enc["df"],
+            "cf": enc["cf"],
+            "doc_blob": enc["doc_blob"],
+            "tf_blob": enc["tf_blob"],
+            "dl_blob": enc["dl_blob"],
+            "pos_blob": enc["pos_blob"],
+            "blk_min_doc": enc["blk_min_doc"],
+            "blk_max_doc": enc["blk_max_doc"],
+            "blk_max_tf": enc["blk_max_tf"],
+            "blk_min_dl": enc["blk_min_dl"],
+        }
+    )
+    return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx))
+
+
 SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -431,6 +547,7 @@ def build_segments_fused(
     with_positions: bool = True,
     resume: bool = True,
     lang_col: str | None = None,
+    fields: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Single-Python-stage index build: tokenize + invert + encode fused.
 
@@ -438,6 +555,14 @@ def build_segments_fused(
     analyzer dispatch on `lang_col` (the contrib LanguageBasedAnalyzer
     model: 'zh'/'ja'/'ko' route through CJK bigrams, everything else the
     StandardAnalyzer).
+
+    fields: optional [(field_name, source_col, analyzer), ...] — the
+    multi-field segment model. Postings are keyed by the composite term
+    "field\\x1fterm" (the reference's (field, text) Term ordering,
+    index/TermInfosWriter.cpp:108-140), per-field analyzers drive the
+    build (PerFieldAnalyzerWrapper), and doc_lens.parquet carries
+    (doc_id, field, dl) so BM25 norms/avgdl are per field. Query with
+    wand_query(..., field=...).
 
     The CLucene DocumentsWriter pattern (reference _DocumentsWriter.h:79-104:
     each thread inverts its own documents into a private in-RAM index, no
@@ -464,12 +589,18 @@ def build_segments_fused(
         full_ids, partial = _resume_state(index_dir, docs_per_segment)
     piece_idx = {sid: len(p) for sid, p in partial.items()}
 
-    cols = [
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-    ]
-    if analyzer == "lang" and lang_col:
-        cols.append(F.col(lang_col).alias("lang"))
+    flds = sorted(fields, key=lambda x: x[0]) if fields else None
+    if flds:
+        cols = [F.col(doc_id_col).cast("long").alias("doc_id")] + [
+            F.col(src_col).alias(fname) for fname, src_col, _ in flds
+        ]
+    else:
+        cols = [
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ]
+        if analyzer == "lang" and lang_col:
+            cols.append(F.col(lang_col).alias("lang"))
     src = docs.select(*cols).withColumn(
         "segment_id", F.floor(F.col("doc_id") / F.lit(docs_per_segment))
     )
@@ -498,96 +629,37 @@ def build_segments_fused(
 
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
-        texts = pdf["text"].to_numpy()
-        if an in ("standard", "lang"):
-            # dense post-stopword positions: derived as one vectorized
-            # arange-per-doc, no per-token position bookkeeping in python
-            from clucene_spark.analysis.standard import standard_analyze_terms
-
-            if an == "lang":
-                from clucene_spark.analysis.analyzers import cjk_bigram_analyze
-
-                langs = pdf["lang"].to_numpy()
-                per_doc = []
-                for t, lg in zip(texts, langs):
-                    if t is None:
-                        per_doc.append([])
-                    elif lg in ("zh", "ja", "ko"):
-                        per_doc.append([tok[0] for tok in cjk_bigram_analyze(t)])
-                    else:
-                        per_doc.append(standard_analyze_terms(t))
-            else:
-                per_doc = [
-                    standard_analyze_terms(t) if t is not None else [] for t in texts
-                ]
-            counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
-                                 count=len(per_doc))
-            total = int(counts.sum())
-            offsets = np.cumsum(counts) - counts
-            p = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
-            t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
-        else:  # whitespace: raw split-array positions kept (empties skipped)
-            per_doc = []
-            pos_doc = []
-            for t in texts:
-                terms_i, pos_i = [], []
-                if t is not None:
-                    for i, w in enumerate(t.split(" ")):
-                        if w:
-                            terms_i.append(w)
-                            pos_i.append(i)
-                per_doc.append(terms_i)
-                pos_doc.append(pos_i)
-            counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
-                                 count=len(per_doc))
-            total = int(counts.sum())
-            p = np.fromiter((i for ps in pos_doc for i in ps),
-                            dtype=np.int64, count=total)
-            t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
-        d = np.repeat(doc_ids_in, counts)
-        # stable sort by term keeps (doc asc, pos asc) inside each term run.
-        # factorize (C hash) + rank of the ~small unique-term set avoids a
-        # python-compare sort over every token.
-        codes, uniques = pd.factorize(t_arr)
-        rank_of_code = np.empty(len(uniques), dtype=np.int64)
-        rank_of_code[np.argsort(uniques)] = np.arange(len(uniques))
-        order = np.argsort(rank_of_code[codes], kind="stable")
-        t_arr, d, p = t_arr[order], d[order], p[order]
-
-        n_tok = total
-        post_change = np.ones(n_tok, dtype=bool)
-        if n_tok > 1:
-            post_change[1:] = (t_arr[1:] != t_arr[:-1]) | (d[1:] != d[:-1])
-        post_idx = np.flatnonzero(post_change)
-        docs_p = d[post_idx]
-        tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
-        terms_p = t_arr[post_idx]
-        term_change = np.ones(len(post_idx), dtype=bool)
-        if len(post_idx) > 1:
-            term_change[1:] = terms_p[1:] != terms_p[:-1]
-        uniq_docs = doc_ids_in[counts > 0]
-        dl_counts = counts[counts > 0]
-        dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
-
-        enc = encode_postings_frame(
-            term_change, docs_p, tfs, dls_p, positions_flat=p if wp else None
-        )
-        seg_pdf = pd.DataFrame(
-            {
-                "term": terms_p[term_change].astype(str),
-                "df": enc["df"],
-                "cf": enc["cf"],
-                "doc_blob": enc["doc_blob"],
-                "tf_blob": enc["tf_blob"],
-                "dl_blob": enc["dl_blob"],
-                "pos_blob": enc["pos_blob"],
-                "blk_min_doc": enc["blk_min_doc"],
-                "blk_max_doc": enc["blk_max_doc"],
-                "blk_max_tf": enc["blk_max_tf"],
-                "blk_min_dl": enc["blk_min_dl"],
-            }
-        )
-        dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
+        if flds:
+            # one invert pass per field; concatenating in sorted field-name
+            # order keeps the composite "field\x1fterm" keys globally sorted
+            frames, dl_frames = [], []
+            n_tok = n_post = 0
+            uniq_union: set = set()
+            for fname, _src_col, an_f in flds:
+                texts_f = pdf[fname].to_numpy()
+                per_doc, p_f, counts_f = _analyze_docs(texts_f, an_f)
+                seg_f, uq, dlc, nt, npst = _invert_encode(
+                    doc_ids_in, per_doc, p_f, counts_f, wp,
+                    term_prefix=fname + FIELD_SEP,
+                )
+                frames.append(seg_f)
+                dl_frames.append(
+                    pd.DataFrame({"doc_id": uq, "field": fname, "dl": dlc})
+                )
+                n_tok += nt
+                n_post += npst
+                uniq_union.update(uq.tolist())
+            seg_pdf = pd.concat(frames, ignore_index=True)
+            dl_pdf = pd.concat(dl_frames, ignore_index=True)
+            uniq_docs = np.array(sorted(uniq_union), dtype=np.int64)
+        else:
+            texts = pdf["text"].to_numpy()
+            langs = pdf["lang"].to_numpy() if an == "lang" else None
+            per_doc, p, counts = _analyze_docs(texts, an, langs)
+            seg_pdf, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
+                doc_ids_in, per_doc, p, counts, wp
+            )
+            dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -611,7 +683,7 @@ def build_segments_fused(
             "max_doc": int(uniq_docs[-1]) if len(uniq_docs) else -1,
             "n_docs": int(len(uniq_docs)),
             "n_tokens": int(n_tok),
-            "n_postings": int(len(post_idx)),
+            "n_postings": int(n_post),
             "n_terms": int(seg_pdf.shape[0]),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
@@ -736,9 +808,22 @@ class SegmentStore:
         ]
         return self.spark.read.parquet(*paths)
 
-    def stats(self) -> tuple[int, float]:
+    def stats(self, field: str | None = None) -> tuple[int, float]:
         """(n_docs, avgdl), memoized — an open IndexReader computes corpus
-        stats once, not per query."""
+        stats once, not per query. For a multi-field store (doc_lens rows
+        are (doc_id, field, dl)) pass `field`: n_docs stays GLOBAL (the
+        maxDoc idf model) while avgdl is that field's."""
+        if field is not None:
+            if not hasattr(self, "_fstats"):
+                self._fstats: dict[str, tuple[int, float]] = {}
+            if field not in self._fstats:
+                dl = self.doc_lens()
+                n = dl.select("doc_id").distinct().count()
+                row = dl.filter(F.col("field") == field).agg(
+                    F.avg("dl").alias("avgdl")
+                ).collect()[0]
+                self._fstats[field] = (int(n), float(row["avgdl"] or 1.0))
+            return self._fstats[field]
         if getattr(self, "_stats", None) is None:
             row = self.doc_lens().agg(
                 F.count("*").alias("n"), F.avg("dl").alias("avgdl")

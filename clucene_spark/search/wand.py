@@ -235,10 +235,16 @@ def wand_query(
     mode: str = "OR",
     round_to: int | None = 4,
     algo: str = "taat",
+    field: str | None = None,
 ) -> DataFrame:
     """Distributed block-max WAND top-k over the segment store."""
     terms = list(dict.fromkeys(terms))
-    n_docs, avgdl = store.stats()
+    if field is not None:
+        # multi-field store: composite (field, term) keys + per-field avgdl
+        from clucene_spark.index.segments import fielded_term
+
+        terms = [fielded_term(field, t) for t in terms]
+    n_docs, avgdl = store.stats(field)
     # global df pass (MultiSearcher.cpp:72-74 pattern), memoized per store
     dfs = store.doc_freqs(terms)
     idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
@@ -285,6 +291,7 @@ def wand_query_direct(
     mode: str = "OR",
     round_to: int | None = 4,
     algo: str = "taat",
+    field: str | None = None,
 ) -> DataFrame:
     """Shuffle-free serving path: one task PER SEGMENT opens its
     postings.parquet directly (pyarrow, with a term-dictionary filter that
@@ -303,7 +310,12 @@ def wand_query_direct(
     import pyarrow.dataset as pa_ds
 
     terms = list(dict.fromkeys(terms))
-    n_docs, avgdl = store.stats()
+    if field is not None:
+        # multi-field store: composite (field, term) keys + per-field avgdl
+        from clucene_spark.index.segments import fielded_term
+
+        terms = [fielded_term(field, t) for t in terms]
+    n_docs, avgdl = store.stats(field)
     dfs = store.doc_freqs(terms)
     idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
     live_terms = [t for t in terms if t in idf_by_term]
@@ -367,6 +379,7 @@ def wand_query_local(
     mode: str = "OR",
     round_to: int | None = 4,
     algo: str = "taat",
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     """In-process serving (no Spark job): the same per-segment read +
     decode + score loop wand_query_direct fans out, run sequentially where
@@ -380,7 +393,12 @@ def wand_query_local(
     import pyarrow.dataset as pa_ds
 
     terms = list(dict.fromkeys(terms))
-    n_docs, avgdl = store.stats()
+    if field is not None:
+        # multi-field store: composite (field, term) keys + per-field avgdl
+        from clucene_spark.index.segments import fielded_term
+
+        terms = [fielded_term(field, t) for t in terms]
+    n_docs, avgdl = store.stats(field)
     dfs = store.doc_freqs(terms)
     idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
     live_terms = [t for t in terms if t in idf_by_term]

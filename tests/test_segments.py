@@ -308,3 +308,52 @@ def test_lang_dispatch_build(spark, tmp_path):
     assert {h[0] for h in hits} == {1, 2}
     # but the bigram 好世 exists ONLY via the zh CJKAnalyzer path
     assert [h[0] for h in wand_query_local(store, ["好世"], k=10)] == [1]
+
+
+def test_fielded_segment_store_wand(spark, tmp_path):
+    """Multi-field segment store: composite field\\x1fterm keys, per-field
+    doc_lens, wand_query(field=...) scores == the relational fielded
+    Searcher's BM25 (rank + value identity at 4dp)."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.index.segments import (
+        FIELD_SEP,
+        SegmentStore,
+        build_segments_fused,
+    )
+    from clucene_spark.search.engine import Searcher, TermQuery
+    from clucene_spark.search.wand import wand_query, wand_query_local
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    two = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+        "text",
+    )
+    d = str(tmp_path / "fielded_idx")
+    build_segments_fused(
+        two, d, docs_per_segment=128,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    store = SegmentStore(spark, d)
+    # composite keys present for both fields, dictionary sorted
+    terms = [r["term"] for r in store.postings().select("term").collect()]
+    assert any(t.startswith("title" + FIELD_SEP) for t in terms)
+    assert any(t.startswith("text" + FIELD_SEP) for t in terms)
+    assert "field" in store.doc_lens().columns
+    # per-field stats: title avgdl ~4, text avgdl much larger
+    _, avg_title = store.stats(field="title")
+    _, avg_text = store.stats(field="text")
+    assert avg_title < avg_text
+
+    idx = InvertedIndex(
+        two, fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")]
+    )
+    s = Searcher(idx, similarity="bm25")
+    for fld, term in [("title", "join"), ("text", "spark")]:
+        want = [(r["doc_id"], r["score"]) for r in
+                s.topk(TermQuery(term=term, field=fld), 10, round_to=4).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               wand_query(store, [term], k=10, field=fld).collect()]
+        assert got == want, (fld, term)
+        assert wand_query_local(store, [term], k=10, field=fld) == want
