@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": lambda spark, sf: _searcher(spark, sf).topk(
             FuzzyQuery(term="spark", min_similarity=0.7), 10, round_to=4
         ),
+        "fuzzy_prefix_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            FuzzyQuery(term="spark", min_similarity=0.5, prefix_length=2),
+            10, round_to=4,
+        ),
         "range_topk": lambda spark, sf: _searcher(spark, sf).topk(
             RangeQuery(lower="sm", upper="st", inclusive=True), 10, round_to=4
         ),
@@ -288,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (reference index/Term.cpp, FieldInfos.cpp) ---
         "fielded_tf_topk": _q_fielded_tf,
         "parsed_fielded_tf_topk": _q_fielded_parsed,
+        # --- DateTools-encoded date range through the parser's date
+        #     detection (QueryParser.cpp:428-489, DateTools.h:30-49) ---
+        "date_range_topk": _q_date_range,
+        # --- StandardAnalyzer DFA driving an oracle-gated index ---
+        "term_topk_bm25_std": _q_term_topk_std,
+        "phrase_topk_std": _q_phrase_topk_std,
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         "wand_or_topk": lambda spark, sf: __import__(
@@ -417,6 +427,61 @@ def _q_wand_delete(spark, sf):
     delete_docs(d, [10, 20, 30])  # idempotent (set union)
     store = SegmentStore(spark, d)
     return wand_query(store, ["spark", "vector", "window"], k=10)
+
+
+_DATE_CACHE: dict[str, tuple] = {}
+
+
+def _date_index(spark, sf):
+    """Index over orders where each doc's single term is the DateTools
+    day-encoded o_orderdate (document/tools.py date_to_string_col) — the
+    encoded-term range-search model of the reference's date handling."""
+    if sf not in _DATE_CACHE:
+        from clucene_spark.document.tools import date_to_string_col
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        docs = orders.select(
+            F.col("o_orderkey").alias("doc_id"),
+            date_to_string_col(F.col("o_orderdate"), "day").alias("text"),
+        )
+        idx = InvertedIndex(docs).cache()
+        _DATE_CACHE[sf] = (idx, Searcher(idx, similarity="bm25"))
+    return _DATE_CACHE[sf]
+
+
+def _q_date_range(spark, sf):
+    """Parsed date range: QueryParser date detection encodes the ISO bounds
+    with DateTools at the field's resolution (QueryParser.cpp:428-489),
+    producing a term-range query over the encoded dictionary."""
+    _, s = _date_index(spark, sf)
+    q = _parse("[1996-03-01 TO 1996-06-30]", date_fields={"text": "day"})
+    return s.topk(q, 10, round_to=4)
+
+
+_STD_CACHE: dict[str, tuple] = {}
+
+
+def _std_searcher(spark, sf):
+    """StandardAnalyzer-built index (the DFA chain, not the whitespace fast
+    path). On this clean lowercase corpus the DFA's output equals
+    split-minus-stopwords, which the DuckDB oracle replays exactly — the
+    gate that pins the analyzer actually driving an oracle-checked index."""
+    if sf not in _STD_CACHE:
+        idx = InvertedIndex(_docs(spark, sf), analyzer="standard").cache()
+        _STD_CACHE[sf] = (idx, Searcher(idx, similarity="bm25"))
+    return _STD_CACHE[sf]
+
+
+def _q_term_topk_std(spark, sf):
+    _, s = _std_searcher(spark, sf)
+    return s.topk(TermQuery(term="spark"), 10, round_to=4)
+
+
+def _q_phrase_topk_std(spark, sf):
+    from clucene_spark.search.engine import PhraseQuery as _PQ
+
+    _, s = _std_searcher(spark, sf)
+    return s.topk(_PQ(terms=["key", "value"]), 10, round_to=4)
 
 
 _FIELDED_CACHE: dict[str, tuple] = {}
@@ -725,6 +790,48 @@ FROM assign a JOIN probe p ON a.cluster = p.cid, q
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
+# StandardAnalyzer prelude: split-minus-stopwords with DENSE post-stop
+# positions (the DFA chain's output on this clean lowercase corpus)
+def _prelude_std() -> str:
+    return f"""
+WITH tokens0 AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS rawpos
+  FROM documents
+),
+tok0 AS (SELECT * FROM tokens0 WHERE term <> '' AND term NOT IN {_STOP33_SQL}),
+tok AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos
+  FROM tok0
+),
+postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+),
+doc_lens AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+term_dict AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens
+),
+bm25 AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS sc,
+         t.df, p.tf, d.dl, s.n_docs, s.avgdl
+  FROM postings p
+  JOIN term_dict t USING (term)
+  JOIN doc_lens d USING (doc_id)
+  CROSS JOIN stats s
+)
+"""
+
+
 _STOP33_SQL = "('" + "', '".join(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
@@ -812,12 +919,40 @@ FROM bm25 WHERE regexp_matches(term, '^s.a.*$')
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        # FuzzyQuery rewrite semantics (FuzzyQuery.cpp:377-425): strict
+        # sim > minSim, each expanded term's score scaled by
+        # (sim - minSim)/(1 - minSim). Expansion is far below the 1024 cap
+        # at this corpus, so the cap needs no SQL mirror.
         "fuzzy_topk": _PRELUDE
         + """
-SELECT doc_id, ROUND(SUM(sc), 4) AS score
-FROM bm25
-WHERE 1.0 - levenshtein(term, 'spark') / least(length(term), 5) >= 0.7
-GROUP BY doc_id
+SELECT doc_id, ROUND(SUM(sc * rw), 4) AS score
+FROM (
+  SELECT b.doc_id, b.sc,
+         ((1.0 - levenshtein(b.term, 'spark') / least(length(b.term), 5)) - 0.7)
+           / 0.3 AS rw
+  FROM bm25 b
+  WHERE 1.0 - levenshtein(b.term, 'spark') / least(length(b.term), 5) > 0.7
+) GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # prefixLength=2: suffix-only levenshtein over sp-prefixed terms,
+        # denominator prefixLength + min(suffix lens) (FuzzyQuery.cpp:225-227)
+        "fuzzy_prefix_topk": _PRELUDE
+        + """
+SELECT doc_id, ROUND(SUM(sc * rw), 4) AS score
+FROM (
+  SELECT b.doc_id, b.sc,
+         ((1.0 - levenshtein(substr(b.term, 3), 'ark')
+            / (2.0 + least(length(b.term) - 2, 3))) - 0.5) / 0.5 AS rw
+  FROM bm25 b
+  WHERE b.term LIKE 'sp%' AND length(b.term) > 2
+    AND 1.0 - levenshtein(substr(b.term, 3), 'ark')
+          / (2.0 + least(length(b.term) - 2, 3)) > 0.5
+  UNION ALL
+  SELECT b.doc_id, b.sc, ((1.0 - 3.0 / 2.0) - 0.5) / 0.5 AS rw
+  FROM bm25 b
+  WHERE b.term = 'sp' AND (1.0 - 3.0 / 2.0) > 0.5
+) GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "range_topk": _PRELUDE
@@ -1149,6 +1284,52 @@ WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     d["parsed_fielded_tf_topk"] = d["fielded_tf_topk"]
+    # date terms: strftime == DateTools day resolution; every doc has one
+    # term, dl=1, avgdl=1 — bm25 reduces to idf (formula kept in full for
+    # float identity with the Spark plan)
+    d["date_range_topk"] = """
+WITH tok AS (
+  SELECT o_orderkey AS doc_id, strftime(o_orderdate, '%Y%m%d') AS term
+  FROM orders
+),
+postings AS (SELECT term, doc_id, CAST(1 AS BIGINT) AS tf FROM tok),
+doc_lens AS (SELECT doc_id, CAST(1 AS BIGINT) AS dl FROM tok),
+term_dict AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens),
+bm25 AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+           * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / s.avgdl)) AS sc
+  FROM postings p JOIN term_dict t USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(sc, 4) AS score FROM bm25
+WHERE term >= '19960301' AND term <= '19960630'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    d["term_topk_bm25_std"] = _prelude_std() + """
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25 WHERE term = 'spark'
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    d["phrase_topk_std"] = _prelude_std() + """
+, pfreq AS (
+  SELECT t1.doc_id, count(*) AS pf
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'key' AND t2.term = 'value'
+  GROUP BY t1.doc_id
+),
+idf AS (
+  SELECT SUM(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+         any_value(s.avgdl) AS avgdl
+  FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value')
+)
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pf * 2.2)
+             / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pfreq p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pf > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # parsed-path queries produce identical results to their programmatic
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]

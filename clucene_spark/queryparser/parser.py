@@ -82,12 +82,52 @@ class QueryParser:
 
     def __init__(self, default_field: str = "text", analyzer=None,
                  default_operator: str = "OR",
-                 indexed_fields=None, keyword_fields=None):
+                 indexed_fields=None, keyword_fields=None,
+                 date_fields: dict | None = None):
         self.default_field = default_field
         self.analyze = analyzer or (lambda t: [x[0] for x in standard_analyze(t)])
         self.default_operator = default_operator
         self.indexed_fields = set(indexed_fields or ()) | {default_field}
         self.keyword_fields = set(keyword_fields or ())
+        # setDateResolution analogue (reference QueryParser.cpp:229-256):
+        # field -> DateTools resolution; range bounds that parse as dates on
+        # these fields are encoded to sortable DateTools term strings
+        # (QueryParser::GetRangeQuery date detection, QueryParser.cpp:428-489)
+        self.date_fields = dict(date_fields or {})
+
+    _DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+
+    def _maybe_date_bounds(self, field: str, lo: str | None, hi: str | None,
+                           inclusive: bool):
+        """If the field has a date resolution and both present bounds parse
+        as ISO dates, return DateTools-encoded bounds; else None. The upper
+        bound of an inclusive range is pushed to end-of-day first — 'the
+        user can only specify the date, not the time' (QueryParser.cpp:445)."""
+        res = self.date_fields.get(field)
+        if res is None:
+            return None
+        import datetime as _dt
+
+        from clucene_spark.document.tools import date_to_string
+
+        def enc(s: str | None, end: bool):
+            if s is None:
+                return None, True
+            m = self._DATE_RE.match(s)
+            if not m:
+                return None, False
+            y, mo, dd = (int(g) for g in m.groups())
+            if end and inclusive:
+                dt = _dt.datetime(y, mo, dd, 23, 59, 59, 999000)
+            else:
+                dt = _dt.datetime(y, mo, dd)
+            return date_to_string(dt, res), True
+
+        lo_e, ok_lo = enc(lo, end=False)
+        hi_e, ok_hi = enc(hi, end=True)
+        if not (ok_lo and ok_hi):
+            return None
+        return lo_e, hi_e
 
     # -- lexer ---------------------------------------------------------------
 
@@ -345,6 +385,10 @@ class QueryParser:
         if t.kind == "RANGE":
             lo = t.lower.lower() if t.lower else None
             hi = t.upper.lower() if t.upper else None
+            dated = self._maybe_date_bounds(field or self.default_field,
+                                            lo, hi, t.inclusive)
+            if dated is not None:
+                lo, hi = dated
             return RangeQuery(boost=boost, lower=lo, upper=hi,
                               inclusive=t.inclusive, field=qfield)
         if t.kind == "QUOTED":

@@ -102,6 +102,7 @@ class WildcardQuery(Query):
 class FuzzyQuery(Query):
     term: str = ""
     min_similarity: float = 0.5  # reference default queryParser/QueryParser.h:123
+    prefix_length: int = 0       # reference FuzzyQuery.h prefixLength
     field: Optional[str] = None
 
     def __str__(self) -> str:
@@ -407,13 +408,6 @@ class Searcher:
             return td.filter(F.col("term").startswith(query.prefix))
         if isinstance(query, WildcardQuery):
             return td.filter(F.col("term").rlike(_wildcard_to_regex(query.pattern)))
-        if isinstance(query, FuzzyQuery):
-            # sim = 1 - dist/min(len) >= min_similarity (FuzzyQuery.cpp:110-260)
-            t = query.term
-            dist = F.levenshtein(F.col("term"), F.lit(t))
-            min_len = F.least(F.length("term"), F.lit(len(t)))
-            similarity_col = 1.0 - dist / min_len
-            return td.filter(similarity_col >= query.min_similarity)
         if isinstance(query, RangeQuery):
             c = F.col("term")
             cond = F.lit(True)
@@ -442,6 +436,76 @@ class Searcher:
             idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
             per_term = sim.classic_tf(F.col("tf")) * idf * idf * (1.0 / F.sqrt(F.col("dl")))
         per_term = per_term * F.lit(query.boost)
+        return p.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
+
+    MAX_CLAUSE_COUNT = 1024  # reference search/BooleanQuery.cpp:147-149
+
+    def _fuzzy_matches(self, query: FuzzyQuery) -> DataFrame:
+        """(term, df, rw_boost) expansion set, reference-faithful
+        (FuzzyTermEnum, search/FuzzyQuery.cpp:42-230,377-425):
+
+          * candidates must share the first prefixLength chars (pushed to
+            the dictionary scan as a startswith predicate);
+          * sim = 1 - lev(suffix_a, suffix_b) / (prefixLength + min(|a|,|b|))
+            over the POST-prefix suffixes, with the reference's n==0/m==0
+            edge rules (FuzzyQuery.cpp:143-152,225-227);
+          * keep only sim > minSimilarity (strict), cap the expansion at the
+            best maxClauseCount=1024 by rewrite score (ScoreTermQueue);
+          * rw_boost = (sim - minSim) / (1 - minSim) — the difference()
+            scale_factor each expanded TermQuery is boosted by.
+        """
+        t = query.term
+        plen = min(int(query.prefix_length), len(t))
+        pre, suf = t[:plen], t[plen:]
+        n = len(suf)
+        td = self._tdict(query.field).select("term", "df")
+        if plen:
+            td = td.filter(F.col("term").startswith(pre))
+        suffix_col = F.expr(f"substring(term, {plen + 1})")
+        m = F.length(suffix_col).cast("double")
+        if n == 0:
+            sim_col = F.when(
+                F.lit(plen) > 0, F.lit(1.0) - m / F.lit(float(max(plen, 1)))
+            ).otherwise(F.lit(0.0))
+        else:
+            dist = F.levenshtein(suffix_col, F.lit(suf)).cast("double")
+            general = F.lit(1.0) - dist / (
+                F.lit(float(plen)) + F.least(F.lit(float(n)), m)
+            )
+            m0 = (
+                F.lit(1.0 - n / plen) if plen > 0 else F.lit(0.0)
+            )
+            sim_col = F.when(m == 0, m0).otherwise(general)
+        scale = 1.0 / (1.0 - query.min_similarity)
+        matched = td.select(
+            "term", "df", sim_col.alias("sim")
+        ).filter(F.col("sim") > query.min_similarity)
+        rw = ((F.col("sim") - query.min_similarity) * scale).alias("rw_boost")
+        return (
+            matched.select("term", "df", rw)
+            .orderBy(F.col("rw_boost").desc(), F.col("term").asc())
+            .limit(self.MAX_CLAUSE_COUNT)
+        )
+
+    def _score_fuzzy(self, query: FuzzyQuery) -> DataFrame:
+        """rewrite -> BooleanQuery(SHOULD, coord disabled) of boosted
+        TermQueries (FuzzyQuery::rewrite, FuzzyQuery.cpp:377-425): every
+        expanded term scores with its own tf/idf times rw_boost."""
+        qf = query.field
+        matches = self._fuzzy_matches(query)
+        p = self._postings(qf).join(F.broadcast(matches), "term")
+        p = p.join(self._doclens(qf), "doc_id")
+        if self.similarity == "bm25":
+            per_term = sim.bm25_score(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                F.lit(float(self.n_docs)), F.lit(self._avgdl(qf)),
+            )
+        else:
+            idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
+            per_term = (
+                sim.classic_tf(F.col("tf")) * idf * idf * (1.0 / F.sqrt(F.col("dl")))
+            )
+        per_term = per_term * F.col("rw_boost") * F.lit(query.boost)
         return p.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
 
     def _score_phrase(self, query: PhraseQuery, query_norm: float = 1.0) -> DataFrame:
@@ -594,7 +658,9 @@ class Searcher:
             return self._score_phrase(query, query_norm)
         if isinstance(query, MultiPhraseQuery):
             return self._score_multi_phrase(query)
-        if isinstance(query, (PrefixQuery, WildcardQuery, FuzzyQuery, RangeQuery)):
+        if isinstance(query, FuzzyQuery):
+            return self._score_fuzzy(query)
+        if isinstance(query, (PrefixQuery, WildcardQuery, RangeQuery)):
             return self._score_multiterm(query)
         if isinstance(query, MatchAllQuery):
             ids = self.index.doc_lens.select("doc_id")

@@ -361,3 +361,49 @@ def test_multifield_phrase_prefix_and_range(spark):
     assert s.topk(pre, 10).count() == 0
     pre2 = PrefixQuery(prefix="gam", field="text")
     assert s.topk(pre2, 10).count() == 2
+
+
+def test_fuzzy_reference_semantics(spark):
+    """FuzzyTermEnum parity: prefixLength filter, suffix-only levenshtein
+    with prefixLength+min(n,m) denominator, strict > minSim, and the
+    (sim-minSim)/(1-minSim) rewrite boost scaling scores."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import FuzzyQuery, Searcher
+
+    rows = [
+        (0, "spark spark spark"),   # exact: sim 1.0 -> rw 1.0
+        (1, "spork spork"),         # lev 1, sim 1-1/5=0.8
+        (2, "sprocket engines"),    # lev(sprocket,spark)=5 -> sim<=0
+        (3, "shark tank"),          # lev 1 but prefix 'sh' fails plen=2
+        (4, "spark lite"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedIndex(docs)
+    s = Searcher(idx, similarity="bm25")
+
+    # plen=0: shark qualifies (sim 0.8), sprocket does not
+    hits0 = {r["doc_id"] for r in
+             s.topk(FuzzyQuery(term="spark", min_similarity=0.5), 10).collect()}
+    assert hits0 == {0, 1, 3, 4}
+    # plen=2: shark drops (prefix mismatch), spork stays
+    hits2 = {r["doc_id"] for r in
+             s.topk(FuzzyQuery(term="spark", min_similarity=0.5,
+                               prefix_length=2), 10).collect()}
+    assert hits2 == {0, 1, 4}
+    # rewrite boost: exact match rw=1.0; spork rw=(0.8-0.5)/0.5=0.6 — the
+    # expansion frame carries exactly these
+    m = {r["term"]: r["rw_boost"] for r in
+         s._fuzzy_matches(FuzzyQuery(term="spark", min_similarity=0.5)).collect()}
+    assert abs(m["spark"] - 1.0) < 1e-9
+    assert abs(m["spork"] - 0.6) < 1e-9
+    assert "sprocket" not in m
+    # strict >: a term at exactly minSim is excluded (sim(shark)=0.8)
+    m2 = {r["term"] for r in
+          s._fuzzy_matches(FuzzyQuery(term="spark", min_similarity=0.8)).collect()}
+    assert m2 == {"spark"}
+    # cap plumbing: the expansion plan is LIMITed to MAX_CLAUSE_COUNT
+    assert s.MAX_CLAUSE_COUNT == 1024
+    plan = s._fuzzy_matches(
+        FuzzyQuery(term="spark", min_similarity=0.5)
+    )._jdf.queryExecution().analyzed().toString()
+    assert "1024" in plan
