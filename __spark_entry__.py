@@ -300,15 +300,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_std": _q_phrase_topk_std,
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
+        # serving path default: wand_query_direct (shuffle-free fan-out;
+        # rank-identical to wand_query, tested)
         "wand_or_topk": lambda spark, sf: __import__(
-            "clucene_spark.search.wand", fromlist=["wand_query"]
-        ).wand_query(_store(spark, sf), ["spark", "vector", "window"], k=10),
+            "clucene_spark.search.wand", fromlist=["wand_query_direct"]
+        ).wand_query_direct(_store(spark, sf), ["spark", "vector", "window"], k=10),
         "wand_and_topk": lambda spark, sf: __import__(
-            "clucene_spark.search.wand", fromlist=["wand_query"]
-        ).wand_query(_store(spark, sf), ["spark", "join"], k=10, mode="AND"),
+            "clucene_spark.search.wand", fromlist=["wand_query_direct"]
+        ).wand_query_direct(_store(spark, sf), ["spark", "join"], k=10, mode="AND"),
         "wand_merged_topk": lambda spark, sf: __import__(
-            "clucene_spark.search.wand", fromlist=["wand_query"]
-        ).wand_query(_store(spark, sf, compacted=True), ["spark", "vector", "window"], k=10),
+            "clucene_spark.search.wand", fromlist=["wand_query_direct"]
+        ).wand_query_direct(_store(spark, sf, compacted=True), ["spark", "vector", "window"], k=10),
         "wand_delete_topk": _q_wand_delete,
         # --- index-build aggregations (SURVEY §2b: term dict, norms) ---
         "term_dict": lambda spark, sf: _index(spark, sf).term_dict.orderBy("term"),
@@ -332,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_brute,
         "ann_cosine_topk_pandas": _q_ann_pandas,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_trained_topk": _q_ann_ivf_trained,
         # --- multimodal plumbing (decode stubbed; schema/batching real) ---
         "multimodal_features": _q_mm_features,
         "multimodal_frame_sample": _q_mm_frames,
@@ -412,7 +415,7 @@ def _q_wand_delete(spark, sf):
         build_segments_fused,
         delete_docs,
     )
-    from clucene_spark.search.wand import wand_query
+    from clucene_spark.search.wand import wand_query_direct
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_del"
@@ -426,7 +429,7 @@ def _q_wand_delete(spark, sf):
         store = SegmentStore(spark, d)
     delete_docs(d, [10, 20, 30])  # idempotent (set union)
     store = SegmentStore(spark, d)
-    return wand_query(store, ["spark", "vector", "window"], k=10)
+    return wand_query_direct(store, ["spark", "vector", "window"], k=10)
 
 
 _DATE_CACHE: dict[str, tuple] = {}
@@ -600,6 +603,35 @@ def _q_ann_ivf(spark, sf):
     ]
     return ivf_topk(_vecs(spark, sf), cents, _query_vec(spark, sf, vec_id=3),
                     k=10, n_probe=3)
+
+
+_IVF_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _q_ann_ivf_trained(spark, sf):
+    """k-means-trained IVF over cluster-partitioned storage: the trainer is
+    a deterministic seeded Lloyd's over a bounded sample, the corpus is
+    written partitionBy(cluster), and the probe reads only its clusters'
+    partitions. Registered WITHOUT an oracle (iterative algorithm — the
+    driver records the rows-only check); recall vs brute force is
+    pytest-gated in tests/test_pipeline.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.pipeline.ann import ivf_topk_stored, ivf_write, kmeans_train
+
+    if sf not in _IVF_STORE_CACHE:
+        vecs = _vecs(spark, sf)
+        cents = kmeans_train(vecs, k=8, n_iter=8, seed=42)
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/clucene_ivf_{tag}"
+        if not os.path.isdir(path):
+            ivf_write(vecs.select("vec_id", "embedding"), cents, path)
+        _IVF_STORE_CACHE[sf] = (path, cents)
+    path, cents = _IVF_STORE_CACHE[sf]
+    q = _query_vec(spark, sf, vec_id=7)
+    return ivf_topk_stored(spark, path, cents, q, k=10, n_probe=3)
 
 
 def _q_mm_features(spark, sf):

@@ -54,7 +54,7 @@ def main() -> None:
         Searcher,
         TermQuery,
     )
-    from clucene_spark.search.wand import wand_query
+    from clucene_spark.search.wand import wand_query_direct
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -98,10 +98,10 @@ def main() -> None:
 
     # --- WAND over the on-disk segments ---
     t0 = time.perf_counter()
-    wand_query(store, ["spark", "vector", "window"], k=10).collect()
+    wand_query_direct(store, ["spark", "vector", "window"], k=10).collect()
     timings["wand_or"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
-    wand_query(store, ["spark", "join"], k=10, mode="AND").collect()
+    wand_query_direct(store, ["spark", "join"], k=10, mode="AND").collect()
     timings["wand_and"] = round(time.perf_counter() - t0, 4)
 
     # --- relational engine (warm cached index) ---

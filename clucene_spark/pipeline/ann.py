@@ -107,6 +107,74 @@ def hyperplanes(n_planes: int = 8, seed: int = 42, dim: int = 64) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def kmeans_train(
+    vecs: DataFrame,
+    k: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a bounded driver-side sample —
+    the IVF coarse-quantizer trainer. Sampling is the standard practice at
+    corpus scale (FAISS-style IVF trains centroids on ~10^5 vectors even
+    for 10^9-vector indexes); the full-corpus pass is the ASSIGNMENT
+    (ivf_assign / ivf_write), which stays distributed. Deterministic given
+    (input order, seed): sample = first `sample` rows by id, init = seeded
+    choice, ties in argmin resolve to the lowest centroid id."""
+    rows = vecs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    k = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [c.tolist() for c in C]
+
+
+def ivf_write(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY cluster — the IVF inverted
+    file. A probe query then reads only its probed clusters' directories
+    (Spark partition pruning on the `cluster` filter), so query cost is
+    n_probe/n_clusters of the corpus instead of a full scan — the piece
+    round 1 lacked (every query re-assigned the whole corpus)."""
+    assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe the stored IVF: nearest n_probe centroids picked driver-side,
+    cluster filter prunes partitions at the parquet scan, brute-force
+    cosine inside the probed buckets only."""
+    qa = np.asarray(query, dtype=np.float64)
+    cd = [(float(((np.asarray(c) - qa) ** 2).sum()), i) for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(cd)[:n_probe]]
+    df = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return cosine_topk(df, query, k, id_col, vec_col, round_to)
+
+
 def lsh_bucketed(
     vecs: DataFrame,
     n_planes: int = 8,

@@ -197,3 +197,41 @@ def test_embedding_neardup_bucketed_recall(vecs):
     assert got <= ref          # no false positives (exact in-bucket verify)
     recall = len(got & ref) / len(ref)
     assert recall == 1.0       # flip-1 probing recovers every planted twin here
+
+
+def test_ivf_trained_store_prunes_and_recalls(spark, vecs, tmp_path):
+    """k-means-trained IVF: deterministic trainer, cluster-partitioned
+    storage whose probe plan PRUNES partitions, recall vs brute force."""
+    from clucene_spark.pipeline.ann import (
+        cosine_topk,
+        ivf_topk_stored,
+        ivf_write,
+        kmeans_train,
+    )
+
+    cents = kmeans_train(vecs, k=8, n_iter=8, seed=42)
+    assert cents == kmeans_train(vecs, k=8, n_iter=8, seed=42)  # deterministic
+    assert len(cents) == 8 and len(cents[0]) == 64
+    path = str(tmp_path / "ivf_store")
+    ivf_write(vecs.select("vec_id", "embedding"), cents, path)
+    import os
+
+    cluster_dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
+    assert len(cluster_dirs) >= 4  # corpus actually spread across buckets
+
+    qv = [float(x) for x in vecs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ivf_topk_stored(spark, path, cents, qv, k=10, n_probe=4)
+    # partition pruning: the probed scan reads only the probed clusters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    probed = {(r["vec_id"], r["cosine"]) for r in got.collect()}
+    brute = {(r["vec_id"], r["cosine"]) for r in cosine_topk(vecs, qv, k=10).collect()}
+    # this corpus is uniform random (no cluster structure), so IVF recall
+    # is bounded near n_probe/k = 0.5 by construction; assert clearly above
+    # chance with the exact-verify subset property carrying correctness
+    recall = len({v for v, _ in probed} & {v for v, _ in brute}) / 10
+    assert recall >= 0.5
+    # everything IVF returns is honestly scored (subset of brute scores)
+    all_cos = {(r["vec_id"], r["cosine"]) for r in
+               cosine_topk(vecs, qv, k=10_000).collect()}
+    assert probed <= all_cos
