@@ -165,11 +165,25 @@ def accent_filter(tokens):
 # per-field dispatch
 # ---------------------------------------------------------------------------
 
+def _german_analyze(text):
+    from clucene_spark.analysis.german import german_analyze
+
+    return german_analyze(text)
+
+
+def _snowball_analyze(text):
+    from clucene_spark.analysis.german import snowball_analyze
+
+    return snowball_analyze(text, "english")
+
+
 ANALYZERS = {
     "whitespace": whitespace_analyze,
     "simple": simple_analyze,
     "stop": stop_analyze,
     "keyword": keyword_analyze,
+    "german": _german_analyze,
+    "snowball": _snowball_analyze,
 }
 
 

@@ -263,6 +263,25 @@ def merge_segments(
         "doc_id"
     ).write.mode("overwrite").parquet(os.path.join(tmp_root, "doc_lens.parquet"))
 
+    # term vectors merge (SegmentMerger::mergeVectors): the forward index
+    # is per-doc rows, so merging = union + rebase + delete-purge; doc-sorted
+    # so per-doc reads prune row groups
+    tv_paths = [os.path.join(seg_root, n, "term_vectors.parquet") for n in names]
+    if all(os.path.exists(p) for p in tv_paths):
+        tv_all = spark.read.parquet(*tv_paths)
+        if base:
+            tv_all = tv_all.withColumn("doc_id", F.col("doc_id") + base)
+        if deleted.size:
+            del_df2 = spark.createDataFrame(
+                [(int(x),) for x in deleted], "doc_id long"
+            )
+            tv_all = tv_all.join(F.broadcast(del_df2), "doc_id", "left_anti")
+        tv_all.repartitionByRange(max(1, n_part // 4), "doc_id").sortWithinPartitions(
+            "doc_id", "term"
+        ).write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "term_vectors.parquet")
+        )
+
     final_dir = os.path.join(seg_root, new_name)
     os.rename(tmp_root, final_dir)  # atomic publish
 

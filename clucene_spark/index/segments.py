@@ -144,9 +144,15 @@ def _analyze_docs(texts, analyzer: str, langs=None):
 
 
 def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
-                   term_prefix: str = ""):
+                   term_prefix: str = "", build_tv: bool = False):
     """Sort-invert-encode one token stream (numpy, no python per token).
-    Returns (seg_pdf, uniq_docs, dl_counts, n_tok, n_postings)."""
+    Returns (seg_pdf, uniq_docs, dl_counts, n_tok, n_postings[, tv_pdf]).
+
+    build_tv additionally materializes the FORWARD index — one row per
+    (doc, term) with tf + positions, the TermPositionVector
+    (reference index/TermVectorWriter.cpp:29-37 .tvx/.tvd/.tvf; read side
+    TermVectorsReader). It reuses the same sorted run boundaries as the
+    inverted encode, so the extra cost is one np.split + a sort by doc."""
     total = int(counts.sum())
     if term_prefix:
         t_arr = np.array(
@@ -197,7 +203,18 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
             "blk_min_dl": enc["blk_min_dl"],
         }
     )
-    return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx))
+    if not build_tv:
+        return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx))
+    pos_runs = np.split(p, post_idx[1:]) if n_tok else []
+    tv_pdf = pd.DataFrame(
+        {
+            "doc_id": docs_p,
+            "term": terms_p.astype(str),
+            "tf": tfs,
+            "positions": [r.tolist() for r in pos_runs],
+        }
+    ).sort_values(["doc_id", "term"], kind="mergesort")
+    return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx)), tv_pdf
 
 
 SEGMENT_SCHEMA = T.StructType(
@@ -548,6 +565,7 @@ def build_segments_fused(
     resume: bool = True,
     lang_col: str | None = None,
     fields: list[tuple[str, str, str]] | None = None,
+    term_vectors: bool = False,
 ) -> DataFrame:
     """Single-Python-stage index build: tokenize + invert + encode fused.
 
@@ -609,6 +627,7 @@ def build_segments_fused(
     idx_dir = index_dir
     wp = with_positions
     an = analyzer
+    tv = term_vectors
 
     def _build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
@@ -629,6 +648,7 @@ def build_segments_fused(
 
         pdf = pdf.sort_values("doc_id", kind="mergesort")
         doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
+        tv_frames: list[pd.DataFrame] = []
         if flds:
             # one invert pass per field; concatenating in sorted field-name
             # order keeps the composite "field\x1fterm" keys globally sorted
@@ -638,10 +658,13 @@ def build_segments_fused(
             for fname, _src_col, an_f in flds:
                 texts_f = pdf[fname].to_numpy()
                 per_doc, p_f, counts_f = _analyze_docs(texts_f, an_f)
-                seg_f, uq, dlc, nt, npst = _invert_encode(
+                res = _invert_encode(
                     doc_ids_in, per_doc, p_f, counts_f, wp,
-                    term_prefix=fname + FIELD_SEP,
+                    term_prefix=fname + FIELD_SEP, build_tv=tv,
                 )
+                seg_f, uq, dlc, nt, npst = res[:5]
+                if tv:
+                    tv_frames.append(res[5])
                 frames.append(seg_f)
                 dl_frames.append(
                     pd.DataFrame({"doc_id": uq, "field": fname, "dl": dlc})
@@ -656,9 +679,12 @@ def build_segments_fused(
             texts = pdf["text"].to_numpy()
             langs = pdf["lang"].to_numpy() if an == "lang" else None
             per_doc, p, counts = _analyze_docs(texts, an, langs)
-            seg_pdf, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
-                doc_ids_in, per_doc, p, counts, wp
+            res = _invert_encode(
+                doc_ids_in, per_doc, p, counts, wp, build_tv=tv
             )
+            seg_pdf, uniq_docs, dl_counts, n_tok, n_post = res[:5]
+            if tv:
+                tv_frames.append(res[5])
             dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
 
         import pyarrow as pa
@@ -672,6 +698,14 @@ def build_segments_fused(
             pa.Table.from_pandas(dl_pdf, preserve_index=False),
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
+        if tv and tv_frames:
+            tv_all = pd.concat(tv_frames, ignore_index=True).sort_values(
+                ["doc_id", "term"], kind="mergesort"
+            )
+            pq.write_table(
+                pa.Table.from_pandas(tv_all, preserve_index=False),
+                os.path.join(tmp_path, "term_vectors.parquet"),
+            )
         if len(seg_pdf):
             _write_term_index(tmp_path, seg_pdf["term"])
         os.rename(tmp_path, seg_path)
@@ -859,6 +893,49 @@ class SegmentStore:
     def deleted_ids(self) -> set[int]:
         """Buffered deletions (the .del bitset analogue)."""
         return set(read_deletes(self.index_dir))
+
+    def has_term_vectors(self) -> bool:
+        return all(
+            os.path.exists(
+                os.path.join(self.index_dir, "segments", n, "term_vectors.parquet")
+            )
+            for n in self._names
+        )
+
+    def term_vectors(self) -> DataFrame:
+        """Forward index (doc_id, term, tf, positions) — the
+        TermVectorsReader surface (reference index/TermVectorReader.cpp,
+        tests src/test/index/TestTermVectorsReader.cpp). Requires the index
+        to have been built with term_vectors=True."""
+        paths = [
+            os.path.join(self.index_dir, "segments", n, "term_vectors.parquet")
+            for n in self._names
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, list[int]]]:
+        """One document's vector, read driver-side via pyarrow with a
+        doc_id filter (rows are doc-sorted, so row groups prune) — the
+        IndexReader::getTermFreqVector(docNumber) call shape."""
+        import pyarrow.dataset as pa_ds
+
+        out = []
+        for n in self._names:
+            path = os.path.join(self.index_dir, "segments", n, "term_vectors.parquet")
+            if not os.path.exists(path):
+                continue
+            tab = pa_ds.dataset(path).to_table(
+                filter=pa_ds.field("doc_id") == int(doc_id)
+            )
+            for i in range(tab.num_rows):
+                out.append(
+                    (
+                        tab["term"][i].as_py(),
+                        int(tab["tf"][i].as_py()),
+                        list(tab["positions"][i].as_py()),
+                    )
+                )
+        return sorted(out)
 
     def dataset(self, segment: str):
         """Memoized pyarrow dataset handle for a segment's postings file —

@@ -295,3 +295,65 @@ def test_hybrid_chunk_path_equivalent_to_whole_text_dfa(text):
     from clucene_spark.analysis.standard import standard_analyze_terms
 
     assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
+
+
+GERMAN_GOLDENS = [
+    # reference src/test/data/contribs-lib/analysis/de/data.txt (behavior
+    # goldens of TestGermanStemFilter.cpp, embedded so the repo stands alone)
+    ("häufig", "haufig"),
+    ("abschließen", "abschliess"),
+    ("abschließender", "abschliess"),
+    ("abschließendes", "abschliess"),
+    ("abschließenden", "abschliess"),
+    ("tisch", "tisch"),
+    ("tische", "tisch"),
+    ("tischen", "tisch"),
+    ("haus", "hau"),
+    ("hauses", "hau"),
+    ("häuser", "hau"),
+    ("häusern", "hau"),
+    ("hauen", "hau"),
+    ("drama", "drama"),
+    ("dramen", "dram"),
+    ("ausmaß", "ausmass"),
+    ("xxxxxe", "xxxxx"),
+    ("xxxxxs", "xxxxx"),
+    ("xxxxxn", "xxxxx"),
+    ("xxxxxt", "xxxxx"),
+    ("xxxxxem", "xxxxx"),
+    ("xxxxxer", "xxxxx"),
+    ("xxxxxnd", "xxxxx"),
+    ("xxxxxetende", "xxxxx"),
+]
+
+
+def test_german_stemmer_reference_goldens():
+    from clucene_spark.analysis.german import german_stem
+
+    for word, want in GERMAN_GOLDENS:
+        assert german_stem(word) == want, word
+
+
+def test_german_analyzer_chain():
+    from clucene_spark.analysis.german import german_analyze
+
+    got = german_analyze("Der abschließende Häuser und die Tische")
+    assert [t for t, *_ in got] == ["abschliess", "hau", "tisch"]
+    # dense positions after the German stop filter
+    assert [p for _, p, *_ in got] == [0, 1, 2]
+    # exclusion set bypasses the stemmer (GermanStemFilter exclusion table)
+    got2 = german_analyze("Häuser", exclusions={"häuser"})
+    assert [t for t, *_ in got2] == ["häuser"]
+
+
+def test_snowball_dispatch():
+    import pytest as _pytest
+
+    from clucene_spark.analysis.german import snowball_analyze, snowball_stem
+
+    assert snowball_stem("connections", "english") == "connect"
+    assert snowball_stem("häuser", "german") == "hau"
+    with _pytest.raises(ValueError):
+        snowball_stem("x", "klingon")
+    toks = snowball_analyze("running quickly", "english")
+    assert [t for t, *_ in toks] == ["run", "quickli"]

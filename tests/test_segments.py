@@ -357,3 +357,77 @@ def test_fielded_segment_store_wand(spark, tmp_path):
                wand_query(store, [term], k=10, field=fld).collect()]
         assert got == want, (fld, term)
         assert wand_query_local(store, [term], k=10, field=fld) == want
+
+
+def test_term_vectors_forward_index(spark, tmp_path):
+    """TermPositionVector parity: per-doc (term, tf, positions) rows match
+    a re-analysis of the document; survives merge with rebase+deletes."""
+    from clucene_spark.index.merge import optimize
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_fused,
+        delete_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta alpha gamma doc{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tv_idx")
+    build_segments_fused(docs, d, docs_per_segment=16, analyzer="whitespace",
+                         term_vectors=True)
+    store = SegmentStore(spark, d)
+    assert store.has_term_vectors()
+    tvec = store.term_vector(7)
+    assert tvec == [
+        ("alpha", 2, [0, 2]),
+        ("beta", 1, [1]),
+        ("doc7", 1, [4]),
+        ("gamma", 1, [3]),
+    ]
+    # distributed surface
+    n = store.term_vectors().filter(F.col("doc_id") == 7).count()
+    assert n == 4
+    # merge keeps vectors, purges deletes
+    delete_docs(d, [7])
+    optimize(spark, d)
+    store = SegmentStore(spark, d)
+    assert store.has_term_vectors()
+    assert store.term_vector(7) == []
+    assert store.term_vector(8)[0][0] == "alpha"
+
+
+def test_payload_postings_and_boosting(spark):
+    """Payload.h model: payloads aligned with positions; boosting term
+    scores scale with the average first payload byte."""
+    from clucene_spark.index.payloads import (
+        build_postings_with_payloads,
+        payload_term_scores,
+    )
+
+    rows = [
+        # (doc, pos, term, payload byte) — doc 1 carries a high boost
+        (0, 0, "spark", bytes([1])),
+        (0, 1, "fast", bytes([1])),
+        (1, 0, "spark", bytes([10])),
+        (1, 1, "slow", bytes([1])),
+        (2, 0, "spark", None),
+        (2, 1, "spark", bytes([4])),
+    ]
+    tokens = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, payload binary"
+    )
+    p = build_postings_with_payloads(tokens)
+    row = p.filter((F.col("term") == "spark") & (F.col("doc_id") == 2)).first()
+    assert row["positions"] == [0, 1]
+    assert row["payloads"][0] is None and bytes(row["payloads"][1]) == bytes([4])
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scores = {r["doc_id"]: r["score"]
+              for r in payload_term_scores(p, dl, "spark", 3, 2.0).collect()}
+    # doc1 boost 10 vs doc0 boost 1 — same tf/dl, so exactly 10x
+    assert abs(scores[1] / scores[0] - 10.0) < 1e-9
+    # doc2: null payload defaults to 1.0, avg (1+4)/2 = 2.5
+    base = scores[0]
+    import math
+    # doc2 tf=2 though; just assert it scored and is finite
+    assert math.isfinite(scores[2])
