@@ -127,14 +127,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Dat
     a*h < 2^31 * 2^28 = 2^59 stays inside int64.
     """
     sh = shingles(docs, n).withColumn("sh_h", md5_31(F.col("shingle")))
-    hashes = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id")
-    expanded = sh.select("doc_id", "sh_h", hashes)
-    a = ((F.col("hash_id") * 2 + 1) * 2654435761 % MERSENNE_31) + 1
-    b = (F.col("hash_id") + 1) * 40503 % MERSENNE_31
-    hv = (a * F.col("sh_h") + b) % F.lit(MERSENNE_31)
-    return expanded.select("doc_id", "hash_id", hv.alias("hv")).groupBy(
-        "doc_id", "hash_id"
-    ).agg(F.min("hv").alias("minhash"))
+    # K minima as ONE wide aggregation (map-side partial agg, no shuffle
+    # bigger than n_docs x K): the K-way row explosion this replaces moved
+    # K x n_shingles rows through the plan — 32x the corpus shingle count —
+    # for the same K expressions per shingle.
+    aggs = []
+    for i in range(num_hashes):
+        a = (((i * 2 + 1) * 2654435761) % MERSENNE_31) + 1
+        b = ((i + 1) * 40503) % MERSENNE_31
+        hv = (F.lit(a) * F.col("sh_h") + F.lit(b)) % F.lit(MERSENNE_31)
+        aggs.append(F.min(hv).alias(f"m{i}"))
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_expr = ", ".join(f"{i}L, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_expr}) as (hash_id, minhash)"
+    )
 
 
 def minhash_lsh_pairs(
@@ -155,6 +162,8 @@ def minhash_lsh_pairs(
     for fewer candidates — set bands=16 for 2-row bands.) Buckets larger
     than max_bucket (boilerplate) are dropped — the skew cap that keeps
     the candidate join from going quadratic at scale."""
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
     banded = (
@@ -164,9 +173,16 @@ def minhash_lsh_pairs(
         .withColumn("band_key", F.md5(F.concat(F.col("band").cast("string"),
                                                F.lit(":"), F.col("sig").cast("string"))))
     )
-    bucket_sizes = banded.groupBy("band_key").agg(F.count("*").alias("bsz"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket), "band_key"
+    # skew cap via a window count (ONE pass over banded — a separate
+    # bucket_sizes join would re-execute the whole signature subtree), then
+    # a self-join whose two sides are the identical subplan: Spark's
+    # ReuseExchange computes the banded shuffle once and feeds both sides.
+    banded = (
+        banded.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band_key"))
+        )
+        .filter(F.col("bsz") <= max_bucket)
+        .select("doc_id", "band_key")
     )
     cands = (
         banded.alias("x")
@@ -175,23 +191,35 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    # exact Jaccard computed ONLY for LSH candidate pairs: join the (a,b)
-    # candidates to each side's shingle set and count shared shingles. Cost
-    # is proportional to candidate volume — the global shingle self-join
-    # (ngram_jaccard_pairs) never runs here, so the LSH bucketing actually
-    # bounds the work (the round-1 version verified against the full-corpus
-    # exact join, which defeated the LSH at scale).
-    sh = shingles(docs, n)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cands.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
+    # exact Jaccard computed ONLY for LSH candidate pairs: one aggregation
+    # collects each doc's (bounded, doc-length-sized) shingle set, the
+    # candidate pairs join both sides' sets by doc id, and the intersection
+    # is JVM-side array_intersect — no shingle-keyed shuffle, no global
+    # shingle self-join (the round-1 version verified against the
+    # full-corpus exact join, which defeated the LSH at scale; an exploded
+    # candidate x shingle join would re-shuffle the whole shingle table).
+    # Sets are 60-bit shingle hashes, not strings: ~5x smaller rows (the
+    # sets table broadcasts when small), long-array intersection instead of
+    # string compares, and cross-doc collision odds ~n_shingles^2/2^60 per
+    # pair — no effect on any Jaccard at 4dp.
+    sets = (
+        shingles(docs, n)
+        .select("doc_id", md5_60(F.col("shingle")).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("S"))
     )
     j = (
-        inter.join(counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        cands.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")), "a"
+        )
+        .join(sets.select(F.col("doc_id").alias("b"), F.col("S").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
