@@ -251,6 +251,13 @@ class QueryParser:
                     tok.slop = int(float(val)) if val else 0
                 else:
                     tok.fuzzy = float(val) if val else 0.5
+                    if tok.fuzzy >= 1.0:
+                        # FuzzyTermEnum rejects minSim >= 1 (FuzzyQuery.cpp:
+                        # IllegalArgument); the reference's parser test
+                        # asserts a parse failure for term~1.1
+                        raise QueryParserError(
+                            f"fuzzy minimum similarity must be < 1: {tok.fuzzy}"
+                        )
             else:
                 i += 1
                 m = re.match(r"\d+(\.\d+)?", s[i:])

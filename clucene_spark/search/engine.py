@@ -205,7 +205,10 @@ class BooleanQuery(Query):
             if isinstance(c.query, BooleanQuery):
                 inner = f"({inner})"
             parts.append(prefix + inner)
-        return _boosted(" ".join(parts), self.boost)
+        body = " ".join(parts)
+        if self.boost != 1.0:
+            body = f"({body})"  # "(germ term)^2.0" canonical form
+        return _boosted(body, self.boost)
 
 
 def _boosted(s: str, boost: float) -> str:

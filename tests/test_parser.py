@@ -185,3 +185,41 @@ def test_multifield_query_parser(spark):
     assert hits[0] > hits[1]  # title match boosted 2x
     q2 = mp.parse("text:joins")
     assert {r["doc_id"] for r in s.topk(q2, 10).collect()} == {1}
+
+
+# Additional TestQueryParser.cpp parity cases (reference
+# src/test/queryParser/TestQueryParser.cpp:238-420; boosts print as {:g},
+# so the reference's "2.0" is our "2")
+PARITY_GOLDENS = [
+    ("(spark)^2", "spark^2"),
+    ("(germ term)^2", "(germ term)^2"),
+    ('"germ term"^2', '"germ term"^2'),
+    ("spark^2~", "spark~0.5^2"),       # suffixes in either order
+    ("spark~^2", "spark~0.5^2"),
+    ("term*germ", "term*germ"),
+    ("term*germ^3", "term*germ^3"),
+    ('" "~2 germ', "germ"),            # empty phrase clause vanishes
+    ("Te?m", "te?m"),                  # wildcards lowercased
+    ("TERM*", "term*"),
+    ("Term~", "term~0.5"),
+    ("[A TO C]", "[a TO c]"),
+    ("z OR (x AND y)", "z (+x +y)"),  # dup of core golden, kept for the block
+    ("((x OR y) AND NOT z) OR w", "(+(x y) -z) w"),
+    ('+(apple "steve jobs") -(foo bar baz)',
+     '+(apple "steve jobs") -(foo bar baz)'),
+]
+
+
+@pytest.mark.parametrize("qs,want", PARITY_GOLDENS,
+                         ids=[g[0][:30] for g in PARITY_GOLDENS])
+def test_parser_reference_parity(qs, want):
+    assert str(parse(qs)) == want
+
+
+def test_fuzzy_min_sim_ge_one_rejected():
+    # reference: assertParseException("term~1.1") — FuzzyTermEnum requires
+    # minSim < 1
+    with pytest.raises(QueryParserError):
+        parse("term~1.1")
+    with pytest.raises(QueryParserError):
+        parse("term~1.0")
