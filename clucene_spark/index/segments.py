@@ -952,6 +952,214 @@ class SegmentStore:
         return self._ds_cache[segment]
 
 
+def build_segments_aligned(
+    docs: DataFrame,
+    index_dir: str,
+    analyzer: str = "standard",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    with_positions: bool = True,
+    resume: bool = True,
+) -> DataFrame:
+    """Zero-shuffle bulk load: one segment PER INPUT SPLIT.
+
+    The fused builder's only shuffle moves raw text into fixed doc ranges.
+    For the initial bulk build over a doc-sorted corpus that shuffle buys
+    nothing — each scan partition already holds a contiguous doc range —
+    so this path goes scan -> python (tokenize+invert+encode+write) with
+    NO exchange at all: the index shards align with the input splits, the
+    way a production bulk load carves shards from file splits. On a
+    single-JVM node this removes the shuffle write+read from the JVM,
+    which is what contends with the python workers at full occupancy.
+
+    Segments are named by their actual doc range (seg_a_<min>_<max>);
+    readers treat them like any other segment. Resume: each finished
+    partition checkpoints its [min_doc, max_doc]; a re-run filters those
+    ranges out BEFORE the scan (predicate pushdown prunes their row
+    groups), so crashed builds restart where they left off — the same
+    per-partition checkpoint contract as the ranged builder.
+
+    Requirements: `docs` sorted by doc_id across partitions (a doc-sorted
+    parquet read qualifies); doc ids must not straddle split boundaries
+    out of order. Appends of NEW ranges work (they scan-filter cleanly);
+    for interleaved appends use build_segments_fused."""
+    spark = docs.sparkSession
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
+
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    done_ranges: list[tuple[int, int]] = []
+    if resume:
+        done_ranges = [
+            (int(c["min_doc"]), int(c["max_doc"]))
+            for c in read_checkpoints(index_dir)
+        ]
+        for lo, hi in done_ranges:
+            src = src.filter(~F.col("doc_id").between(lo, hi))
+
+    idx_dir = index_dir
+    wp = with_positions
+    an = analyzer
+
+    def _one(batches):
+        import pyarrow as _pa
+
+        try:
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(1)
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            "doc_id", kind="mergesort"
+        )
+        doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
+        per_doc, p, counts = _analyze_docs(pdf["text"].to_numpy(), an)
+        seg_pdf, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
+            doc_ids_in, per_doc, p, counts, wp
+        )
+        lo, hi = int(doc_ids_in[0]), int(doc_ids_in[-1])
+        name = f"seg_a_{lo:012d}_{hi:012d}"
+        seg_path = os.path.join(idx_dir, "segments", name)
+        tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
+        os.makedirs(tmp_path, exist_ok=True)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(seg_pdf, preserve_index=False),
+            os.path.join(tmp_path, "postings.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts}),
+                preserve_index=False,
+            ),
+            os.path.join(tmp_path, "doc_lens.parquet"),
+        )
+        if len(seg_pdf):
+            _write_term_index(tmp_path, seg_pdf["term"])
+        os.rename(tmp_path, seg_path)
+        ck = {
+            "segment": name,
+            "segment_id": lo,  # aligned path: range-keyed, not dps-keyed
+            "min_doc": lo,
+            "max_doc": hi,
+            "n_docs": int(len(uniq_docs)),
+            "n_tokens": int(n_tok),
+            "n_postings": int(n_post),
+            "n_terms": int(seg_pdf.shape[0]),
+            "build_sec": round(time.perf_counter() - t0, 4),
+        }
+        _write_checkpoint(idx_dir, name, ck)
+        yield pd.DataFrame([ck])
+
+    built_rows = src.mapInPandas(_one, CHECKPOINT_SCHEMA).collect()
+
+    cks = read_checkpoints(index_dir)
+    segments = [
+        {
+            "name": c["segment"],
+            "min_doc": c["min_doc"],
+            "max_doc": c["max_doc"],
+            "n_docs": c["n_docs"],
+            "n_tokens": c["n_tokens"],
+            "n_terms": c["n_terms"],
+        }
+        for c in sorted(cks, key=lambda c: (c["min_doc"], c["segment"]))
+    ]
+    commit_manifest(index_dir, segments, extra={"aligned": True,
+                                                "analyzer": analyzer})
+    return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
+
+
+def build_term_vectors_offsets(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    analyzer: str = "standard",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> int:
+    """Write offsets-bearing term vectors beside each committed segment —
+    the WITH_POSITIONS_OFFSETS flavor (reference TermVectorOffsetInfo,
+    index/TermVectorWriter.cpp): per (doc, term) rows carry tf, positions,
+    and character start/end offsets so consumers (the Highlighter's
+    TokenSources path) never re-analyze stored text.
+
+    Runs as its own applyInPandas pass grouped by the index's doc ranges
+    (one task per segment, same parallelism as the build); the hot
+    inverted build stays offset-free. Returns #segments written."""
+    man = read_manifest(index_dir)
+    dps = int(man.get("docs_per_segment", 4096))
+    seg_by_id: dict[int, list[str]] = {}
+    for s in man["segments"]:
+        seg_by_id.setdefault(int(s["min_doc"]) // dps, []).append(s["name"])
+
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("segment_id", F.floor(F.col("doc_id") / F.lit(dps)))
+    idx_dir = index_dir
+    an = analyzer
+
+    out_schema = T.StructType([T.StructField("segment_id", T.LongType(), False),
+                               T.StructField("n_rows", T.LongType(), False)])
+
+    def _one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from clucene_spark.analysis.standard import standard_analyze
+
+        seg_id = int(key[0])
+        names = seg_by_id.get(seg_id)
+        if not names:
+            return pd.DataFrame({"segment_id": [seg_id], "n_rows": [0]})
+        acc: dict[tuple, tuple[list, list, list]] = {}  # (doc,term) -> (pos, starts, ends)
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            if an == "whitespace":
+                # raw split indices as positions — identical to the
+                # whitespace index path's position convention
+                seq, off = [], 0
+                for i, w in enumerate(text.split(" ")):
+                    if w:
+                        seq.append((w, i, off, off + len(w)))
+                    off += len(w) + 1
+            else:
+                seq = [(t, p, s, e) for t, p, s, e, _ty in standard_analyze(text)]
+            for t, p, s, e in seq:
+                pos, ss, ee = acc.setdefault((int(doc_id), t), ([], [], []))
+                pos.append(p)
+                ss.append(s)
+                ee.append(e)
+        if not acc:
+            return pd.DataFrame({"segment_id": [seg_id], "n_rows": [0]})
+        tv = pd.DataFrame(
+            [
+                (d, t, len(pos), pos, ss, ee)
+                for (d, t), (pos, ss, ee) in sorted(acc.items())
+            ],
+            columns=["doc_id", "term", "tf", "positions", "starts", "ends"],
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # pieces of one range share the file in the FIRST piece's dir; per-
+        # piece split is unnecessary for a read-side forward index
+        path = os.path.join(idx_dir, "segments", names[0], "term_vectors.parquet")
+        tmp = path + "." + uuid.uuid4().hex + ".tmp"
+        pq.write_table(pa.Table.from_pandas(tv, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"segment_id": [seg_id], "n_rows": [len(tv)]})
+
+    res = src.groupBy("segment_id").applyInPandas(_one, out_schema).collect()
+    return sum(1 for r in res if r["n_rows"] > 0)
+
+
 def read_term_index(index_dir: str, segment: str) -> list[str]:
     """Decode a segment's prefix-compressed term dictionary back to the
     full sorted term list (reader side of _write_term_index)."""

@@ -27,8 +27,13 @@ def best_fragment(
     pre: str = "<b>",
     post: str = "</b>",
     term_weights: dict[str, float] | None = None,
+    tokens: list[tuple] | None = None,
 ) -> tuple[str, float]:
     """-> (highlighted best fragment, fragment score).
+
+    tokens: optional precomputed (term, pos, start, end, type) stream —
+    the TokenSources-from-term-vectors path (no re-analysis); defaults to
+    running the StandardAnalyzer over `text`.
 
     Fragments = consecutive token runs closed when the fragment exceeds
     fragment_size chars (SimpleFragmenter.getNewFragment semantics);
@@ -37,7 +42,7 @@ def best_fragment(
     the best-scoring fragment's matched tokens are wrapped pre/post."""
     qset = set(query_terms)
     weights = term_weights or {}
-    toks = standard_analyze(text)
+    toks = tokens if tokens is not None else standard_analyze(text)
 
     # split tokens into fragments by character budget
     fragments: list[list[tuple]] = [[]]
@@ -96,6 +101,70 @@ def highlight(
                 f, s = best_fragment(text or "", terms, fragment_size)
                 frags.append(f)
                 scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fragment": frags,
+                    "n_matches": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(_batch, HL_SCHEMA)
+
+
+def highlight_from_vectors(
+    store,
+    docs: DataFrame,
+    query_terms: list[str],
+    fragment_size: int = 100,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Highlight a (small) result page using STORED term vectors with
+    offsets — the reference's TokenSources::getTokenStream(TermPositionVector)
+    path (highlighter reads .tvf offsets instead of re-running the
+    analyzer; requires build_term_vectors_offsets). The vector scan is
+    pruned to the page's doc_ids (pushed to parquet row groups)."""
+    ids = [int(r[0]) for r in docs.select(doc_id_col).collect()]
+    tv = store.term_vectors().filter(F.col("doc_id").isin(ids))
+    if "starts" not in tv.columns:
+        raise ValueError(
+            "term vectors lack offsets — build with build_term_vectors_offsets"
+        )
+    toks = (
+        tv.select(
+            "doc_id", "term",
+            F.explode(F.arrays_zip("positions", "starts", "ends")).alias("z"),
+        )
+        .select(
+            "doc_id", "term",
+            F.col("z.positions").alias("pos"),
+            F.col("z.starts").alias("s"),
+            F.col("z.ends").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "term", "s", "e"))
+            ).alias("toks")
+        )
+    )
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).join(toks, "doc_id")
+    terms = list(query_terms)
+    fsize = fragment_size
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frags, scores = [], []
+            for text, tok_rows in zip(pdf["text"], pdf["toks"]):
+                stream = [
+                    (t["term"], t["pos"], t["s"], t["e"], "") for t in tok_rows
+                ]
+                f, sc = best_fragment(text or "", terms, fsize, tokens=stream)
+                frags.append(f)
+                scores.append(sc)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

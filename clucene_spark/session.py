@@ -39,7 +39,11 @@ def get_spark(
         # CPU-heavy Python stages (tokenizer DFA) need scan partitions ~
         # cores, not ~128MB blocks: a 200MB text corpus must not collapse
         # into 2 tasks on a 32-core executor fleet
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                           str(16 * 1024 * 1024)),
+        )
     )
     # shuffle spill dir: tmpfs (/dev/shm) emulates per-node local SSD for
     # BENCH runs only — as a library-wide default it would push all shuffle

@@ -431,3 +431,79 @@ def test_payload_postings_and_boosting(spark):
     import math
     # doc2 tf=2 though; just assert it scored and is finite
     assert math.isfinite(scores[2])
+
+
+def test_term_vectors_with_offsets_and_highlight(spark, tmp_path):
+    """Offsets-bearing vectors (WITH_POSITIONS_OFFSETS) + the highlighter's
+    TokenSources path: fragments from stored offsets equal the re-analysis
+    highlighter's output."""
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_fused,
+        build_term_vectors_offsets,
+    )
+    from clucene_spark.search.highlight import highlight, highlight_from_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc number {i} with spark inside") for i in range(30)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tvo_idx")
+    build_segments_fused(docs, d, docs_per_segment=16, analyzer="standard")
+    n = build_term_vectors_offsets(spark, d, docs, analyzer="standard")
+    assert n == 2  # both segments got vectors
+    store = SegmentStore(spark, d)
+    tv = store.term_vectors()
+    assert {"positions", "starts", "ends"} <= set(tv.columns)
+    row = tv.filter((F.col("doc_id") == 3) & (F.col("term") == "alpha")).first()
+    assert row["starts"] == [0] and row["ends"] == [5]
+
+    page = docs.limit(5)
+    got = {r["doc_id"]: (r["fragment"], r["n_matches"]) for r in
+           highlight_from_vectors(store, page, ["spark"]).collect()}
+    want = {r["doc_id"]: (r["fragment"], r["n_matches"]) for r in
+            highlight(page, ["spark"]).collect()}
+    assert got == want
+    assert "<b>spark</b>" in got[0][0]
+
+
+def test_aligned_bulk_build_equivalence_and_resume(spark, tmp_path):
+    """Zero-shuffle aligned bulk load: same logical index as the ranged
+    fused builder; range-filter resume rebuilds only the missing split."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_aligned,
+        build_segments_fused,
+    )
+    from clucene_spark.search.wand import wand_query_local
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    d1 = str(tmp_path / "aligned")
+    d2 = str(tmp_path / "ranged")
+    build_segments_aligned(docs, d1, analyzer="whitespace")
+    build_segments_fused(docs, d2, docs_per_segment=128, analyzer="whitespace")
+    s1, s2 = SegmentStore(spark, d1), SegmentStore(spark, d2)
+    assert s1.stats() == s2.stats()
+    td1 = {r["term"]: (r["df"], r["cf"]) for r in s1.term_dict().collect()}
+    td2 = {r["term"]: (r["df"], r["cf"]) for r in s2.term_dict().collect()}
+    assert td1 == td2
+    assert wand_query_local(s1, ["spark", "vector"], k=10) == \
+        wand_query_local(s2, ["spark", "vector"], k=10)
+    # resume: drop one checkpoint+segment; re-run rebuilds ONLY that range
+    cks = sorted(glob.glob(d1 + "/checkpoints/*.json"))
+    victim = json.load(open(cks[0]))
+    os.remove(cks[0])
+    shutil.rmtree(os.path.join(d1, "segments", victim["segment"]))
+    rebuilt = build_segments_aligned(docs, d1, analyzer="whitespace").collect()
+    assert [(r["min_doc"], r["max_doc"]) for r in rebuilt] == [
+        (victim["min_doc"], victim["max_doc"])
+    ]
+    s1b = SegmentStore(spark, d1)
+    assert s1b.stats() == s2.stats()
+    td1b = {r["term"]: (r["df"], r["cf"]) for r in s1b.term_dict().collect()}
+    assert td1b == td2

@@ -41,6 +41,9 @@ def main() -> None:
                     choices=["standard", "whitespace"])
     ap.add_argument("--docs-per-segment", type=int, default=4096)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--aligned", action="store_true",
+                    help="zero-shuffle bulk load: one segment per input "
+                         "split (requires doc-sorted input)")
     ap.add_argument("--merge", action="store_true",
                     help="run the log-structured merge policy after build")
     ap.add_argument("--fresh", action="store_true",
@@ -80,22 +83,36 @@ def main() -> None:
         docs = webtext_df(spark, args.gen_docs)
     else:
         docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
-        # ensure the tokenizer stage parallelizes even over few input files;
-        # only (id, text) travel through this shuffle
-        min_parts = spark.sparkContext.defaultParallelism * 2
-        if docs.rdd.getNumPartitions() < min_parts:
-            docs = docs.repartition(min_parts)
+        if not args.aligned:
+            # ensure the tokenizer stage parallelizes even over few input
+            # files; only (id, text) travel through this shuffle
+            min_parts = spark.sparkContext.defaultParallelism * 2
+            if docs.rdd.getNumPartitions() < min_parts:
+                docs = docs.repartition(min_parts)
 
-    built_rows = build_segments_fused(
-        docs,
-        args.index_dir,
-        docs_per_segment=args.docs_per_segment,
-        analyzer=args.analyzer,
-        text_col=args.text_col,
-        doc_id_col=args.id_col,
-        with_positions=not args.no_positions,
-        resume=not args.fresh,
-    ).collect()
+    if args.aligned:
+        from clucene_spark.index.segments import build_segments_aligned
+
+        built_rows = build_segments_aligned(
+            docs,
+            args.index_dir,
+            analyzer=args.analyzer,
+            text_col=args.text_col,
+            doc_id_col=args.id_col,
+            with_positions=not args.no_positions,
+            resume=not args.fresh,
+        ).collect()
+    else:
+        built_rows = build_segments_fused(
+            docs,
+            args.index_dir,
+            docs_per_segment=args.docs_per_segment,
+            analyzer=args.analyzer,
+            text_col=args.text_col,
+            doc_id_col=args.id_col,
+            with_positions=not args.no_positions,
+            resume=not args.fresh,
+        ).collect()
     t_build = time.perf_counter() - t0
     n_built = len(built_rows)
     n_docs = sum(r["n_docs"] for r in built_rows)  # docs indexed THIS run
