@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "pipeline_clean_corpus": _q_clean_corpus,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         # --- similarity search ---
@@ -526,6 +527,32 @@ def _q_fielded_parsed(spark, sf):
     _, s = _fielded_index(spark, sf)
     q = _parse("title:join OR spark", indexed_fields={"title", "text"})
     return s.topk(q, 10, round_to=4)
+
+
+def _q_clean_corpus(spark, sf):
+    """End-to-end curation pass over docs + planted exact twins (+1M ids)
+    + planted truncated twins (+2M ids): quality gate -> exact dedup ->
+    LSH near-dup removal, every doc labeled with its fate."""
+    from clucene_spark.pipeline.clean import clean_corpus
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(
+            toks, 1,
+            F.greatest(F.lit(1), F.floor(F.size(toks) * 0.8)).cast("int"),
+        ),
+        " ",
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+    # min_quality 0.05 ~ the corpus's 25th percentile: all four fates occur
+    return clean_corpus(corpus, min_quality=0.05).orderBy("doc_id")
 
 
 def _q_dedup_exact(spark, sf):
@@ -1201,6 +1228,66 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies, max(doc_id) AS max_id
 FROM h GROUP BY hh, len HAVING count(*) > 1
 ORDER BY keep_id
+""",
+        "pipeline_clean_corpus": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(toks[1:greatest(1, CAST(floor(len(toks) * 0.8) AS INT))], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 7 = 0
+),
+qf AS (
+  SELECT doc_id, text,
+         len({_TOKS_SQL}) AS n_tokens,
+         CASE WHEN len({_TOKS_SQL}) > 0
+              THEN CAST(len(list_filter({_TOKS_SQL}, x -> x IN {_STOP33_SQL})) AS DOUBLE)
+                   / len({_TOKS_SQL}) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                   / length(text) ELSE 0.0 END AS sym_ratio
+  FROM corpus),
+q AS (
+  SELECT doc_id, text,
+         ROUND(least(stop_ratio * 2, 1.0) * least(n_tokens / 64.0, 1.0)
+               * (1.0 - sym_ratio), 4) AS quality
+  FROM qf),
+passq AS (SELECT * FROM q WHERE quality >= 0.05),
+grp AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (
+           PARTITION BY ('0x'||substr(md5(text),1,15))::BIGINT, length(text)
+         ) AS keep_id
+  FROM passq),
+exact_dup AS (SELECT doc_id FROM grp WHERE doc_id <> keep_id),
+rem AS (SELECT doc_id, text FROM grp WHERE doc_id = keep_id),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM rem),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        FROM tokd)),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT p.b AS doc_id
+  FROM pairs p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5)
+SELECT q.doc_id, q.quality,
+       CASE WHEN q.quality < 0.05 THEN 'low_quality'
+            WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS reason
+FROM q
+LEFT JOIN exact_dup e ON e.doc_id = q.doc_id
+LEFT JOIN near n ON n.doc_id = q.doc_id
+ORDER BY q.doc_id
 """,
         "dedup_ngram_jaccard": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
         "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,

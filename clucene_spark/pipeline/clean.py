@@ -1,0 +1,75 @@
+"""End-to-end training-corpus cleaning: quality gate -> exact dedup ->
+near-dup removal, composed from the pipeline primitives the way a
+production data-curation pass chains them.
+
+Plan shape at 100 TB:
+  1. quality gate     — map-only column math (textstats.quality_score);
+  2. exact dedup      — one shuffle keyed by the 60-bit content hash; the
+                        window min is per content-group (true duplicates),
+                        so no skew beyond actual dup clusters;
+  3. near-dup removal — MinHash+LSH candidates + candidate-only exact
+                        verify (dedup.minhash_lsh_pairs — the scale-safe
+                        form), run only over quality-passing, exact-unique
+                        survivors, dropping the higher doc_id of each
+                        verified pair (deterministic greedy policy: a doc
+                        that pairs with any lower-id survivor drops).
+
+Every decision is recorded, not destroyed: the output labels ALL input
+docs with keep/drop + reason, so the cleaning pass is auditable and
+re-runnable (the shape lineage-tracking curation jobs need).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from clucene_spark.pipeline.dedup import md5_60, minhash_lsh_pairs
+from clucene_spark.pipeline.textstats import quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 32,
+) -> DataFrame:
+    """(doc_id, quality, reason) for every input doc; reason in
+    {'kept', 'low_quality', 'exact_dup', 'near_dup'}.
+
+    Order of gates matters and is part of the contract: a low-quality doc
+    is never charged as a duplicate; an exact duplicate never reaches the
+    near-dup pass (its keeper represents the group there)."""
+    q = quality_score(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", "text").join(q, "doc_id")
+    passq = d.filter(F.col("quality") >= min_quality)
+
+    w = Window.partitionBy("h", "len")
+    g = (
+        passq.withColumn("h", md5_60(F.col("text")))
+        .withColumn("len", F.length("text"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+    )
+    exact_dup = g.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    rem = g.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id", "text")
+
+    pairs = minhash_lsh_pairs(
+        rem, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    near = pairs.select(F.col("b").alias("doc_id")).distinct()
+
+    out = (
+        d.select("doc_id", "quality")
+        .join(exact_dup.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .withColumn(
+            "reason",
+            F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+            .when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept")),
+        )
+        .select("doc_id", "quality", "reason")
+    )
+    return out

@@ -235,3 +235,38 @@ def test_ivf_trained_store_prunes_and_recalls(spark, vecs, tmp_path):
     all_cos = {(r["vec_id"], r["cosine"]) for r in
                cosine_topk(vecs, qv, k=10_000).collect()}
     assert probed <= all_cos
+
+
+def test_clean_corpus_fates(spark, docs):
+    """Curation pass: planted exact twins drop as exact_dup, truncated
+    twins as near_dup (or low_quality when truncation guts them), originals
+    survive unless genuinely low-quality; nothing is silently discarded."""
+    from clucene_spark.pipeline.clean import clean_corpus
+
+    d = docs.select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.greatest(F.lit(1), F.floor(F.size(toks) * 0.8)).cast("int")),
+        " ",
+    )
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    corpus = d.unionByName(exact).unionByName(near)
+    out = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(corpus, min_quality=0.05).collect()}
+    assert len(out) == corpus.count()  # every doc labeled
+    # every planted exact twin whose original passed quality is exact_dup
+    for i in range(0, 100, 10):
+        if out[i] != "low_quality":
+            assert out[i + 1_000_000] == "exact_dup", i
+    # truncated twins never survive as 'kept' duplicates of a kept original
+    for i in range(0, 100, 7):
+        if out[i] == "kept":
+            assert out[i + 2_000_000] in ("near_dup", "low_quality"), i
+    # originals are never charged as duplicates of their twins (lower id wins)
+    assert all(out[i] in ("kept", "low_quality", "near_dup") for i in range(100))
+    assert sum(1 for v in out.values() if v == "kept") > 0
