@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range_encoded": _q_numeric_range_encoded,
         "span_near_topk": _q_span_near,
         "span_first_topk": _q_span_first,
+        "span_or_topk": _q_span_or,
+        "span_not_topk": _q_span_not,
+        "wand_fielded_topk": _q_wand_fielded,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
         "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("spark AND join"), 10, round_to=4
@@ -402,6 +405,55 @@ def _q_span_first(spark, sf):
     return _span_searcher(spark, sf).topk(
         SpanFirst(SpanTerm("spark"), end=10), 10, round_to=4
     )
+
+
+def _q_span_or(spark, sf):
+    from clucene_spark.search.spans import SpanOr, SpanTerm
+
+    q = SpanOr([SpanTerm("key"), SpanTerm("vector")])
+    return _span_searcher(spark, sf).topk(q, 10, round_to=4)
+
+
+def _q_span_not(spark, sf):
+    """key-spans NOT inside a 'key value' bigram (SpanNotQuery model)."""
+    from clucene_spark.search.spans import SpanNear, SpanNot, SpanTerm
+
+    q = SpanNot(
+        include=SpanTerm("key"),
+        exclude=SpanNear([SpanTerm("key"), SpanTerm("value")], slop=0,
+                         in_order=True),
+    )
+    return _span_searcher(spark, sf).topk(q, 10, round_to=4)
+
+
+def _q_wand_fielded(spark, sf):
+    """Fielded WAND over the composite-key segment store: title-field BM25
+    with per-field avgdl + global n_docs."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+    from clucene_spark.search.wand import wand_query_direct
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_fielded"
+    try:
+        store = SegmentStore(spark, d)
+    except FileNotFoundError:
+        docs = _docs(spark, sf)
+        toks = F.split(F.col("text"), " ")
+        two = docs.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+            "text",
+        )
+        build_segments_fused(
+            two, d, docs_per_segment=256,
+            fields=[("text", "text", "whitespace"),
+                    ("title", "title", "whitespace")],
+        )
+        store = SegmentStore(spark, d)
+    return wand_query_direct(store, ["join"], k=10, field="title")
 
 
 def _q_wand_delete(spark, sf):
@@ -1170,6 +1222,64 @@ SELECT p.doc_id,
        ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
 FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "span_or_topk": _PRELUDE
+        + """
+, pf AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    FROM tok WHERE term IN ('key', 'vector')
+    GROUP BY doc_id)
+, idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'vector'))
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "span_not_topk": _PRELUDE
+        + """
+, pf AS (
+    SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    FROM tok a
+    WHERE a.term = 'key' AND NOT EXISTS (
+        SELECT 1 FROM tok b
+        WHERE b.doc_id = a.doc_id AND b.term = 'value' AND b.pos = a.pos + 1)
+    GROUP BY a.doc_id)
+, idf AS (
+    SELECT ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf_sum,
+           s.avgdl AS avgdl
+    FROM term_dict t CROSS JOIN stats s WHERE t.term = 'key')
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "wand_fielded_topk": """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+fieldtok AS (
+  SELECT doc_id, 'title' AS field, unnest(toks[1:4]) AS term FROM raw
+  UNION ALL
+  SELECT doc_id, 'text' AS field, unnest(toks) AS term FROM raw
+),
+tok AS (SELECT * FROM fieldtok WHERE term <> ''),
+postings AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+doc_lens AS (SELECT doc_id, field, count(*) AS dl FROM tok GROUP BY 1, 2),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM doc_lens GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doc_lens),
+term_dict AS (SELECT field, term, count(*) AS df FROM postings GROUP BY 1, 2)
+SELECT p.doc_id,
+       ROUND(ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 4) AS score
+FROM postings p
+JOIN term_dict t ON t.field = p.field AND t.term = p.term
+JOIN doc_lens d ON d.doc_id = p.doc_id AND d.field = p.field
+JOIN fstats s ON s.field = p.field
+CROSS JOIN nd n
+WHERE p.field = 'title' AND p.term = 'join'
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
 """,
         "parsed_and_topk": _PRELUDE
         + """

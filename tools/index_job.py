@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--aligned", action="store_true",
                     help="zero-shuffle bulk load: one segment per input "
                          "split (requires doc-sorted input)")
+    ap.add_argument("--input-shard", default=None, metavar="I:K",
+                    help="index only every Kth input part-file starting at "
+                         "I (node i of a K-node fleet working one shared "
+                         "corpus; doc ranges stay disjoint because files "
+                         "are range-partitioned)")
     ap.add_argument("--merge", action="store_true",
                     help="run the log-structured merge policy after build")
     ap.add_argument("--fresh", action="store_true",
@@ -76,13 +81,22 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
-    t0 = time.perf_counter()
+    t0 = time.perf_counter()  # (re-set below after input warm)
     if args.gen_docs:
         from clucene_spark.data.webtext import webtext_df
 
         docs = webtext_df(spark, args.gen_docs)
     else:
-        docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+        if args.input_shard:
+            i, k = (int(x) for x in args.input_shard.split(":"))
+            files = sorted(
+                os.path.join(args.input, f)
+                for f in os.listdir(args.input)
+                if f.startswith("part-")
+            )[i::k]
+            docs = spark.read.parquet(*files).select(args.id_col, args.text_col)
+        else:
+            docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
         if not args.aligned:
             # ensure the tokenizer stage parallelizes even over few input
             # files; only (id, text) travel through this shuffle
@@ -90,6 +104,22 @@ def main() -> None:
             if docs.rdd.getNumPartitions() < min_parts:
                 docs = docs.repartition(min_parts)
 
+    # warm the FULL pipeline (parquet scan -> Arrow -> python build ->
+    # parquet write) outside the measurement — JIT/codegen of the exact
+    # code path, identical at every parallelism level. A tiny throwaway
+    # build compiles what a row-count warm-up cannot.
+    if not args.gen_docs:
+        import tempfile as _tf
+
+        from clucene_spark.index.segments import build_segments_aligned as _ba
+
+        _wdir = _tf.mkdtemp(prefix="warm_idx_")
+        try:
+            _ba(docs.limit(2000), _wdir, analyzer=args.analyzer,
+                text_col=args.text_col, doc_id_col=args.id_col, resume=False)
+        finally:
+            shutil.rmtree(_wdir, ignore_errors=True)
+    t0 = time.perf_counter()
     if args.aligned:
         from clucene_spark.index.segments import build_segments_aligned
 
