@@ -507,3 +507,31 @@ def test_aligned_bulk_build_equivalence_and_resume(spark, tmp_path):
     assert s1b.stats() == s2.stats()
     td1b = {r["term"]: (r["df"], r["cf"]) for r in s1b.term_dict().collect()}
     assert td1b == td2
+
+
+def test_fielded_store_merge_preserves_fields(spark, tmp_path):
+    """Compaction over a multi-field store: composite keys merge like any
+    terms, per-field doc_lens survive, per-field stats and fielded WAND
+    results are unchanged."""
+    from clucene_spark.index.merge import optimize
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+    from clucene_spark.search.wand import wand_query_local
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    two = docs.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("title"), "text"
+    )
+    d = str(tmp_path / "fielded_merge")
+    build_segments_fused(
+        two, d, docs_per_segment=64,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    store = SegmentStore(spark, d)
+    before = wand_query_local(store, ["join"], k=10, field="title")
+    stats_before = store.stats(field="title")
+    optimize(spark, d)
+    store = SegmentStore(spark, d)
+    assert "field" in store.doc_lens().columns
+    assert store.stats(field="title") == stats_before
+    assert wand_query_local(store, ["join"], k=10, field="title") == before
