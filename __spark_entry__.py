@@ -233,6 +233,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"),
         )
         .orderBy("doc_id"),
+        "explain_term_classic": lambda spark, sf: _searcher(spark, sf, "classic")
+        .explain(TermQuery(term="spark"))
+        .select(
+            "doc_id", "tf", "dl",
+            F.round("weight", 4).alias("weight"),
+            F.round("tf_sqrt", 4).alias("tf_sqrt"),
+            F.round("length_norm", 4).alias("length_norm"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("doc_id"),
         "phrase_sloppy_topk": lambda spark, sf: _searcher(spark, sf).topk(
             PhraseQuery(terms=["key", "value"], slop=2), 10, round_to=4
         ),
@@ -1222,6 +1232,22 @@ SELECT p.doc_id,
        ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
 FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # classic Explanation: single-term query => queryNorm = 1/sqrt(idf^2),
+        # weight = idf^2 * qn; float ops mirrored in the Spark order
+        "explain_term_classic": _PRELUDE
+        + """
+, cidf AS (
+    SELECT ln(s.n_docs / (t.df + 1.0)) + 1.0 AS idf
+    FROM term_dict t CROSS JOIN stats s WHERE t.term = 'spark')
+SELECT p.doc_id, p.tf, d.dl,
+       ROUND(i.idf * i.idf * (1.0 / sqrt(i.idf * i.idf)), 4) AS weight,
+       ROUND(sqrt(p.tf), 4) AS tf_sqrt,
+       ROUND(1.0 / sqrt(d.dl), 4) AS length_norm,
+       ROUND(sqrt(p.tf) * (i.idf * i.idf * (1.0 / sqrt(i.idf * i.idf)))
+             * (1.0 / sqrt(d.dl)), 4) AS score
+FROM postings p JOIN doc_lens d USING (doc_id) CROSS JOIN cidf i
+WHERE p.term = 'spark' ORDER BY p.doc_id
 """,
         "span_or_topk": _PRELUDE
         + """
