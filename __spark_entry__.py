@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": _q_span_or,
         "span_not_topk": _q_span_not,
         "wand_fielded_topk": _q_wand_fielded,
+        "lang_dispatch_topk": _q_lang_dispatch,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
         "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("spark AND join"), 10, round_to=4
@@ -348,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_brute,
         "ann_cosine_topk_pandas": _q_ann_pandas,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_stored_topk": _q_ann_ivf_stored,
         "ann_ivf_trained_topk": _q_ann_ivf_trained,
         # --- multimodal plumbing (decode stubbed; schema/batching real) ---
         "multimodal_features": _q_mm_features,
@@ -683,6 +685,77 @@ def _q_ann_pandas(spark, sf):
     return cosine_topk_pandas(_vecs(spark, sf), _query_vec(spark, sf), k=10)
 
 
+# 64 CJK ideographs shared by the Spark construction and the DuckDB oracle
+_CJK_CHARS = [chr(0x4E00 + j) for j in range(64)]
+
+
+def _q_lang_dispatch(spark, sf):
+    """LanguageBasedAnalyzer dispatch driving a MIXED corpus build: every
+    5th doc becomes a deterministic 6-ideograph zh string (CJK bigram
+    analyzer), the rest stay English (StandardAnalyzer). Queries one
+    bigram through the segment store; the oracle replays bigrams via
+    substr and English via split-minus-stopwords."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+    from clucene_spark.search.wand import wand_query_direct
+
+    chars = F.array(*[F.lit(c) for c in _CJK_CHARS])
+    cjk_text = F.concat(
+        *[
+            F.element_at(chars, ((F.col("doc_id") * 7 + i * 13) % 64 + 1).cast("int"))
+            for i in range(6)
+        ]
+    )
+    docs = _docs(spark, sf).select("doc_id", "text")
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, cjk_text).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("zh")).otherwise(F.lit("en")).alias("lang"),
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_lang"
+    try:
+        store = SegmentStore(spark, d)
+    except FileNotFoundError:
+        build_segments_fused(mixed, d, docs_per_segment=256, analyzer="lang",
+                             lang_col="lang")
+        store = SegmentStore(spark, d)
+    # doc 0's first bigram: chars[0] + chars[13]
+    bigram = _CJK_CHARS[0] + _CJK_CHARS[13]
+    return wand_query_direct(store, [bigram], k=10)
+
+
+_IVF_FIXED_CACHE: dict[str, str] = {}
+
+
+def _q_ann_ivf_stored(spark, sf):
+    """Same IVF algorithm as ann_ivf_topk but probed against the
+    cluster-PARTITIONED store (ivf_write): identical results, so the same
+    SQL oracle applies — this gates the partition-pruned read path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.pipeline.ann import ivf_topk_stored, ivf_write
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in _vecs(spark, sf).filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    if sf not in _IVF_FIXED_CACHE:
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/clucene_ivf_fixed_{tag}"
+        if not os.path.isdir(path):
+            ivf_write(_vecs(spark, sf).select("vec_id", "embedding"), cents, path)
+        _IVF_FIXED_CACHE[sf] = path
+    return ivf_topk_stored(
+        spark, _IVF_FIXED_CACHE[sf], cents, _query_vec(spark, sf, vec_id=3),
+        k=10, n_probe=3,
+    )
+
+
 def _q_ann_ivf(spark, sf):
     from clucene_spark.pipeline.ann import ivf_topk
 
@@ -841,6 +914,45 @@ WITH corpus AS (
 """
 
 _COS_SQL = "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+
+
+def _lang_dispatch_sql() -> str:
+    """Replays the mixed en/zh corpus + per-language tokenization: zh rows
+    become character bigrams (substr is character-based in DuckDB), en rows
+    split-minus-stopwords — the LanguageBasedAnalyzer dispatch."""
+    lst = "[" + ",".join(f"'{c}'" for c in _CJK_CHARS) + "]"
+    cjk_text = " || ".join(
+        f"({lst})[((doc_id*7 + {i}*13) % 64) + 1]" for i in range(6)
+    )
+    bigram = _CJK_CHARS[0] + _CJK_CHARS[13]
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN {cjk_text} ELSE text END AS text,
+         CASE WHEN doc_id % 5 = 0 THEN 'zh' ELSE 'en' END AS lang
+  FROM documents),
+entok AS (
+  SELECT doc_id,
+         unnest(list_filter({_TOKS_SQL}, x -> x NOT IN {_STOP33_SQL})) AS term
+  FROM corpus WHERE lang = 'en'),
+zhtok AS (
+  SELECT doc_id, substr(text, i, 2) AS term
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 1)) AS i
+        FROM corpus WHERE lang = 'zh')),
+tok AS (SELECT * FROM entok UNION ALL SELECT * FROM zhtok),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+doc_lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+term_dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens)
+SELECT p.doc_id,
+       ROUND(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 4) AS score
+FROM postings p JOIN term_dict t USING (term) JOIN doc_lens d USING (doc_id)
+CROSS JOIN stats s
+WHERE p.term = '{bigram}'
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
 
 
 def _emb_neardup_sql(threshold: float = 0.99, n_planes: int = 8,
@@ -1432,6 +1544,8 @@ ORDER BY q.doc_id
         "ann_cosine_topk": _ann_brute_sql(7),
         "ann_cosine_topk_pandas": _ann_brute_sql(7),
         "ann_ivf_topk": _IVF_SQL,
+        "ann_ivf_stored_topk": _IVF_SQL,  # same algorithm, pruned storage
+        "lang_dispatch_topk": _lang_dispatch_sql(),
         "multimodal_features": """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
