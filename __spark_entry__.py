@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": _q_span_not,
         "wand_fielded_topk": _q_wand_fielded,
         "lang_dispatch_topk": _q_lang_dispatch,
+        "stream_ingest_topk": _q_stream_ingest,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
         "parsed_and_topk": lambda spark, sf: _searcher(spark, sf).topk(
             _parse("spark AND join"), 10, round_to=4
@@ -683,6 +684,48 @@ def _q_ann_pandas(spark, sf):
     from clucene_spark.pipeline.ann import cosine_topk_pandas
 
     return cosine_topk_pandas(_vecs(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def _q_stream_ingest(spark, sf):
+    """Structured Streaming end-to-end: micro-batch ingest (availableNow)
+    of the documents parquet into a fresh segment store, then BM25 top-10
+    through WAND. Exactly-once + the piece-resume rule make the streamed
+    index logically identical to a batch build, so the ordinary batch SQL
+    oracle applies."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.segments import SegmentStore
+    from clucene_spark.search.wand import wand_query_direct
+    from clucene_spark.streaming.ingest import stream_ingest
+
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_stream"
+    try:
+        store = SegmentStore(spark, d)
+    except FileNotFoundError:
+        # fresh build: clear any half-finished stream state, then feed the
+        # file-source a DIRECTORY of arriving files
+        for p in (d, f"{d}_ckpt", f"{d}_src"):
+            shutil.rmtree(p, ignore_errors=True)
+        src_dir = f"{d}_src"
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(f"{sf}/documents.parquet", f"{src_dir}/part-0.parquet")
+        stream_ingest(
+            spark,
+            src_dir,
+            d,
+            schema="doc_id long, text string",
+            docs_per_segment=256,
+            analyzer="whitespace",
+            checkpoint_dir=f"{d}_ckpt",
+            available_now=True,
+        )
+        store = SegmentStore(spark, d)
+    return wand_query_direct(store, ["spark", "window"], k=10)
 
 
 # 64 CJK ideographs shared by the Spark construction and the DuckDB oracle
@@ -1546,6 +1589,7 @@ ORDER BY q.doc_id
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_stored_topk": _IVF_SQL,  # same algorithm, pruned storage
         "lang_dispatch_topk": _lang_dispatch_sql(),
+        "stream_ingest_topk": _bm25_topk_sql(["spark", "window"]),
         "multimodal_features": """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
