@@ -60,8 +60,17 @@ def main() -> None:
     n_docs = docs.count()
 
     # warm python workers (imports + Arrow init) outside the measurement
+    def _warm(batches):
+        import numpy, pandas, pyarrow, pyarrow.dataset, pyarrow.parquet  # noqa
+        from clucene_spark.analysis.standard import standard_analyze_terms
+        from clucene_spark.index.codec import decode_postings  # noqa
+
+        standard_analyze_terms("warm up text")
+        for pdf in batches:
+            yield pdf
+
     spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
-        lambda it: it, "id long"
+        _warm, "id long"
     ).count()
 
     timings: dict[str, float] = {}
