@@ -13,10 +13,14 @@ ConjunctionScorer.cpp, PhraseScorer.cpp). The Spark restatement:
   coord(overlap,max)   -> matched/max multiplier (Similarity.cpp:231-235)
   PhraseQuery          -> n-way join on doc_id + shifted position-array intersect
                           (ExactPhraseScorer.cpp alignment semantics)
-  Prefix/Wildcard/Fuzzy/Range -> predicate on the term column of term_dict —
+  Prefix/Wildcard/Range -> predicate on the term column of term_dict —
                           Catalyst pushes it to the scan; no 1024-clause
                           expansion needed (PrefixQuery.cpp:88-160,
-                          MultiTermQuery.cpp:52-80, FuzzyQuery.cpp:377-425)
+                          MultiTermQuery.cpp:52-80)
+  FuzzyQuery           -> prefix-pruned dictionary scan + suffix
+                          levenshtein, best-1024 expansion with the
+                          (sim-minSim)/(1-minSim) rewrite boost
+                          (FuzzyQuery.cpp:42-230,377-425)
   top-k                -> ORDER BY score DESC, doc_id ASC LIMIT k
                           (tiebreak per HitQueue.cpp:100-105)
 
