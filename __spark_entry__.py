@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": _q_span_or,
         "span_not_topk": _q_span_not,
         "wand_fielded_topk": _q_wand_fielded,
+        "wand_phrase_topk": lambda spark, sf: __import__(
+            "clucene_spark.search.wand", fromlist=["phrase_query_direct"]
+        ).phrase_query_direct(_store(spark, sf), ["batch", "batch"], k=10),
         "lang_dispatch_topk": _q_lang_dispatch,
         "stream_ingest_topk": _q_stream_ingest,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
@@ -1743,6 +1746,8 @@ FROM pfreq p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
 WHERE p.pf > 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # store-served phrase == relational phrase == the same SQL oracle
+    d["wand_phrase_topk"] = d["phrase_exact_topk"]
     # parsed-path queries produce identical results to their programmatic
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]

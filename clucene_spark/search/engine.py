@@ -523,10 +523,10 @@ class Searcher:
         n-way inner join on doc_id with shifted array_intersect — the
         candidate intersection happens first (cheap join on doc_id),
         position check is column math.
-        Sloppy: freq = sum over alignments of 1/(distance+1)
-        (SloppyPhraseScorer.cpp + Similarity.cpp:223-225) — implemented for
-        2-term phrases as a pairwise position distance; n-term sloppy is
-        deferred to the WAND/segment path.
+        Sloppy: freq = Σ over anchor positions of 1/(D+1) where D is the
+        best total displacement anchored there (SloppyPhraseScorer.cpp +
+        Similarity.cpp:223-225), for any number of terms — a documented
+        simplification of the reference's repeating-terms window walk.
         """
         terms = query.terms
         dfs = self.doc_freqs(terms, field=query.field)

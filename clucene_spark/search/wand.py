@@ -372,6 +372,108 @@ def wand_query_direct(
     return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def phrase_query_direct(
+    store: SegmentStore,
+    terms: list[str],
+    k: int = 10,
+    round_to: int | None = 4,
+    field: str | None = None,
+) -> DataFrame:
+    """Exact phrase top-k served FROM THE SEGMENT STORE: per segment, read
+    the phrase terms' postings + position blobs (term-pruned parquet scan),
+    intersect docID lists, count adjacent alignments via the shifted-set
+    intersection (ExactPhraseScorer.cpp:34+ semantics), score
+    idf_sum x BM25(tf=phrase_freq) — the .prx-consuming twin of
+    wand_query_direct, same shuffle-free per-segment fan-out +
+    TakeOrderedAndProject merge. Completes the store's serving surface:
+    term/boolean (WAND) and phrases both run off the compressed segments,
+    no relational index needed."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    from clucene_spark.index.codec import decode_positions
+
+    qterms = list(terms)
+    if field is not None:
+        from clucene_spark.index.segments import fielded_term
+
+        qterms = [fielded_term(field, t) for t in qterms]
+    n_docs, avgdl = store.stats(field)
+    dfs = store.doc_freqs(qterms)
+    if any(dfs[t] == 0 for t in qterms):
+        return store.spark.createDataFrame([], HIT_SCHEMA)
+    # duplicates count per SLOT, like the relational scorer's sum over terms
+    idf_sum = sum(bm25_idf(dfs[t], n_docs) for t in qterms)
+    deleted = frozenset(store.deleted_ids())
+
+    index_dir = store.index_dir
+    seg_names = [s["name"] for s in store.manifest["segments"]]
+    seg_df = store.spark.createDataFrame([(n,) for n in seg_names], "segment string")
+    n_part = min(len(seg_names), store.spark.sparkContext.defaultParallelism)
+
+    def _serve(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_docs, out_scores = [], []
+            for seg in pdf["segment"]:
+                path = os.path.join(index_dir, "segments", seg, "postings.parquet")
+                tab = pa_ds.dataset(path).to_table(
+                    columns=["term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"],
+                    filter=pa_ds.field("term").isin(list(set(qterms))),
+                )
+                per_term = {}
+                for i in range(tab.num_rows):
+                    t = tab["term"][i].as_py()
+                    docs, tfs = decode_postings(
+                        tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
+                    )
+                    dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
+                    pb = tab["pos_blob"][i].as_py()
+                    if pb is None:
+                        per_term = {}
+                        break  # positions required for phrases
+                    per_term[t] = (docs, tfs, dls, decode_positions(bytes(pb), tfs))
+                if len(per_term) < len(set(qterms)):
+                    continue
+                # docID intersection via sorted merges
+                base_docs = per_term[qterms[0]][0]
+                cand = base_docs
+                for t in qterms[1:]:
+                    cand = cand[np.isin(cand, per_term[t][0])]
+                for doc in cand:
+                    if int(doc) in deleted:
+                        continue
+                    # shifted intersection: positions of term i minus i
+                    aligned = None
+                    dl = None
+                    for slot, t in enumerate(qterms):
+                        docs_t, _tfs, dls_t, poss = per_term[t]
+                        j = int(np.searchsorted(docs_t, doc))
+                        shift = poss[j] - slot
+                        dl = int(dls_t[j])
+                        aligned = (
+                            shift if aligned is None
+                            else np.intersect1d(aligned, shift, assume_unique=False)
+                        )
+                        if aligned.size == 0:
+                            break
+                    pfreq = int(aligned.size) if aligned is not None else 0
+                    if pfreq > 0:
+                        out_docs.append(int(doc))
+                        out_scores.append(_bm25(float(pfreq), float(dl), idf_sum, avgdl))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_docs, dtype="int64"),
+                 "score": pd.Series(out_scores, dtype="float64")}
+            )
+
+    hits = seg_df.repartition(n_part).mapInPandas(_serve, HIT_SCHEMA)
+    if round_to is not None:
+        hits = hits.select("doc_id", F.round("score", round_to).alias("score"))
+    return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def wand_query_local(
     store: SegmentStore,
     terms: list[str],

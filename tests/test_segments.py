@@ -535,3 +535,27 @@ def test_fielded_store_merge_preserves_fields(spark, tmp_path):
     assert "field" in store.doc_lens().columns
     assert store.stats(field="title") == stats_before
     assert wand_query_local(store, ["join"], k=10, field="title") == before
+
+
+def test_phrase_query_direct_matches_relational(spark, tmp_path):
+    """Store-served exact phrase (positions blobs) is value-identical to
+    the relational phrase scorer, including repeated-term phrases and the
+    fielded store."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.index.segments import build_segments_fused
+    from clucene_spark.search.engine import PhraseQuery, Searcher
+    from clucene_spark.search.wand import phrase_query_direct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    d = str(tmp_path / "phrase_idx")
+    build_segments_fused(docs, d, docs_per_segment=64, analyzer="whitespace")
+    store = SegmentStore(spark, d)
+    s = Searcher(InvertedIndex(docs))
+    for terms in (["batch", "batch"], ["key", "value"], ["key", "value", "table"]):
+        want = [(r["doc_id"], r["score"]) for r in
+                s.topk(PhraseQuery(terms=terms), 10, round_to=4).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               phrase_query_direct(store, terms, k=10).collect()]
+        assert got == want, terms
+    # nonexistent term short-circuits to empty
+    assert phrase_query_direct(store, ["key", "zzzznope"], k=10).count() == 0
