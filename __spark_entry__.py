@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_phrase_topk": lambda spark, sf: __import__(
             "clucene_spark.search.wand", fromlist=["phrase_query_direct"]
         ).phrase_query_direct(_store(spark, sf), ["batch", "batch"], k=10),
+        "wand_sloppy_phrase_topk": lambda spark, sf: __import__(
+            "clucene_spark.search.wand", fromlist=["phrase_query_direct"]
+        ).phrase_query_direct(_store(spark, sf), ["key", "value"], k=10, slop=2),
         "lang_dispatch_topk": _q_lang_dispatch,
         "stream_ingest_topk": _q_stream_ingest,
         # --- query parser path (SURVEY §3b: parse -> AST -> plan) ---
@@ -1748,6 +1751,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     # store-served phrase == relational phrase == the same SQL oracle
     d["wand_phrase_topk"] = d["phrase_exact_topk"]
+    d["wand_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]
     # parsed-path queries produce identical results to their programmatic
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]

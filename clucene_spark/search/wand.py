@@ -378,11 +378,16 @@ def phrase_query_direct(
     k: int = 10,
     round_to: int | None = 4,
     field: str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase top-k served FROM THE SEGMENT STORE: per segment, read
+    """Phrase top-k served FROM THE SEGMENT STORE: per segment, read
     the phrase terms' postings + position blobs (term-pruned parquet scan),
-    intersect docID lists, count adjacent alignments via the shifted-set
-    intersection (ExactPhraseScorer.cpp:34+ semantics), score
+    intersect docID lists, then either count adjacent alignments via the
+    shifted-set intersection (slop=0, ExactPhraseScorer.cpp:34+ semantics)
+    or accumulate the sloppy payoff sum over anchors of 1/(D+1) with
+    D = total best displacement <= slop (the relational _score_phrase
+    formula, SloppyPhraseScorer model) — value-identical to the relational
+    scorer in both modes. Scores
     idf_sum x BM25(tf=phrase_freq) — the .prx-consuming twin of
     wand_query_direct, same shuffle-free per-segment fan-out +
     TakeOrderedAndProject merge. Completes the store's serving surface:
@@ -445,24 +450,39 @@ def phrase_query_direct(
                 for doc in cand:
                     if int(doc) in deleted:
                         continue
-                    # shifted intersection: positions of term i minus i
-                    aligned = None
+                    doc_pos = []
                     dl = None
-                    for slot, t in enumerate(qterms):
+                    for t in qterms:
                         docs_t, _tfs, dls_t, poss = per_term[t]
                         j = int(np.searchsorted(docs_t, doc))
-                        shift = poss[j] - slot
+                        doc_pos.append(poss[j])
                         dl = int(dls_t[j])
-                        aligned = (
-                            shift if aligned is None
-                            else np.intersect1d(aligned, shift, assume_unique=False)
-                        )
-                        if aligned.size == 0:
-                            break
-                    pfreq = int(aligned.size) if aligned is not None else 0
+                    if slop == 0:
+                        # shifted intersection: positions of term i minus i
+                        aligned = doc_pos[0]
+                        for i in range(1, len(qterms)):
+                            aligned = np.intersect1d(
+                                aligned, doc_pos[i] - i, assume_unique=False
+                            )
+                            if aligned.size == 0:
+                                break
+                        pfreq = float(aligned.size)
+                    else:
+                        # per-anchor best displacement: D(p0) = sum_i of
+                        # min |q - p0 - i| over term i's positions; payoff
+                        # 1/(D+1) when D <= slop (matches _score_phrase)
+                        p0s = doc_pos[0].astype(np.int64)
+                        D = np.zeros(len(p0s), dtype=np.float64)
+                        for i in range(1, len(qterms)):
+                            diffs = np.abs(
+                                doc_pos[i][None, :] - (p0s[:, None] + i)
+                            )
+                            D += diffs.min(axis=1)
+                        ok = D <= slop
+                        pfreq = float((1.0 / (D[ok] + 1.0)).sum())
                     if pfreq > 0:
                         out_docs.append(int(doc))
-                        out_scores.append(_bm25(float(pfreq), float(dl), idf_sum, avgdl))
+                        out_scores.append(_bm25(pfreq, float(dl), idf_sum, avgdl))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(out_docs, dtype="int64"),
                  "score": pd.Series(out_scores, dtype="float64")}

@@ -551,11 +551,13 @@ def test_phrase_query_direct_matches_relational(spark, tmp_path):
     build_segments_fused(docs, d, docs_per_segment=64, analyzer="whitespace")
     store = SegmentStore(spark, d)
     s = Searcher(InvertedIndex(docs))
-    for terms in (["batch", "batch"], ["key", "value"], ["key", "value", "table"]):
+    for terms, slop in ((["batch", "batch"], 0), (["key", "value"], 0),
+                        (["key", "value", "table"], 0), (["key", "value"], 2),
+                        (["key", "value", "table"], 4)):
         want = [(r["doc_id"], r["score"]) for r in
-                s.topk(PhraseQuery(terms=terms), 10, round_to=4).collect()]
+                s.topk(PhraseQuery(terms=terms, slop=slop), 10, round_to=4).collect()]
         got = [(r["doc_id"], r["score"]) for r in
-               phrase_query_direct(store, terms, k=10).collect()]
-        assert got == want, terms
+               phrase_query_direct(store, terms, k=10, slop=slop).collect()]
+        assert got == want, (terms, slop)
     # nonexistent term short-circuits to empty
     assert phrase_query_direct(store, ["key", "zzzznope"], k=10).count() == 0
