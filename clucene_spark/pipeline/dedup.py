@@ -117,8 +117,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 MERSENNE_31 = (1 << 31) - 1
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
-    """(doc_id, hash_id, minhash): K universal-hash minima over shingles.
+def _minhash_min_aggs(num_hashes: int) -> list:
+    """K min-hash aggregation expressions over an `sh_h` (md5_31) column.
 
     h_i(s) = (a_i * md5_31(s) + b_i) mod (2^31-1), a_i/b_i deterministic
     per i. The modulus must be SMALL enough that a*h wraps it many times —
@@ -126,22 +126,51 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Dat
     minima pick the same shingle (zero independence, LSH degenerates).
     a*h < 2^31 * 2^28 = 2^59 stays inside int64.
     """
-    sh = shingles(docs, n).withColumn("sh_h", md5_31(F.col("shingle")))
-    # K minima as ONE wide aggregation (map-side partial agg, no shuffle
-    # bigger than n_docs x K): the K-way row explosion this replaces moved
-    # K x n_shingles rows through the plan — 32x the corpus shingle count —
-    # for the same K expressions per shingle.
     aggs = []
     for i in range(num_hashes):
         a = (((i * 2 + 1) * 2654435761) % MERSENNE_31) + 1
         b = ((i + 1) * 40503) % MERSENNE_31
         hv = (F.lit(a) * F.col("sh_h") + F.lit(b)) % F.lit(MERSENNE_31)
         aggs.append(F.min(hv).alias(f"m{i}"))
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return aggs
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, hash_id, minhash): K universal-hash minima over shingles.
+
+    K minima as ONE wide aggregation (map-side partial agg, no shuffle
+    bigger than n_docs x K): the K-way row explosion this replaces moved
+    K x n_shingles rows through the plan — 32x the corpus shingle count —
+    for the same K expressions per shingle.
+    """
+    sh = shingles(docs, n).withColumn("sh_h", md5_31(F.col("shingle")))
+    wide = sh.groupBy("doc_id").agg(*_minhash_min_aggs(num_hashes))
     stack_expr = ", ".join(f"{i}L, m{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "doc_id", f"stack({num_hashes}, {stack_expr}) as (hash_id, minhash)"
     )
+
+
+def minhash_doc_state(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """ONE-scan per-doc LSH state: (doc_id, m0..m{K-1}, S).
+
+    The K signature minima AND the 60-bit shingle set used by the exact
+    verify step come out of a single shingle scan + single groupBy — the
+    round-2 shape tokenized and exploded the corpus twice (once for
+    signatures, once for verify sets), which at 100 TB doubles the dominant
+    cost of the whole dedup pipeline. Sets are 60-bit shingle hashes, not
+    strings: ~5x smaller rows (the sets side broadcasts when small),
+    long-array intersection instead of string compares, and cross-doc
+    collision odds ~n_shingles^2/2^60 per pair — no effect at 4dp.
+    """
+    sh = shingles(docs, n).select(
+        "doc_id",
+        md5_31(F.col("shingle")).alias("sh_h"),
+        md5_60(F.col("shingle")).alias("sh64"),
+    )
+    aggs = _minhash_min_aggs(num_hashes)
+    aggs.append(F.collect_set("sh64").alias("S"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -165,18 +194,28 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("hash_id", "minhash"))).alias("sig"))
-        .withColumn("band_key", F.md5(F.concat(F.col("band").cast("string"),
-                                               F.lit(":"), F.col("sig").cast("string"))))
+    # ONE shingle scan feeds both the banded candidate generation and the
+    # exact-verify sets (round 2 ran shingles() twice — the double
+    # tokenize+explode pass dominated the whole pipeline's cost). The state
+    # frame is persisted: at 100 TB this is the materialized signatures
+    # table every production MinHash pipeline writes once and reads from
+    # both the banding and the verify stage.
+    state = minhash_doc_state(docs, n, num_hashes).persist()
+    # band keys as plain column math over the wide minima (no re-stack /
+    # re-group): key = md5(band_index : the band's consecutive minima).
+    band_cols = []
+    for bi in range(bands):
+        parts = [
+            F.col(f"m{bi * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.md5(F.concat_ws(":", F.lit(str(bi)), *parts)))
+    banded = state.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
-    # skew cap via a window count (ONE pass over banded — a separate
-    # bucket_sizes join would re-execute the whole signature subtree), then
-    # a self-join whose two sides are the identical subplan: Spark's
-    # ReuseExchange computes the banded shuffle once and feeds both sides.
+    # skew cap via a window count (ONE pass over banded), then a self-join
+    # whose two sides are the identical subplan: Spark's ReuseExchange
+    # computes the banded shuffle once and feeds both sides.
     banded = (
         banded.withColumn(
             "bsz", F.count("*").over(Window.partitionBy("band_key"))
@@ -191,23 +230,11 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    # exact Jaccard computed ONLY for LSH candidate pairs: one aggregation
-    # collects each doc's (bounded, doc-length-sized) shingle set, the
-    # candidate pairs join both sides' sets by doc id, and the intersection
-    # is JVM-side array_intersect — no shingle-keyed shuffle, no global
-    # shingle self-join (the round-1 version verified against the
-    # full-corpus exact join, which defeated the LSH at scale; an exploded
-    # candidate x shingle join would re-shuffle the whole shingle table).
-    # Sets are 60-bit shingle hashes, not strings: ~5x smaller rows (the
-    # sets table broadcasts when small), long-array intersection instead of
-    # string compares, and cross-doc collision odds ~n_shingles^2/2^60 per
-    # pair — no effect on any Jaccard at 4dp.
-    sets = (
-        shingles(docs, n)
-        .select("doc_id", md5_60(F.col("shingle")).alias("sh"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("S"))
-    )
+    # exact Jaccard computed ONLY for LSH candidate pairs: the candidate
+    # pairs join both sides' (bounded, doc-length-sized) shingle-hash sets
+    # by doc id, intersection is JVM-side array_intersect — no
+    # shingle-keyed shuffle, no global shingle self-join.
+    sets = state.select("doc_id", "S")
     j = (
         cands.join(
             sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")), "a"
