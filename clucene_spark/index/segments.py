@@ -894,23 +894,35 @@ class SegmentStore:
         """Buffered deletions (the .del bitset analogue)."""
         return set(read_deletes(self.index_dir))
 
-    def has_term_vectors(self) -> bool:
-        return all(
-            os.path.exists(
-                os.path.join(self.index_dir, "segments", n, "term_vectors.parquet")
-            )
+    def _term_vector_paths(self) -> list[str]:
+        return [
+            p
             for n in self._names
-        )
+            if os.path.exists(
+                p := os.path.join(
+                    self.index_dir, "segments", n, "term_vectors.parquet"
+                )
+            )
+        ]
+
+    def has_term_vectors(self) -> bool:
+        # tolerate pieced indexes where only some segments carry the file
+        # (e.g. vectors built before an append): vectors are available if
+        # ANY segment has them; per-doc reads skip uncovered segments.
+        return bool(self._term_vector_paths())
 
     def term_vectors(self) -> DataFrame:
         """Forward index (doc_id, term, tf, positions) — the
         TermVectorsReader surface (reference index/TermVectorReader.cpp,
         tests src/test/index/TestTermVectorsReader.cpp). Requires the index
-        to have been built with term_vectors=True."""
-        paths = [
-            os.path.join(self.index_dir, "segments", n, "term_vectors.parquet")
-            for n in self._names
-        ]
+        to have been built with term_vectors=True. Segments without a
+        vectors file (pieces appended after the vectors pass) are skipped,
+        mirroring term_vector()'s per-doc behavior."""
+        paths = self._term_vector_paths()
+        if not paths:
+            raise FileNotFoundError(
+                f"no term_vectors.parquet in any segment of {self.index_dir}"
+            )
         return self.spark.read.parquet(*paths)
 
     def term_vector(self, doc_id: int) -> list[tuple[str, int, list[int]]]:
@@ -1094,29 +1106,55 @@ def build_term_vectors_offsets(
 
     Runs as its own applyInPandas pass grouped by the index's doc ranges
     (one task per segment, same parallelism as the build); the hot
-    inverted build stays offset-free. Returns #segments written."""
-    man = read_manifest(index_dir)
-    dps = int(man.get("docs_per_segment", 4096))
-    seg_by_id: dict[int, list[str]] = {}
-    for s in man["segments"]:
-        seg_by_id.setdefault(int(s["min_doc"]) // dps, []).append(s["name"])
+    inverted build stays offset-free. Returns #segments written.
 
+    Docs are routed to segments by the manifest's actual (min_doc,
+    max_doc) ranges — NOT by a docs_per_segment modulus — so pieced
+    indexes (resume-after-crash, streamed ingest, update-append) and
+    aligned/range-keyed manifests each get a vectors file in their OWN
+    segment directory; segments outside the supplied docs still get an
+    empty (schema-only) file so has_term_vectors() stays an all-segments
+    invariant."""
+    man = read_manifest(index_dir)
+    segs = sorted(
+        man["segments"], key=lambda s: (int(s["min_doc"]), s["name"])
+    )
+    ranges = [(s["name"], int(s["min_doc"]), int(s["max_doc"])) for s in segs]
+    rng_df = docs.sparkSession.createDataFrame(
+        ranges, schema="name string, min_doc long, max_doc long"
+    )
     src = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("segment_id", F.floor(F.col("doc_id") / F.lit(dps)))
+    )
+    # broadcast range-join: tiny manifest side, no shuffle of the docs;
+    # first matching range wins if pieces ever overlap
+    from pyspark.sql import Window
+
+    src = (
+        src.join(
+            F.broadcast(rng_df),
+            (F.col("doc_id") >= F.col("min_doc"))
+            & (F.col("doc_id") <= F.col("max_doc")),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("min_doc", "name")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "name")
+    )
     idx_dir = index_dir
     an = analyzer
 
-    out_schema = T.StructType([T.StructField("segment_id", T.LongType(), False),
+    out_schema = T.StructType([T.StructField("name", T.StringType(), False),
                                T.StructField("n_rows", T.LongType(), False)])
 
     def _one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from clucene_spark.analysis.standard import standard_analyze
 
-        seg_id = int(key[0])
-        names = seg_by_id.get(seg_id)
-        if not names:
-            return pd.DataFrame({"segment_id": [seg_id], "n_rows": [0]})
+        seg_name = str(key[0])
         acc: dict[tuple, tuple[list, list, list]] = {}  # (doc,term) -> (pos, starts, ends)
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             if text is None:
@@ -1136,8 +1174,6 @@ def build_term_vectors_offsets(
                 pos.append(p)
                 ss.append(s)
                 ee.append(e)
-        if not acc:
-            return pd.DataFrame({"segment_id": [seg_id], "n_rows": [0]})
         tv = pd.DataFrame(
             [
                 (d, t, len(pos), pos, ss, ee)
@@ -1145,19 +1181,48 @@ def build_term_vectors_offsets(
             ],
             columns=["doc_id", "term", "tf", "positions", "starts", "ends"],
         )
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        _write_term_vectors_file(idx_dir, seg_name, tv)
+        return pd.DataFrame({"name": [seg_name], "n_rows": [len(tv)]})
 
-        # pieces of one range share the file in the FIRST piece's dir; per-
-        # piece split is unnecessary for a read-side forward index
-        path = os.path.join(idx_dir, "segments", names[0], "term_vectors.parquet")
-        tmp = path + "." + uuid.uuid4().hex + ".tmp"
-        pq.write_table(pa.Table.from_pandas(tv, preserve_index=False), tmp)
-        os.replace(tmp, path)
-        return pd.DataFrame({"segment_id": [seg_id], "n_rows": [len(tv)]})
+    res = src.groupBy("name").applyInPandas(_one, out_schema).collect()
+    written = {r["name"] for r in res}
+    # schema-only files for segments none of the supplied docs fell into,
+    # so every committed segment carries the file (all-segments invariant)
+    for s in segs:
+        if s["name"] not in written:
+            _write_term_vectors_file(
+                index_dir,
+                s["name"],
+                pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "term": pd.Series([], dtype="object"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "positions": pd.Series([], dtype="object"),
+                     "starts": pd.Series([], dtype="object"),
+                     "ends": pd.Series([], dtype="object")}
+                ),
+            )
+    return len(written)
 
-    res = src.groupBy("segment_id").applyInPandas(_one, out_schema).collect()
-    return sum(1 for r in res if r["n_rows"] > 0)
+
+def _write_term_vectors_file(index_dir: str, segment: str, tv) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("positions", pa.list_(pa.int64())),
+            ("starts", pa.list_(pa.int64())),
+            ("ends", pa.list_(pa.int64())),
+        ]
+    )
+    path = os.path.join(index_dir, "segments", segment, "term_vectors.parquet")
+    tmp = path + "." + uuid.uuid4().hex + ".tmp"
+    pq.write_table(pa.Table.from_pandas(tv, schema=schema, preserve_index=False), tmp)
+    os.replace(tmp, path)
 
 
 def read_term_index(index_dir: str, segment: str) -> list[str]:

@@ -561,3 +561,51 @@ def test_phrase_query_direct_matches_relational(spark, tmp_path):
         assert got == want, (terms, slop)
     # nonexistent term short-circuits to empty
     assert phrase_query_direct(store, ["key", "zzzznope"], k=10).count() == 0
+
+
+def test_term_vectors_offsets_on_aligned_and_pieced_index(spark, tmp_path):
+    """Regression (ADVICE r02): build_term_vectors_offsets used a
+    docs_per_segment modulus to route docs, mis-bucketing aligned/range-
+    keyed manifests and writing multi-piece ranges only into the first
+    piece's dir, which broke term_vectors()/has_term_vectors() on any
+    pieced index. Docs are now routed by the manifest's actual doc ranges
+    and every segment gets a (possibly empty) vectors file."""
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_aligned,
+        build_term_vectors_offsets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc number {i} with spark inside")
+         for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(3)
+    d = str(tmp_path / "tvo_aligned")
+    build_segments_aligned(docs, d, analyzer="whitespace")
+    build_term_vectors_offsets(spark, d, docs, analyzer="whitespace")
+
+    store = SegmentStore(spark, d)
+    assert store.has_term_vectors()
+    # every manifest segment carries the file (pieced-index invariant)
+    import os
+    for name in store._names:
+        assert os.path.exists(
+            os.path.join(d, "segments", name, "term_vectors.parquet")
+        ), name
+    # full forward index covers every doc exactly once
+    tv = store.term_vectors()
+    assert tv.select("doc_id").distinct().count() == 40
+    assert tv.filter((F.col("doc_id") == 17) & (F.col("term") == "spark")).count() == 1
+
+    # vectors built over a SUBSET of docs: uncovered segments get empty
+    # files, readers keep working
+    d2 = str(tmp_path / "tvo_subset")
+    build_segments_aligned(docs, d2, analyzer="whitespace")
+    build_term_vectors_offsets(
+        spark, d2, docs.filter(F.col("doc_id") < 10), analyzer="whitespace"
+    )
+    store2 = SegmentStore(spark, d2)
+    assert store2.has_term_vectors()
+    assert store2.term_vectors().select("doc_id").distinct().count() == 10
+    assert store2.term_vector(39) == []
