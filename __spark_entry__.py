@@ -176,7 +176,7 @@ _GATE_WINDOW: tuple = (
     "multimodal_features", "multimodal_frame_sample",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
-    "phrase_sloppy_topk", "phrase_sloppy3_topk",
+    "phrase_sloppy_topk", "phrase_sloppy3_topk", "phrase_sloppy_repeat_topk",
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
     # one gate per core search family
     "term_topk_bm25", "term_topk_classic",
@@ -280,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "phrase_sloppy3_topk": lambda spark, sf: _searcher(spark, sf).topk(
             PhraseQuery(terms=["key", "value", "table"], slop=4), 10, round_to=4
+        ),
+        # repeated query term — exercises the PhrasePositions repeat
+        # handling (SloppyPhraseScorer.cpp:72-171)
+        "phrase_sloppy_repeat_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            PhraseQuery(terms=["batch", "batch"], slop=1), 10, round_to=4
         ),
         "boosted_or_topk": lambda spark, sf: _searcher(spark, sf).topk(
             BooleanQuery()
@@ -1149,6 +1154,181 @@ bm25 AS (
 """
 
 
+def _sloppy_topk_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """DuckDB replay of the reference SloppyPhraseScorer window walk
+    (search/SloppyPhraseScorer.cpp:35-171) as a recursive-CTE state
+    machine, then BM25(tf=phrase_freq) top-k — the oracle twin of
+    clucene_spark/search/sloppy.py.
+
+    Per doc the state is (index per query slot, phase, window bookkeeping,
+    freq); one recursion step = one PhraseQueue pop ('pop' phase) or one
+    nextPosition() advance of the popped slot ('walk' phase). Two
+    generation-time simplifications are exact for this engine: (a) slots
+    repeat iff they share a term, and same-term slots share one position
+    list, so "collides on an actual term position" reduces to index
+    equality; (b) the repeat init (initPhrasePositions advancing higher
+    offsets first) therefore has a closed form — within a repeat group in
+    descending slot order, rank m takes index m+1 and the last (lowest)
+    slot keeps 0, valid only when the doc has >= group-size occurrences.
+    """
+    n = len(terms)
+    dterms = list(dict.fromkeys(terms))
+    cte_of = {t: f"pt{j}" for j, t in enumerate(dterms)}
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        groups.setdefault(t, []).append(i)
+    init_idx = [0] * n
+    siblings: list[list[int]] = [[] for _ in range(n)]
+    for slots in groups.values():
+        for s in slots:
+            siblings[s] = [j for j in slots if j != s]
+        if len(slots) > 1:
+            desc = sorted(slots, reverse=True)
+            for rank, s in enumerate(desc[:-1]):
+                init_idx[s] = rank + 1
+
+    # per-slot position CTEs (shared across duplicate slots)
+    pts = ",\n".join(
+        f"{cte_of[t]} AS (SELECT doc_id, list(pos ORDER BY pos) AS ps "
+        f"FROM tok WHERE term = '{t}' GROUP BY doc_id)"
+        for t in dterms
+    )
+    seed_lists = ", ".join(f"{cte_of[terms[i]]}.ps AS l{i}" for i in range(n))
+    seed_joins = cte_of[dterms[0]] + "".join(
+        f" JOIN {cte_of[t]} USING (doc_id)" for t in dterms[1:]
+    )
+    group_guards = [
+        f"len({cte_of[t]}.ps) >= {len(slots)}"
+        for t, slots in groups.items()
+        if len(slots) > 1
+    ]
+    seed_where = ("WHERE " + " AND ".join(group_guards)) if group_guards else ""
+    end0 = "greatest(" + ", ".join(
+        f"l{i}[{init_idx[i] + 1}] - {i}" for i in range(n)
+    ) + ")" if n > 1 else f"l0[{init_idx[0] + 1}]"
+    seed_idx = ", ".join(f"{init_idx[i]} AS i{i}" for i in range(n))
+
+    # level-1 derived: current pp positions q_i = l_i[idx+1] - offset
+    qcols = ", ".join(f"l{i}[i{i} + 1] - {i} AS q{i}" for i in range(n))
+
+    def case_by_popped(fmt: str) -> str:
+        whens = " ".join(f"WHEN {m} THEN {fmt.format(m=m)}" for m in range(n))
+        return f"CASE popped {whens} END"
+
+    def least_others(m: int) -> str:
+        others = [f"q{j}" for j in range(n) if j != m]
+        return others[0] if len(others) == 1 else "least(" + ", ".join(others) + ")"
+
+    # PhraseQueue pop: min (position, offset) — sequential <= keeps the
+    # lowest offset on ties (_PhraseQueue.h:25-35)
+    pm_whens = []
+    for m in range(n - 1):
+        pm_whens.append(f"WHEN q{m} <= {least_others(m)} THEN {m}")
+    pm_expr = "CASE " + " ".join(pm_whens) + f" ELSE {n - 1} END"
+    pnext_expr = "CASE pm " + " ".join(
+        f"WHEN {m} THEN {least_others(m)}" for m in range(n)
+    ) + " END"
+    pstart_expr = "CASE pm " + " ".join(
+        f"WHEN {m} THEN q{m}" for m in range(n)
+    ) + " END"
+
+    # walk intermediates for the popped slot
+    cur_expr = case_by_popped("q{m}")
+    ni_expr = case_by_popped("i{m}") + " + 1"
+    lm_expr = case_by_popped("len(l{m})")
+    np_expr = case_by_popped("l{m}[i{m} + 2] - {m}")
+
+    def tdiff_of(m: int) -> str:
+        if not siblings[m]:
+            return "TRUE"
+        # same-term lists are identical -> collision == index equality
+        return "(" + " AND ".join(f"i{j} <> i{m} + 1" for j in siblings[m]) + ")"
+
+    ntd_expr = "CASE popped " + " ".join(
+        f"WHEN {m} THEN {tdiff_of(m)}" for m in range(n)
+    ) + " END"
+
+    iupd = ", ".join(
+        f"CASE WHEN phase = 'walk' AND popped = {i} AND NOT exhausted "
+        f"THEN ni ELSE i{i} END AS i{i}"
+        for i in range(n)
+    )
+    lcols = ", ".join(f"l{i}" for i in range(n))
+
+    walk = f"""
+st AS (
+  SELECT doc_id, {lcols}, {seed_idx},
+         'pop' AS phase, -1 AS popped, 0 AS start_p, 0 AS next_p,
+         TRUE AS tdiff, {end0} AS end_p, CAST(0.0 AS DOUBLE) AS freq
+  FROM seed
+  UNION ALL
+  SELECT doc_id, {lcols},
+         {iupd},
+         CASE WHEN phase = 'pop' THEN 'walk'
+              WHEN exhausted THEN 'done'
+              WHEN cont THEN 'walk'
+              ELSE 'pop' END AS phase,
+         CASE WHEN phase = 'pop' THEN pm ELSE popped END AS popped,
+         CASE WHEN phase = 'pop' THEN pstart ELSE new_start END AS start_p,
+         CASE WHEN phase = 'pop' THEN pnext ELSE next_p END AS next_p,
+         CASE WHEN phase = 'pop' THEN TRUE
+              WHEN cont THEN ntd ELSE tdiff END AS tdiff,
+         CASE WHEN exitw THEN greatest(end_p, np) ELSE end_p END AS end_p,
+         freq + CASE WHEN exhausted OR exitw THEN payoff
+                     ELSE CAST(0.0 AS DOUBLE) END AS freq
+  FROM (
+    SELECT *,
+           {pm_expr} AS pm,
+           {pnext_expr} AS pnext,
+           {pstart_expr} AS pstart,
+           {cur_expr} AS cur,
+           {ni_expr} AS ni,
+           {lm_expr} AS lm,
+           {np_expr} AS np,
+           {ntd_expr} AS ntd,
+           CASE WHEN phase = 'walk' AND cur <= next_p AND tdiff
+                THEN cur ELSE start_p END AS new_start,
+           phase = 'walk' AND ni >= lm AS exhausted,
+           phase = 'walk' AND ni < lm AND (np <= next_p OR NOT ntd) AS cont,
+           phase = 'walk' AND ni < lm AND np > next_p AND ntd AS exitw,
+           CASE WHEN end_p - (CASE WHEN phase = 'walk' AND cur <= next_p
+                                        AND tdiff
+                                   THEN cur ELSE start_p END) <= {slop}
+                THEN 1.0 / (end_p - (CASE WHEN phase = 'walk'
+                                               AND cur <= next_p AND tdiff
+                                          THEN cur ELSE start_p END) + 1)
+                ELSE CAST(0.0 AS DOUBLE) END AS payoff
+    FROM (SELECT *, {qcols} FROM st WHERE phase <> 'done')
+  )
+)"""
+
+    slot_terms = ", ".join(f"'{t}'" for t in terms)
+    prelude = _PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        prelude
+        + f"""
+, {pts},
+seed AS (
+  SELECT {cte_of[dterms[0]]}.doc_id, {seed_lists}
+  FROM {seed_joins}
+  {seed_where}
+),
+{walk},
+pf AS (SELECT doc_id, freq AS pfreq FROM st WHERE phase = 'done'),
+idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM (SELECT unnest([{slot_terms}]) AS qt) q
+    JOIN term_dict t ON t.term = q.qt CROSS JOIN stats s)
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 _STOP33_SQL = "('" + "', '".join(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
@@ -1315,50 +1495,10 @@ JOIN term_dict t USING (term) JOIN doc_lens d USING (doc_id) CROSS JOIN stats s
 WHERE p.term = 'spark'
 ORDER BY doc_id
 """,
-        "phrase_sloppy_topk": _PRELUDE
-        + """
-, p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'key' GROUP BY doc_id)
-, p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'value' GROUP BY doc_id)
-, pf AS (
-    SELECT p0.doc_id,
-           list_sum(list_transform(p0.ps, a ->
-             coalesce(list_max(list_transform(list_filter(p1.ps, b -> abs(b - a - 1) <= 2),
-                                              b -> 1.0 / (abs(b - a - 1) + 1))), 0.0))) AS pfreq
-    FROM p0 JOIN p1 USING (doc_id))
-, idf AS (
-    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
-           max(s.avgdl) AS avgdl
-    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value'))
-SELECT p.doc_id,
-       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
-FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
-WHERE p.pfreq > 0
-ORDER BY score DESC, doc_id ASC LIMIT 10
-""",
-        "phrase_sloppy3_topk": _PRELUDE
-        + """
-, p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'key' GROUP BY doc_id)
-, p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'value' GROUP BY doc_id)
-, p2 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok WHERE term = 'table' GROUP BY doc_id)
-, pf AS (
-    SELECT p0.doc_id,
-           list_sum(list_transform(p0.ps, a ->
-             CASE WHEN (list_min(list_transform(p1.ps, q -> abs(q - a - 1)))
-                      + list_min(list_transform(p2.ps, q -> abs(q - a - 2)))) <= 4
-                  THEN 1.0 / ((list_min(list_transform(p1.ps, q -> abs(q - a - 1)))
-                             + list_min(list_transform(p2.ps, q -> abs(q - a - 2)))) + 1)
-                  ELSE 0.0 END)) AS pfreq
-    FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id))
-, idf AS (
-    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
-           max(s.avgdl) AS avgdl
-    FROM term_dict t CROSS JOIN stats s WHERE t.term IN ('key', 'value', 'table'))
-SELECT p.doc_id,
-       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
-FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
-WHERE p.pfreq > 0
-ORDER BY score DESC, doc_id ASC LIMIT 10
-""",
+        # reference SloppyPhraseScorer walk replayed as a recursive CTE
+        "phrase_sloppy_topk": _sloppy_topk_sql(["key", "value"], 2),
+        "phrase_sloppy3_topk": _sloppy_topk_sql(["key", "value", "table"], 4),
+        "phrase_sloppy_repeat_topk": _sloppy_topk_sql(["batch", "batch"], 1),
         "boosted_or_topk": _PRELUDE
         + """
 SELECT doc_id,

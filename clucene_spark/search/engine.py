@@ -523,10 +523,11 @@ class Searcher:
         n-way inner join on doc_id with shifted array_intersect — the
         candidate intersection happens first (cheap join on doc_id),
         position check is column math.
-        Sloppy: freq = Σ over anchor positions of 1/(D+1) where D is the
-        best total displacement anchored there (SloppyPhraseScorer.cpp +
-        Similarity.cpp:223-225), for any number of terms — a documented
-        simplification of the reference's repeating-terms window walk.
+        Sloppy: the reference-faithful PhrasePositions window walk
+        (SloppyPhraseScorer.cpp:35-171 incl. the repeated-query-term
+        handling; payoff 1/(matchLength+1), Similarity.cpp:223-225) run
+        per doc over the joined position arrays through an Arrow-batched
+        pandas UDF — see clucene_spark/search/sloppy.py.
         """
         terms = query.terms
         dfs = self.doc_freqs(terms, field=query.field)
@@ -556,22 +557,27 @@ class Searcher:
                 )
             freq = F.size(aligned)
         else:
-            # sloppyFreq = Σ over anchor positions p0 of 1/(D+1), where D is
-            # the total displacement of the best alignment anchored at p0:
-            # D = Σ_i min_q |q - p0 - i| over term i's positions, kept only
-            # when D <= slop. Same 1/(d+1) payoff as the reference
-            # (Similarity.cpp:223-225); alignment enumeration is a
-            # simplified per-anchor best-match rather than the full
-            # repeating-terms window walk of SloppyPhraseScorer.cpp.
-            slop = query.slop
-            d_expr = " + ".join(
-                f"array_min(transform(pos{i}, q -> abs(q - p0 - {i})))"
-                for i in range(1, len(terms))
+            # the faithful SloppyPhraseScorer walk, vectorized over docs
+            # (Arrow batches); the per-doc kernel is pure Python but the
+            # position lists are phrase-term occurrences only — tiny rows
+            import pandas as pd  # noqa: F401 (pandas_udf runtime dep)
+
+            from clucene_spark.search.sloppy import (
+                repeat_groups,
+                sloppy_phrase_freq,
             )
-            freq = F.expr(
-                "aggregate(pos0, cast(0.0 as double), (acc, p0) -> acc + "
-                f"(CASE WHEN ({d_expr}) <= {slop} "
-                f"THEN 1.0 / (({d_expr}) + 1) ELSE 0.0D END))"
+
+            slop = query.slop
+            marks = repeat_groups(terms)
+
+            @F.pandas_udf("double")
+            def _sloppy_pf(arrs):
+                return arrs.map(
+                    lambda ls: sloppy_phrase_freq(list(ls), slop, marks)
+                )
+
+            freq = _sloppy_pf(
+                F.array(*[F.col(f"pos{i}") for i in range(len(terms))])
             )
         idf_sum = sum(self._idf(dfs[t]) for t in terms)
         scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)

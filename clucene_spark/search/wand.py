@@ -384,10 +384,9 @@ def phrase_query_direct(
     the phrase terms' postings + position blobs (term-pruned parquet scan),
     intersect docID lists, then either count adjacent alignments via the
     shifted-set intersection (slop=0, ExactPhraseScorer.cpp:34+ semantics)
-    or accumulate the sloppy payoff sum over anchors of 1/(D+1) with
-    D = total best displacement <= slop (the relational _score_phrase
-    formula, SloppyPhraseScorer model) — value-identical to the relational
-    scorer in both modes. Scores
+    or run the reference SloppyPhraseScorer window walk
+    (clucene_spark/search/sloppy.py; SloppyPhraseScorer.cpp:35-171) —
+    value-identical to the relational scorer in both modes. Scores
     idf_sum x BM25(tf=phrase_freq) — the .prx-consuming twin of
     wand_query_direct, same shuffle-free per-segment fan-out +
     TakeOrderedAndProject merge. Completes the store's serving surface:
@@ -398,6 +397,7 @@ def phrase_query_direct(
     import pyarrow.dataset as pa_ds
 
     from clucene_spark.index.codec import decode_positions
+    from clucene_spark.search.sloppy import repeat_groups, sloppy_phrase_freq
 
     qterms = list(terms)
     if field is not None:
@@ -411,6 +411,7 @@ def phrase_query_direct(
     # duplicates count per SLOT, like the relational scorer's sum over terms
     idf_sum = sum(bm25_idf(dfs[t], n_docs) for t in qterms)
     deleted = frozenset(store.deleted_ids())
+    rep_marks = repeat_groups(qterms)
 
     index_dir = store.index_dir
     seg_names = [s["name"] for s in store.manifest["segments"]]
@@ -468,18 +469,10 @@ def phrase_query_direct(
                                 break
                         pfreq = float(aligned.size)
                     else:
-                        # per-anchor best displacement: D(p0) = sum_i of
-                        # min |q - p0 - i| over term i's positions; payoff
-                        # 1/(D+1) when D <= slop (matches _score_phrase)
-                        p0s = doc_pos[0].astype(np.int64)
-                        D = np.zeros(len(p0s), dtype=np.float64)
-                        for i in range(1, len(qterms)):
-                            diffs = np.abs(
-                                doc_pos[i][None, :] - (p0s[:, None] + i)
-                            )
-                            D += diffs.min(axis=1)
-                        ok = D <= slop
-                        pfreq = float((1.0 / (D[ok] + 1.0)).sum())
+                        # reference SloppyPhraseScorer walk (incl. repeated
+                        # query terms) — same kernel as the relational
+                        # scorer, so both paths stay value-identical
+                        pfreq = sloppy_phrase_freq(doc_pos, slop, rep_marks)
                     if pfreq > 0:
                         out_docs.append(int(doc))
                         out_scores.append(_bm25(pfreq, float(dl), idf_sum, avgdl))

@@ -553,7 +553,10 @@ def test_phrase_query_direct_matches_relational(spark, tmp_path):
     s = Searcher(InvertedIndex(docs))
     for terms, slop in ((["batch", "batch"], 0), (["key", "value"], 0),
                         (["key", "value", "table"], 0), (["key", "value"], 2),
-                        (["key", "value", "table"], 4)):
+                        (["key", "value", "table"], 4),
+                        # repeated-term sloppy phrases drive the
+                        # SloppyPhraseScorer repeat walk on both paths
+                        (["batch", "batch"], 1), (["batch", "batch"], 3)):
         want = [(r["doc_id"], r["score"]) for r in
                 s.topk(PhraseQuery(terms=terms, slop=slop), 10, round_to=4).collect()]
         got = [(r["doc_id"], r["score"]) for r in
