@@ -184,6 +184,8 @@ _GATE_WINDOW: tuple = (
     "phrase_exact_topk", "prefix_topk", "fuzzy_topk", "range_topk",
     "multi_phrase_topk", "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
+    # new gates this round: parser keyword-range fix + MultiFieldQueryParser
+    "parsed_keyword_range_topk", "parsed_multifield_topk",
     "date_range_topk", "term_topk_bm25_std", "phrase_topk_std",
     "wand_or_topk", "wand_and_topk", "wand_merged_topk", "wand_delete_topk",
     "term_dict",
@@ -346,6 +348,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _parse("source:src3 AND spark", keyword_fields={"source", "lang"}),
             10, round_to=4,
         ),
+        # explicit range on a declared keyword field -> ConstantScore
+        # column-range predicate (was silently match-nothing, ADVICE r02)
+        "parsed_keyword_range_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            _parse("source:[src1 TO src3] AND spark",
+                   keyword_fields={"source", "lang"}),
+            10, round_to=4,
+        ),
+        # MultiFieldQueryParser: one string parsed per field, OR-combined
+        # with per-field boosts (MultiFieldQueryParser.cpp:40-76)
+        "parsed_multifield_topk": _q_multifield_parsed,
         # --- multi-field index: Term=(field,text), per-field tf/idf/norms
         #     (reference index/Term.cpp, FieldInfos.cpp) ---
         "fielded_tf_topk": _q_fielded_tf,
@@ -637,6 +649,19 @@ def _q_fielded_tf(spark, sf):
 def _q_fielded_parsed(spark, sf):
     _, s = _fielded_index(spark, sf)
     q = _parse("title:join OR spark", indexed_fields={"title", "text"})
+    return s.topk(q, 10, round_to=4)
+
+
+def _q_multifield_parsed(spark, sf):
+    """MultiFieldQueryParser over the two-field index: 'spark join' parsed
+    once per field, SHOULD-combined, title boosted 2x (reference
+    queryParser/MultiFieldQueryParser.cpp:40-76)."""
+    from clucene_spark.queryparser.parser import MultiFieldQueryParser
+
+    _, s = _fielded_index(spark, sf)
+    q = MultiFieldQueryParser(["title", "text"], boosts={"title": 2.0}).parse(
+        "spark join"
+    )
     return s.topk(q, 10, round_to=4)
 
 
@@ -1848,6 +1873,18 @@ WHERE b.term = 'spark'
 GROUP BY b.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # keyword-field range: ConstantScore (+1.0) filter on the source
+    # column, string-ordered bounds (src1 <= source <= src3 picks up
+    # src1, src10..src19, src2, src3 — same collation both engines)
+    d["parsed_keyword_range_topk"] = _PRELUDE + """
+SELECT b.doc_id, ROUND(SUM(b.sc) + 1.0, 4) AS score
+FROM bm25 b
+WHERE b.term = 'spark'
+  AND b.doc_id IN (SELECT doc_id FROM documents
+                   WHERE source >= 'src1' AND source <= 'src3')
+GROUP BY b.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # multi-field BM25: per-field df/dl/avgdl, global n_docs (maxDoc model)
     d["fielded_tf_topk"] = """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1878,6 +1915,18 @@ WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     d["parsed_fielded_tf_topk"] = d["fielded_tf_topk"]
+    # MultiFieldQueryParser: 'spark join' per field, title clauses 2x
+    d["parsed_multifield_topk"] = d["fielded_tf_topk"].replace(
+        """SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25
+WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        """SELECT doc_id,
+       ROUND(SUM(CASE WHEN field = 'title' THEN 2.0 * sc ELSE sc END), 4) AS score
+FROM bm25
+WHERE term IN ('spark', 'join') AND field IN ('title', 'text')
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
     # date terms: strftime == DateTools day resolution; every doc has one
     # term, dl=1, avgdl=1 — bm25 reduces to idf (formula kept in full for
     # float identity with the Spark plan)

@@ -386,6 +386,30 @@ class QueryParser:
                     return KeywordQuery(boost=boost, field=field, value=t.text)
                 if t.kind == "QUOTED":  # keyword fields are untokenized
                     return KeywordQuery(boost=boost, field=field, value=t.text)
+                if t.kind == "RANGE":
+                    # the reference evaluates ranges over untokenized
+                    # fields via the term dictionary; the untokenized
+                    # field here IS a docs-table column, so the range is a
+                    # ConstantScore column predicate (bounds untouched —
+                    # keyword values are not case-folded)
+                    from pyspark.sql import functions as F
+
+                    from clucene_spark.search.engine import ConstantScoreQuery
+
+                    col = F.col(field)
+                    preds = []
+                    if t.lower is not None:
+                        preds.append(
+                            col >= t.lower if t.inclusive else col > t.lower
+                        )
+                    if t.upper is not None:
+                        preds.append(
+                            col <= t.upper if t.inclusive else col < t.upper
+                        )
+                    pred = preds[0] if preds else col.isNotNull()
+                    for p in preds[1:]:
+                        pred = pred & p
+                    return ConstantScoreQuery(boost=boost, predicate=pred)
                 return self._match_nothing(boost)
             else:
                 return self._match_nothing(boost)
