@@ -163,11 +163,12 @@ def minhash_doc_state(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Data
     long-array intersection instead of string compares, and cross-doc
     collision odds ~n_shingles^2/2^60 per pair — no effect at 4dp.
     """
+    # one md5 per shingle: md5_31 (first 7 hex digits) is the top 28 bits
+    # of md5_60 (first 15 hex digits), so derive it with a shift instead
+    # of a second md5+conv pass over every shingle
     sh = shingles(docs, n).select(
-        "doc_id",
-        md5_31(F.col("shingle")).alias("sh_h"),
-        md5_60(F.col("shingle")).alias("sh64"),
-    )
+        "doc_id", md5_60(F.col("shingle")).alias("sh64")
+    ).withColumn("sh_h", F.shiftright(F.col("sh64"), 32))
     aggs = _minhash_min_aggs(num_hashes)
     aggs.append(F.collect_set("sh64").alias("S"))
     return sh.groupBy("doc_id").agg(*aggs)
