@@ -178,6 +178,34 @@ def main() -> None:
         "docs_per_sec": round(bench_docs / timings["seg_build_fused"], 2),
         "query_timing": f"best-of-{reps} (warm)",
     }
+
+    # --- fleet build (the scale-relevant topology, recorded per round):
+    # 4 separate JVM processes each local[4] pinned to its own cores, each
+    # indexing its file-shard — a real cluster scales by adding executor
+    # PROCESSES, and the single-JVM local[32] number above hides ~15-20%
+    # in-JVM contention no cluster pays. Disable with
+    # SPARK_GRAFT_BENCH_FLEET=0; SPARK_GRAFT_BENCH_FLEET_DOCS sizes it.
+    if os.environ.get("SPARK_GRAFT_BENCH_FLEET", "1") != "0":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        try:
+            from scaling_bench import materialize_corpus, run_fleet
+
+            fleet_docs = int(
+                os.environ.get("SPARK_GRAFT_BENCH_FLEET_DOCS", "100000")
+            )
+            corpus_path = materialize_corpus(fleet_docs)
+            fl = run_fleet(4, 4, fleet_docs, corpus_path)
+            out["fleet"] = {
+                "topology": "4 x local[4], taskset-pinned, file-sharded",
+                "docs_per_sec": fl["value"],
+                "build_sec": fl["build_sec"],
+                "n_docs": fl["n_docs"],
+                "node_build_sec": fl["node_build_sec"],
+            }
+        except Exception as e:  # fleet needs taskset + /dev/shm; never
+            out["fleet"] = {"error": str(e)[:200]}  # fail the whole bench
     print(json.dumps(out))
 
 
