@@ -187,6 +187,7 @@ _GATE_WINDOW: tuple = (
     # new gates this round: parser keyword-range fix + MultiFieldQueryParser
     "parsed_keyword_range_topk", "parsed_multifield_topk",
     "date_range_topk", "term_topk_bm25_std", "phrase_topk_std",
+    "snowball_fr_topk",
     "wand_or_topk", "wand_and_topk", "wand_merged_topk", "wand_delete_topk",
     "term_dict",
 )
@@ -368,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- StandardAnalyzer DFA driving an oracle-gated index ---
         "term_topk_bm25_std": _q_term_topk_std,
         "phrase_topk_std": _q_phrase_topk_std,
+        # --- SnowballAnalyzer(french) end-to-end ---
+        "snowball_fr_topk": _q_snowball_fr,
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         # serving path default: wand_query_direct (shuffle-free fan-out;
@@ -650,6 +653,47 @@ def _q_fielded_parsed(spark, sf):
     _, s = _fielded_index(spark, sf)
     q = _parse("title:join OR spark", indexed_fields={"title", "text"})
     return s.topk(q, 10, round_to=4)
+
+
+_SNOWBALL_FR_VOCAB = (
+    "continuations majestueusement nationalité indulgences évidemment "
+    "finalement heureuse royaux châteaux traditionnelle questionnons "
+    "propositions immobilière logiquement archéologie confusion solutions "
+    "créateur activités vraiment"
+).split()
+# stems via the reference-verified french stemmer (goldens in
+# tests/test_snowball_langs.py run the reference C for these words); the
+# oracle embeds them as constants, so the gate proves the full Spark
+# tokenize->stem->index->BM25 pipeline against an independently-stemmed
+# DuckDB replay
+_SNOWBALL_FR_STEMS = (
+    "continu majestu national indulgent évident final heureux royal "
+    "château traditionnel questionnon proposit immobili logiqu archéolog "
+    "confus solut créateur activ vrai"
+).split()
+
+
+def _q_snowball_fr(spark, sf):
+    """SnowballAnalyzer(french) end-to-end: a deterministic French corpus
+    derived from the documents table (12 vocab words per doc selected by
+    (doc_id*7+i) mod 20), indexed through StandardTokenizer->LowerCase->
+    FrenchStemmer, BM25 top-10 for the stem of 'nationalité'."""
+    docs = _docs(spark, sf).select("doc_id")
+    vocab_arr = F.array(*[F.lit(v) for v in _SNOWBALL_FR_VOCAB])
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.element_at(
+                vocab_arr, ((F.col("doc_id") * 7 + i) % 20 + 1).cast("int")
+            ),
+        ),
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    idx = InvertedIndex(corpus, analyzer="snowball:french")
+    return Searcher(idx, similarity="bm25").topk(
+        TermQuery(term="national"), 10, round_to=4
+    )
 
 
 def _q_multifield_parsed(spark, sf):
@@ -1913,6 +1957,33 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM bm25
 WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # SnowballAnalyzer(french): replay the deterministic vocab corpus with
+    # the PRE-STEMMED constants (stems pinned to the reference C stemmer by
+    # tests/test_snowball_langs.py), then plain BM25 — the gate checks the
+    # whole Spark tokenize->stem->index->score pipeline
+    _fr_case = " ".join(
+        f"WHEN {j} THEN '{s}'" for j, s in enumerate(_SNOWBALL_FR_STEMS)
+    )
+    d["snowball_fr_topk"] = f"""
+WITH base AS (
+  SELECT doc_id, unnest(generate_series(0, 11)) AS i FROM documents
+),
+tok AS (
+  SELECT doc_id, CASE ((doc_id * 7 + i) % 20) {_fr_case} END AS term
+  FROM base
+),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+doc_lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+term_dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens)
+SELECT p.doc_id,
+       ROUND(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 4) AS score
+FROM postings p
+JOIN term_dict t USING (term) JOIN doc_lens d USING (doc_id) CROSS JOIN stats s
+WHERE p.term = 'national'
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     d["parsed_fielded_tf_topk"] = d["fielded_tf_topk"]
     # MultiFieldQueryParser: 'spark join' per field, title clauses 2x

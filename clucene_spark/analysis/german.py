@@ -19,9 +19,11 @@ optional exclusion set (de/GermanStemFilter.cpp:28-55).
 
 SnowballAnalyzer (reference src/contribs-lib/CLucene/snowball/) dispatches
 by language name; this build ships 'english'/'porter' (the Snowball
-'porter' variant IS the original Porter algorithm, analysis/porter.py) and
-'german' (the stemmer above). Other libstemmer languages are out of scope
-and raise ValueError rather than silently degrading.
+'porter' variant IS the original Porter algorithm, analysis/porter.py),
+'german' (the stemmer above), and 'french'/'dutch'/'spanish' (May-2005
+Snowball ports fuzz-verified against the reference's generated C — see
+analysis/snowball_stem.py). Remaining libstemmer languages raise
+ValueError rather than silently degrading.
 """
 
 from __future__ import annotations
@@ -205,8 +207,13 @@ def snowball_stem(term: str, language: str = "english") -> str:
         return porter_stem(term)
     if lang == "german":
         return german_stem(term)
+    if lang in ("french", "dutch", "spanish"):
+        from clucene_spark.analysis.snowball_stem import SNOWBALL_STEMMERS
+
+        return SNOWBALL_STEMMERS[lang](term)
     raise ValueError(
-        f"snowball language {language!r} not shipped (have: english/porter, german)"
+        f"snowball language {language!r} not shipped "
+        "(have: english/porter, german, french, dutch, spanish)"
     )
 
 

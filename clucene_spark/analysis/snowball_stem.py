@@ -1,0 +1,628 @@
+"""Snowball stemmers: french / dutch / spanish (ISO-8859-1, May-2005).
+
+Algorithm ports matching the reference's generated stemmers at
+`src/contribs-lib/CLucene/snowball/src_c/stem_ISO_8859_1_{french,dutch,
+spanish}.c` (Snowball "May 2005" revision per snowball.version). Suffix
+tables were transcribed from the generated among-tables; control flow
+follows the generated routines (NOT the current published algorithm pages
+— the 2005 revision differs, e.g. French runs plain
+`standard OR i_verb OR verb` with no amment/emment re-entry). Semantics
+replicated from the C:
+
+* among = longest suffix match, then its action; a failed region
+  condition fails the whole routine (no backtracking to shorter).
+* verb/residual routines run under `setlimit tomark pV`: the match AND
+  any in-scope context test must lie inside RV.
+* preludes mark vowels sequentially over the mutating buffer (a just-
+  uppercased Y/I/U no longer counts as a vowel for the next position).
+
+Fuzz-verified against the compiled reference stemmers on randomized
+suffix-rich vocabularies (tests/test_snowball_langs.py carries goldens
+produced by running the reference C through a harness).
+
+Pure Python string functions — called inside the analyzer's Arrow-batched
+UDFs, never per-row through a scalar F.udf.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _r1_r2(w: str, vowels: frozenset) -> tuple[int, int]:
+    """Standard R1/R2: region after the first non-vowel following a vowel
+    (then again for R2, continuing from R1's unadjusted position)."""
+    n = len(w)
+
+    def _after(start: int) -> int:
+        for i in range(start, n - 1):
+            if w[i] in vowels and w[i + 1] not in vowels:
+                return i + 2
+        return n
+
+    r1 = _after(0)
+    r2 = _after(r1)
+    return r1, r2
+
+
+def _longest_in_rv(w: str, table, rv: int):
+    """among under `setlimit tomark pV`: longest suffix of w that starts
+    at or after rv. Returns (suffix, payload) or (None, None)."""
+    best = None
+    payload = None
+    for entry in table:
+        suf = entry[0] if isinstance(entry, tuple) else entry
+        if (len(w) - len(suf)) >= rv and w.endswith(suf):
+            if best is None or len(suf) > len(best):
+                best = suf
+                payload = entry[1] if isinstance(entry, tuple) else None
+    return best, payload
+
+
+# ---------------------------------------------------------------------------
+# spanish
+# ---------------------------------------------------------------------------
+
+_ES_V = frozenset("aeiouáéíóúü")
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+            "la", "le", "lo", "me", "se")
+# (verb ending before the pronoun, replacement or None=delete, needs u)
+_ES_PRE = (("iéndo", "iendo", False), ("ándo", "ando", False),
+           ("yendo", None, True), ("iendo", None, False),
+           ("ando", None, False), ("ár", "ar", False), ("ér", "er", False),
+           ("ír", "ir", False), ("ar", None, False), ("er", None, False),
+           ("ir", None, False))
+
+_ES_STEP1 = []
+for _s in ("amientos imientos amiento imiento anzas anza icos icas ico ica "
+           "ismos ismo ables ibles able ible istas ista osos osas oso osa").split():
+    _ES_STEP1.append((_s, "del_r2"))
+for _s in "adoras adores aciones ancias adora ación ante antes ancia ador".split():
+    _ES_STEP1.append((_s, "del_r2_ic"))
+_ES_STEP1 += [("logías", "log"), ("logía", "log"),
+              ("uciones", "u"), ("ución", "u"),
+              ("encias", "ente"), ("encia", "ente"),
+              ("amente", "amente"), ("mente", "mente"),
+              ("idades", "idad"), ("idad", "idad"),
+              ("ivas", "iv"), ("ivos", "iv"), ("iva", "iv"), ("ivo", "iv")]
+_ES_STEP1.sort(key=lambda p: -len(p[0]))
+
+_ES_Y = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+         "ya", "ye", "yo", "yó")
+
+# a_8 of stem_ISO_8859_1_spanish.c — case 1 entries may absorb 'gu''s u
+_ES_VERB_E = frozenset(("en", "es", "éis", "emos"))
+_ES_VERB = tuple("""aba ada ida ara iera ía aría ería iría ad ed id ase iese
+    aste iste an aban aran ieran ían arían erían irían en asen iesen aron
+    ieron arán erán irán ado ido ando iendo ar er ir as abas adas idas aras
+    ieras ías arías erías irías es ases ieses abais arais ierais íais
+    aríais eríais iríais aseis ieseis asteis isteis áis éis aréis eréis
+    iréis ados idos amos ábamos áramos iéramos íamos aríamos eríamos
+    iríamos emos aremos eremos iremos ásemos iésemos imos arás erás irás ís
+    ará erá irá aré eré iré ió""".split())
+
+_ES_RESID = ("os", "a", "o", "á", "í", "ó", "e", "é")
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_V:
+        for i in range(2, n):
+            if w[i] in _ES_V:
+                return i + 1
+        return n
+    if w[0] in _ES_V and w[1] in _ES_V:
+        for i in range(2, n):
+            if w[i] not in _ES_V:
+                return i + 1
+        return n
+    return 3
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_V)
+
+    # ---- step 0: attached pronoun
+    for p in _ES_PRON:
+        if w.endswith(p):
+            base = len(w) - len(p)
+            for pre, repl, needs_u in _ES_PRE:
+                if w.endswith(pre, 0, base) and (base - len(pre)) >= rv:
+                    if needs_u and not w.endswith("u", 0, base - len(pre)):
+                        continue
+                    if repl is None:
+                        w = w[:base]
+                    else:
+                        w = w[: base - len(pre)] + repl
+                    break
+            break
+
+    # ---- step 1 OR step 2a OR step 2b (or-chain like the C main)
+    step1_ok = False
+    for suf, action in _ES_STEP1:
+        if not w.endswith(suf):
+            continue
+        s = len(w) - len(suf)
+        if action == "del_r2":
+            if s >= r2:
+                w = w[:s]
+                step1_ok = True
+        elif action == "del_r2_ic":
+            if s >= r2:
+                w = w[:s]
+                step1_ok = True
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif action in ("log", "u", "ente"):
+            if s >= r2:
+                w = w[:s] + action
+                step1_ok = True
+        elif action == "amente":
+            if s >= r1:
+                w = w[:s]
+                step1_ok = True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    for p2 in ("os", "ic", "ad"):
+                        if w.endswith(p2) and len(w) - 2 >= r2:
+                            w = w[:-2]
+                            break
+        elif action == "mente":
+            if s >= r2:
+                w = w[:s]
+                step1_ok = True
+                for p2 in ("ante", "able", "ible"):
+                    if w.endswith(p2) and len(w) - len(p2) >= r2:
+                        w = w[: -len(p2)]
+                        break
+        elif action == "idad":
+            if s >= r2:
+                w = w[:s]
+                step1_ok = True
+                for p2 in ("abil", "ic", "iv"):
+                    if w.endswith(p2) and len(w) - len(p2) >= r2:
+                        w = w[: -len(p2)]
+                        break
+        elif action == "iv":
+            if s >= r2:
+                w = w[:s]
+                step1_ok = True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        break  # among: longest match only, no backtracking
+
+    if not step1_ok:
+        # step 2a: y-verb suffixes (match confined to RV; the preceding u
+        # is tested after the limit is lifted, so it may sit before RV)
+        suf, _ = _longest_in_rv(w, _ES_Y, rv)
+        done2a = suf is not None and w.endswith("u", 0, len(w) - len(suf))
+        if done2a:
+            w = w[: -len(suf)]
+        else:
+            # step 2b: other verb suffixes (match confined to RV)
+            suf, _ = _longest_in_rv(w, _ES_VERB, rv)
+            if suf is not None:
+                s = len(w) - len(suf)
+                if suf in _ES_VERB_E and w.endswith("gu", 0, s):
+                    w = w[: s - 1]  # drop the u of a preceding gu too
+                else:
+                    w = w[:s]
+
+    # ---- step 3: residual (no limit on the match; RV per case)
+    best = None
+    for suf in _ES_RESID:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None and len(w) - len(best) >= rv:
+        w = w[: -len(best)]
+        if best in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+
+    return w.translate(_ES_ACCENT)
+
+
+# ---------------------------------------------------------------------------
+# dutch
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_FOLD = str.maketrans("äáëéïíöóüú", "aaeeiioouu")
+
+
+def _nl_prelude(w: str) -> str:
+    w = w.translate(_NL_FOLD)
+    out = []
+    n = len(w)
+    for i, c in enumerate(w):
+        prev_v = i > 0 and out[i - 1] in _NL_V  # sequential: marked chars
+        if c == "y" and (i == 0 or prev_v):     # no longer count as vowels
+            out.append("Y")
+        elif c == "i" and prev_v and i < n - 1 and w[i + 1] in _NL_V:
+            out.append("I")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _nl_undouble(w: str) -> str:
+    for d in ("kk", "dd", "tt"):
+        if w.endswith(d):
+            return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_prelude(word)
+    r1, r2 = _r1_r2(w, _NL_V)
+    if len(w) >= 3:
+        r1 = max(r1, 3)  # region before R1 must hold >= 3 letters
+
+    def valid_s_end(upto: int) -> bool:
+        return upto > 0 and w[upto - 1] not in _NL_V and w[upto - 1] != "j"
+
+    def valid_en_end(upto: int) -> bool:
+        return (upto > 0 and w[upto - 1] not in _NL_V
+                and not w.endswith("gem", 0, upto))
+
+    # step 1 (among: longest of heden/ene/en/se/s, no backtracking)
+    if w.endswith("heden"):
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
+    else:
+        matched = False
+        for suf in ("ene", "en"):
+            if w.endswith(suf):
+                s = len(w) - len(suf)
+                if s >= r1 and valid_en_end(s):
+                    w = _nl_undouble(w[:s])
+                matched = True
+                break
+        if not matched:
+            for suf in ("se", "s"):
+                if w.endswith(suf):
+                    s = len(w) - len(suf)
+                    if s >= r1 and valid_s_end(s):
+                        w = w[:s]
+                    break
+
+    # step 2: final e after a non-vowel
+    e_found = False
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] not in _NL_V:
+        e_found = True
+        w = _nl_undouble(w[:-1])
+
+    # step 3a: heid
+    if w.endswith("heid") and len(w) - 4 >= r2 and not w.endswith("cheid"):
+        w = w[:-4]
+        if w.endswith("en"):
+            s = len(w) - 2
+            if s >= r1 and valid_en_end(s):
+                w = _nl_undouble(w[:s])
+
+    # step 3b: d-suffixes (among: longest of end/ing/lijk/baar/bar/ig)
+    for suf, code in (("lijk", 3), ("baar", 4), ("end", 1), ("ing", 1),
+                      ("bar", 5), ("ig", 2)):
+        if not w.endswith(suf):
+            continue
+        s = len(w) - len(suf)
+        if code == 1:
+            if s >= r2:
+                w = w[:s]
+                if w.endswith("ig") and len(w) - 2 >= r2 and not w.endswith("eig"):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif code == 2:
+            if s >= r2 and not w.endswith("eig"):
+                w = w[:s]
+        elif code == 3:
+            if s >= r2:
+                w = w[:s]
+                # repeat step 2
+                if (w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2
+                        and w[-2] not in _NL_V):
+                    w = _nl_undouble(w[:-1])
+        elif code == 4:
+            if s >= r2:
+                w = w[:s]
+        elif code == 5:
+            if s >= r2 and e_found:
+                w = w[:s]
+        break
+
+    # step 4: undouble vowel in C-VV-D endings
+    if (len(w) >= 4 and w[-1] not in _NL_V and w[-1] != "I"
+            and w[-2] == w[-3] and w[-2] in "aeou"
+            and w[-4] not in _NL_V):
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# french
+# ---------------------------------------------------------------------------
+
+_FR_V = frozenset("aeiouyâàëéêèïîôûù")
+_FR_KEEP_S = frozenset("aiouès")  # g_keep_with_s
+
+
+def _fr_prelude(w: str) -> str:
+    """Scanner replica of the generated r_prelude: at each position try
+    (vowel + ['u'|'i' followed by vowel -> upper, or 'y' -> 'Y']), else
+    ('y' followed by vowel -> 'Y'), else ('q' ['u'] -> 'U'); on a match
+    rescan from the same position (the marked char, now uppercase, is no
+    longer in the vowel grouping). Note the asymmetry the published
+    description hides: a y AFTER a vowel is marked unconditionally, u/i
+    need a vowel on both sides."""
+    buf = list(w)
+    n = len(buf)
+    i = 0
+    while i < n:
+        c = buf[i]
+        if c in _FR_V and i + 1 < n:
+            nxt = buf[i + 1]
+            if nxt == "u" and i + 2 < n and buf[i + 2] in _FR_V:
+                buf[i + 1] = "U"
+                continue
+            if nxt == "i" and i + 2 < n and buf[i + 2] in _FR_V:
+                buf[i + 1] = "I"
+                continue
+            if nxt == "y":
+                buf[i + 1] = "Y"
+                continue
+        if c == "y" and i + 1 < n and buf[i + 1] in _FR_V:
+            buf[i] = "Y"
+            continue
+        if c == "q" and i + 1 < n and buf[i + 1] == "u":
+            buf[i + 1] = "U"
+            continue
+        i += 1
+    return "".join(buf)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        return 3
+    for i in range(1, n):
+        if w[i] in _FR_V:
+            return i + 1
+    return n
+
+
+_FR_STEP1 = sorted(
+    [
+        ("issements", 12), ("issement", 12), ("atrices", 2), ("atrice", 2),
+        ("iqUes", 1), ("iqUe", 1), ("logies", 3), ("logie", 3),
+        ("usions", 4), ("usion", 4), ("utions", 4), ("ution", 4),
+        ("ations", 2), ("ation", 2), ("ateurs", 2), ("ateur", 2),
+        ("ances", 1), ("ance", 1), ("ences", 5), ("ence", 5),
+        ("ables", 1), ("able", 1), ("ismes", 1), ("isme", 1),
+        ("euses", 11), ("euse", 11), ("istes", 1), ("iste", 1),
+        ("ives", 8), ("ive", 8), ("ifs", 8), ("if", 8),
+        ("ements", 6), ("ement", 6), ("amment", 13), ("emment", 14),
+        ("ments", 15), ("ment", 15),
+        ("ités", 7), ("ité", 7), ("eaux", 9), ("aux", 10), ("eux", 1),
+    ],
+    key=lambda p: -len(p[0]),
+)
+
+# a_4: all delete-if-preceded-by-non-vowel (match + test inside RV)
+_FR_I_VERB = tuple("""issaIent iraIent issantes issement issions issante
+    issants irions issais issait issant issent issiez issons irais irait
+    irent isses issez îmes îtes irai iras irez iriez irons iront isse ira
+    ies ir is it ie ît i""".split())
+
+# a_5: 1=ions(R2), 2=delete in RV, 3=delete in RV (+ absorb preceding e)
+_FR_STEP2B = (
+    [("ions", 1)]
+    + [(s, 2) for s in """era erai er eras ées erais erions erons ez és
+         erait eraIent èrent eront eriez erez iez ée é""".split()]
+    + [(s, 3) for s in """a asse ante ai as âmes asses antes âtes ais
+         assions ants ait ant aIent assent ât assiez""".split()]
+)
+
+_FR_RESID = (("Ière", 2), ("ière", 2), ("Ier", 2), ("ier", 2),
+             ("ion", 1), ("ë", 4), ("e", 3))
+
+
+def french_stem(word: str) -> str:
+    w = _fr_prelude(word)
+    rv = _fr_rv(w)
+    r1, r2 = _r1_r2(w, _FR_V)
+
+    def _standard(w: str):
+        for suf, code in _FR_STEP1:
+            if not w.endswith(suf):
+                continue
+            s = len(w) - len(suf)
+            if code == 1:
+                if s >= r2:
+                    return w[:s], True
+            elif code == 2:
+                if s >= r2:
+                    w = w[:s]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+                    return w, True
+            elif code == 3:
+                if s >= r2:
+                    return w[:s] + "log", True
+            elif code == 4:
+                if s >= r2:
+                    return w[:s] + "u", True
+            elif code == 5:
+                if s >= r2:
+                    return w[:s] + "ent", True
+            elif code == 6:
+                if s >= rv:
+                    w = w[:s]
+                    if w.endswith("iv") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                        if w.endswith("at") and len(w) - 2 >= r2:
+                            w = w[:-2]
+                    elif w.endswith("eus"):
+                        if len(w) - 3 >= r2:
+                            w = w[:-3]
+                        elif len(w) - 3 >= r1:
+                            w = w[:-3] + "eux"
+                    elif w.endswith("abl") and len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif w.endswith("iqU") and len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif w.endswith("ièr") and len(w) - 3 >= rv:
+                        w = w[:-3] + "i"
+                    elif w.endswith("Ièr") and len(w) - 3 >= rv:
+                        w = w[:-3] + "i"
+                    return w, True
+            elif code == 7:
+                if s >= r2:
+                    w = w[:s]
+                    if w.endswith("abil"):
+                        if len(w) - 4 >= r2:
+                            w = w[:-4]
+                        else:
+                            w = w[:-4] + "abl"
+                    elif w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+                    elif w.endswith("iv") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                    return w, True
+            elif code == 8:
+                if s >= r2:
+                    w = w[:s]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                        if w.endswith("ic"):
+                            if len(w) - 2 >= r2:
+                                w = w[:-2]
+                            else:
+                                w = w[:-2] + "iqU"
+                    return w, True
+            elif code == 9:
+                return w[:s] + "eau", True
+            elif code == 10:
+                if s >= r1:
+                    return w[:s] + "al", True
+            elif code == 11:
+                if s >= r2:
+                    return w[:s], True
+                if s >= r1:
+                    return w[:s] + "eux", True
+            elif code == 12:
+                if s >= r1 and s > 0 and w[s - 1] not in _FR_V:
+                    return w[:s], True
+            elif code == 13:
+                # snowball `fail`: commit the rewrite but report failure,
+                # so the verb steps continue on the modified word
+                if s >= rv:
+                    return w[:s] + "ant", False
+            elif code == 14:
+                if s >= rv:
+                    return w[:s] + "ent", False
+            elif code == 15:
+                if s - 1 >= rv and s > 0 and w[s - 1] in _FR_V:
+                    return w[:s], False
+            break  # among: longest match only
+        return w, False
+
+    def _i_verb(w: str):
+        suf, _ = _longest_in_rv(w, _FR_I_VERB, rv)
+        if suf is not None:
+            s = len(w) - len(suf)
+            if s - 1 >= rv and s > 0 and w[s - 1] not in _FR_V:
+                return w[:s], True
+        return w, False
+
+    def _verb(w: str):
+        suf, code = _longest_in_rv(w, _FR_STEP2B, rv)
+        if suf is None:
+            return w, False
+        s = len(w) - len(suf)
+        if code == 1:
+            if s >= r2:
+                return w[:s], True
+            return w, False
+        w = w[:s]
+        if code == 3 and w.endswith("e") and len(w) - 1 >= rv:
+            w = w[:-1]
+        return w, True
+
+    def _residual(w: str):
+        # try: drop a final s not preceded by {a,i,o,u,è,s} — committed
+        # even if the following among fails (snowball try-before-among)
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in _FR_KEEP_S:
+            w = w[:-1]
+        suf, code = _longest_in_rv(w, _FR_RESID, rv)
+        if suf is None:
+            return w
+        s = len(w) - len(suf)
+        if code == 1:
+            if s >= r2 and s - 1 >= rv and s > 0 and w[s - 1] in "st":
+                w = w[:s]
+        elif code == 2:
+            w = w[:s] + "i"
+        elif code == 3:
+            w = w[:s]
+        elif code == 4:
+            if s - 2 >= rv and w.endswith("gu", 0, s):
+                w = w[:s]
+        return w
+
+    # main: (standard OR i_verb OR verb) and try(Y->i | ç->c), else residual
+    # — a `fail`-committed ment-rewrite threads its mutation into the verb
+    # steps, and if those also fail, into residual_suffix
+    w, ok = _standard(w)
+    if not ok:
+        w, ok = _i_verb(w)
+    if not ok:
+        w, ok = _verb(w)
+    if ok:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        w = _residual(w)
+
+    # un_double
+    for suf in ("eill", "ell", "enn", "onn", "ett"):
+        if w.endswith(suf):
+            w = w[:-1]
+            break
+
+    # un_accent: >=1 final non-vowels immediately preceded by é/è -> e
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0 and w[i] not in _FR_V:
+        seen_cons = True
+        i -= 1
+    if seen_cons and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+SNOWBALL_STEMMERS = {
+    "french": french_stem,
+    "dutch": dutch_stem,
+    "spanish": spanish_stem,
+}

@@ -109,3 +109,49 @@ def tokenize_standard(
             )
 
     return src.mapInPandas(analyze_batches, schema=INDEX_TOKEN_SCHEMA)
+
+
+def tokenize_snowball(
+    docs: DataFrame,
+    language: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """docs -> (doc_id, pos, term) through the SnowballAnalyzer chain
+    (StandardTokenizer -> StandardFilter -> LowerCase -> SnowballFilter for
+    `language`, reference snowball/SnowballAnalyzer.h) — Arrow-batched
+    like tokenize_standard; the per-token stemmer is pure Python inside
+    the same mapInPandas stage."""
+    import numpy as np
+
+    from clucene_spark.analysis.german import snowball_analyze
+
+    src = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"].to_numpy()
+            per_doc = [
+                snowball_analyze(t, language) if t is not None else []
+                for t in texts
+            ]
+            counts = np.fromiter((len(x) for x in per_doc), dtype=np.int64,
+                                 count=len(per_doc))
+            total = int(counts.sum())
+            terms = [tok[0] for toks in per_doc for tok in toks]
+            poss = np.fromiter(
+                (tok[1] for toks in per_doc for tok in toks),
+                dtype=np.int32, count=total,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, counts),
+                    "term": pd.Series(terms, dtype="object"),
+                    "pos": poss,
+                }
+            )
+
+    return src.mapInPandas(analyze_batches, schema=INDEX_TOKEN_SCHEMA)

@@ -127,6 +127,12 @@ def _tokenize_one(docs: DataFrame, text_col: str, doc_id_col: str,
         return tokenize_standard(docs, text_col, doc_id_col).select(
             "doc_id", "pos", "term"
         )
+    if analyzer.startswith("snowball:"):
+        from clucene_spark.analysis.spark import tokenize_snowball
+
+        return tokenize_snowball(
+            docs, analyzer.split(":", 1)[1], text_col, doc_id_col
+        ).select("doc_id", "pos", "term")
     return tokenize_whitespace(docs, text_col, doc_id_col)
 
 
