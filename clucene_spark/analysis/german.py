@@ -207,13 +207,13 @@ def snowball_stem(term: str, language: str = "english") -> str:
         return porter_stem(term)
     if lang == "german":
         return german_stem(term)
-    if lang in ("french", "dutch", "spanish"):
-        from clucene_spark.analysis.snowball_stem import SNOWBALL_STEMMERS
+    from clucene_spark.analysis.snowball_stem import SNOWBALL_STEMMERS
 
+    if lang in SNOWBALL_STEMMERS:
         return SNOWBALL_STEMMERS[lang](term)
     raise ValueError(
-        f"snowball language {language!r} not shipped "
-        "(have: english/porter, german, french, dutch, spanish)"
+        f"snowball language {language!r} not shipped (have: english/porter, "
+        f"german, {', '.join(sorted(SNOWBALL_STEMMERS))})"
     )
 
 

@@ -626,3 +626,455 @@ SNOWBALL_STEMMERS = {
     "dutch": dutch_stem,
     "spanish": spanish_stem,
 }
+
+
+# ---------------------------------------------------------------------------
+# danish / norwegian / swedish (shared Scandinavian template:
+# R1 with a 3-letter floor, suffix among under `setlimit` R1, a
+# consonant-pair shortening, and an other-suffix pass)
+# ---------------------------------------------------------------------------
+
+_DA_V = frozenset("aeiouyåæø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_NO_V = frozenset("aeiouyåæø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_SV_V = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+
+
+def _scand_r1(w: str, vowels: frozenset) -> int:
+    """p1 = after the first non-vowel following the first vowel, floored
+    at position 3 (setmark x = hop 3); no region -> end of word."""
+    n = len(w)
+    r1 = n
+    for i in range(n - 1):
+        if w[i] in vowels and w[i + 1] not in vowels:
+            r1 = i + 2
+            break
+    if r1 < 3:
+        r1 = 3 if n >= 3 else n
+    return min(r1, n)
+
+
+def _scand_main(w: str, r1: int, table, s_codes, s_pred) -> str:
+    """Longest suffix within R1 from `table`; code 1 deletes, code 's'
+    deletes when s_pred(preceding char position) holds (the predicate is
+    checked after the limit lifts, so it may look before R1), code tuples
+    replace."""
+    suf, code = _longest_in_rv(w, table, r1)
+    if suf is None:
+        return w
+    s = len(w) - len(suf)
+    if code == 1:
+        return w[:s]
+    if code == "s":
+        if s_pred(w, s):
+            return w[:s]
+        return w
+    return w[:s] + code  # replacement string
+
+
+def _scand_consonant_pair(w: str, r1: int, pairs) -> str:
+    """If the word ends with one of `pairs` matched inside R1, drop the
+    final letter."""
+    suf, _ = _longest_in_rv(w, pairs, r1)
+    if suf is not None:
+        return w[:-1]
+    return w
+
+
+_DA_MAIN = tuple((s, 1) for s in """hed ethed ered e erede ende erende ene
+    erne ere en heden eren er heder erer heds es endes erendes enes ernes
+    eres ens hedens erens ers ets erets et eret""".split()) + (("s", "s"),)
+_DA_OTHER = tuple((s, 1) for s in ("ig", "lig", "elig", "els")) + (("løst", "løs"),)
+
+
+def danish_stem(word: str) -> str:
+    """Reference stem_ISO_8859_1_danish.c: main_suffix -> consonant_pair
+    -> other_suffix (igst pre-strip + R1 among + consonant_pair rerun) ->
+    undouble (double consonant ending in R1 loses one)."""
+    w = word
+    r1 = _scand_r1(w, _DA_V)
+    w = _scand_main(w, r1, _DA_MAIN, None,
+                    lambda w, s: s > 0 and w[s - 1] in _DA_S_END)
+    w = _scand_consonant_pair(w, r1, ("gd", "dt", "gt", "kt"))
+    # other_suffix: unconditional igst -> ig, then R1 among
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf, code = _longest_in_rv(w, _DA_OTHER, r1)
+    if suf is not None:
+        if code == 1:
+            w = w[: -len(suf)]
+            w = _scand_consonant_pair(w, r1, ("gd", "dt", "gt", "kt"))
+        else:
+            w = w[: -len(suf)] + code
+    # undouble: final char inside R1, non-vowel, equal to its predecessor
+    if (len(w) >= 2 and len(w) - 1 >= r1 and w[-1] not in _DA_V
+            and w[-2] == w[-1]):
+        w = w[:-1]
+    return w
+
+
+_NO_MAIN = tuple((s, 1) for s in """a e ede ande ende ane ene hetene en
+    heten ar er heter as es edes endes enes hetenes ens hetens ers ets et
+    het ast""".split()) + (("s", "s"), ("erte", "er"), ("ert", "er"))
+_NO_OTHER = tuple((s, 1) for s in """leg eleg ig eig lig elig els lov elov
+    slov hetslov""".split())
+
+
+def _no_s_pred(w: str, s: int) -> bool:
+    # g_s_ending char, or 'k' not preceded by a vowel
+    if s > 0 and w[s - 1] in _NO_S_END:
+        return True
+    return s > 0 and w[s - 1] == "k" and (s < 2 or w[s - 2] not in _NO_V)
+
+
+def norwegian_stem(word: str) -> str:
+    """Reference stem_ISO_8859_1_norwegian.c: main_suffix (incl.
+    erte/ert -> er and the k-s-ending rule) -> consonant_pair ->
+    other_suffix."""
+    w = word
+    r1 = _scand_r1(w, _NO_V)
+    w = _scand_main(w, r1, _NO_MAIN, None, _no_s_pred)
+    w = _scand_consonant_pair(w, r1, ("dt", "vt"))
+    suf, _ = _longest_in_rv(w, _NO_OTHER, r1)
+    if suf is not None:
+        w = w[: -len(suf)]
+    return w
+
+
+_SV_MAIN = tuple((s, 1) for s in """a arna erna heterna orna ad e ade ande
+    arne are aste en anden aren heten ern ar er heter or as arnas ernas
+    ornas es ades andes ens arens hetens erns at andet het ast""".split()) \
+    + (("s", "s"),)
+_SV_OTHER = (("ig", 1), ("lig", 1), ("els", 1), ("löst", "lös"),
+             ("fullt", "full"))
+
+
+def swedish_stem(word: str) -> str:
+    """Reference stem_ISO_8859_1_swedish.c: main_suffix -> consonant_pair
+    -> other_suffix (löst->lös, fullt->full)."""
+    w = word
+    r1 = _scand_r1(w, _SV_V)
+    w = _scand_main(w, r1, _SV_MAIN, None,
+                    lambda w, s: s > 0 and w[s - 1] in _SV_S_END)
+    w = _scand_consonant_pair(w, r1, ("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+    suf, code = _longest_in_rv(w, _SV_OTHER, r1)
+    if suf is not None:
+        if code == 1:
+            w = w[: -len(suf)]
+        else:
+            w = w[: -len(suf)] + code
+    return w
+
+
+SNOWBALL_STEMMERS.update(
+    danish=danish_stem, norwegian=norwegian_stem, swedish=swedish_stem
+)
+
+
+# ---------------------------------------------------------------------------
+# italian
+# ---------------------------------------------------------------------------
+
+_IT_V = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = tuple(sorted("""la cela gliela mela tela vela le cele gliele mele
+    tele vele ne cene gliene mene sene tene vene ci li celi glieli meli teli
+    veli gli mi si ti vi lo celo glielo melo telo velo""".split(),
+    key=len, reverse=True))
+
+_IT_STEP1 = sorted(
+    [(s, 1) for s in """ica osa ista anza ice atrice iche abile ibile ose
+        ante mente iste anze ici atrici ichi abili ibili ismi osi anti isti
+        ico ismo oso istà istè istì""".split()]
+    + [(s, 2) for s in ("azione", "azioni", "atore", "atori")]
+    + [("logia", 3), ("logie", 3), ("usione", 4), ("uzione", 4),
+       ("usioni", 4), ("uzioni", 4), ("enza", 5), ("enze", 5),
+       ("amento", 6), ("amenti", 6), ("imento", 6), ("imenti", 6),
+       ("amente", 7), ("ità", 8),
+       ("iva", 9), ("ive", 9), ("ivi", 9), ("ivo", 9)],
+    key=lambda p: -len(p[0]),
+)
+
+_IT_VERB = tuple("""isca enda ata ita uta ava eva iva erebbe irebbe isce
+    ende are ere ire asse ate avate evate ivate ete erete irete ite ereste
+    ireste ute erai irai isci endi erei irei assi ati iti eresti iresti uti
+    avi evi ivi isco ando endo Yamo iamo avamo evamo ivamo eremo iremo
+    assimo ammo emmo eremmo iremmo immo ano iscano avano evano ivano
+    eranno iranno ono iscono arono erono irono erebbero irebbero assero
+    essero issero ato ito uto avo evo ivo ar ir erà irà erò irò""".split())
+
+
+def _it_prelude(w: str) -> str:
+    """Pass 1: acute accents -> grave, 'qu' -> 'qU'. Pass 2 (scanner like
+    the french prelude): u/i between vowels -> upper."""
+    w = w.translate(_IT_ACUTE).replace("qu", "qU")
+    buf = list(w)
+    n = len(buf)
+    i = 0
+    while i < n:
+        if buf[i] in _IT_V and i + 1 < n:
+            nxt = buf[i + 1]
+            if nxt in "ui" and i + 2 < n and buf[i + 2] in _IT_V:
+                buf[i + 1] = nxt.upper()
+                continue
+        i += 1
+    return "".join(buf)
+
+
+def _rv_es_like(w: str, vowels: frozenset) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        for i in range(2, n):
+            if w[i] in vowels:
+                return i + 1
+        return n
+    if w[0] in vowels and w[1] in vowels:
+        for i in range(2, n):
+            if w[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+def italian_stem(word: str) -> str:
+    """Reference stem_ISO_8859_1_italian.c: prelude (acute->grave, qu->qU,
+    u/i marking) -> attached_pronoun -> (standard_suffix OR verb_suffix)
+    -> vowel_suffix -> postlude."""
+    w = _it_prelude(word)
+    rv = _rv_es_like(w, _IT_V)
+    r1, r2 = _r1_r2(w, _IT_V)
+
+    # attached pronoun: pronoun directly preceded by ando/endo (delete) or
+    # ar/er/ir (pronoun -> 'e'), the verb ending starting in RV
+    for p in _IT_PRON:
+        if w.endswith(p):
+            base = len(w) - len(p)
+            for pre, repl in (("ando", None), ("endo", None),
+                              ("ar", "e"), ("er", "e"), ("ir", "e")):
+                if w.endswith(pre, 0, base) and (base - len(pre)) >= rv:
+                    w = w[:base] + (repl or "")
+                    break
+            break
+
+    ok = False
+    for suf, code in _IT_STEP1:
+        if not w.endswith(suf):
+            continue
+        s = len(w) - len(suf)
+        if code == 1:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+        elif code == 2:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 3:
+            if s >= r2:
+                w = w[:s] + "log"
+                ok = True
+        elif code == 4:
+            if s >= r2:
+                w = w[:s] + "u"
+                ok = True
+        elif code == 5:
+            if s >= r2:
+                w = w[:s] + "ente"
+                ok = True
+        elif code == 6:
+            if s >= rv:
+                w = w[:s]
+                ok = True
+        elif code == 7:
+            if s >= r1:
+                w = w[:s]
+                ok = True
+                suf2, c2 = _longest_in_rv(
+                    w, (("ic", -1), ("abil", -1), ("os", -1), ("iv", 1)),
+                    0)
+                if suf2 is not None and len(w) - len(suf2) >= r2:
+                    w = w[: -len(suf2)]
+                    if c2 == 1 and w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        elif code == 8:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                for p2 in ("abil", "ic", "iv"):
+                    if w.endswith(p2) and len(w) - len(p2) >= r2:
+                        w = w[: -len(p2)]
+                        break
+        elif code == 9:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        break
+
+    if not ok:
+        suf, _ = _longest_in_rv(w, _IT_VERB, rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    # vowel_suffix: final a/e/i/o/à/è/ì/ò in RV, then a following final i
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # final h after c/g — the RV test sits on the position BEFORE the c/g
+    # (in_grouping_b consumes it before the RV call)
+    if (w.endswith("h") and len(w) >= 2 and w[-2] in "cg"
+            and len(w) - 2 >= rv):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# portuguese
+# ---------------------------------------------------------------------------
+
+_PT_V = frozenset("aeiouáâéêíóôú")
+
+_PT_STEP1 = sorted(
+    [(s, 1) for s in """ica ância adora osa ista eza ante ável ível ico
+        ismo oso amento imento ivo aça~o ador icas adoras osas istas ezas
+        uciones adores antes aço~es icos ismos osos amentos imentos
+        ivos""".split()]
+    + [("ência", 4), ("ências", 4), ("logía", 2), ("logías", 2),
+       ("ución", 3), ("amente", 5), ("mente", 6),
+       ("idade", 7), ("idades", 7),
+       ("iva", 8), ("ivo", 8), ("ivas", 8), ("ivos", 8),
+       ("ira", 9), ("iras", 9)],
+    key=lambda p: -len(p[0]),
+)
+
+_PT_VERB = tuple("""ada ida ia aria eria iria ara era ira ava asse esse
+    isse aste este iste ei arei erei irei am iam ariam eriam iriam aram
+    eram iram avam em arem erem irem assem essem issem ado ido ando endo
+    indo ara~o era~o ira~o ar er ir as adas idas ias arias erias irias
+    aras eras iras avas es ardes erdes irdes ares eres ires asses esses
+    isses astes estes istes is ais eis areis ereis ireis áreis éreis
+    íreis ásseis ésseis ísseis áveis íeis aríeis eríeis iríeis ados idos
+    amos áramos éramos íramos ávamos íamos aríamos eríamos iríamos emos
+    aremos eremos iremos ássemos êssemos íssemos imos armos ermos irmos
+    ámos arás erás irás eu iu ou ará erá irá""".split())
+
+
+def portuguese_stem(word: str) -> str:
+    """Reference stem_ISO_8859_1_portuguese.c: prelude (ã->a~, õ->o~) ->
+    (standard_suffix OR verb_suffix, then a final ci->c i-drop in RV) OR
+    residual_suffix -> residual_form -> postlude (a~->ã, o~->õ)."""
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_es_like(w, _PT_V)
+    r1, r2 = _r1_r2(w, _PT_V)
+
+    ok = False
+    for suf, code in _PT_STEP1:
+        if not w.endswith(suf):
+            continue
+        s = len(w) - len(suf)
+        if code == 1:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+        elif code == 2:
+            if s >= r2:
+                w = w[:s] + "log"
+                ok = True
+        elif code == 3:
+            if s >= r2:
+                w = w[:s] + "u"
+                ok = True
+        elif code == 4:
+            if s >= r2:
+                w = w[:s] + "ente"
+                ok = True
+        elif code == 5:
+            if s >= r1:
+                w = w[:s]
+                ok = True
+                suf2, c2 = _longest_in_rv(
+                    w, (("ic", -1), ("ad", -1), ("os", -1), ("iv", 1)), 0)
+                if suf2 is not None and len(w) - len(suf2) >= r2:
+                    w = w[: -len(suf2)]
+                    if c2 == 1 and w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        elif code == 6:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                for p2 in ("ante", "avel", "ível"):
+                    if w.endswith(p2) and len(w) - len(p2) >= r2:
+                        w = w[: -len(p2)]
+                        break
+        elif code == 7:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                for p2 in ("abil", "ic", "iv"):
+                    if w.endswith(p2) and len(w) - len(p2) >= r2:
+                        w = w[: -len(p2)]
+                        break
+        elif code == 8:
+            if s >= r2:
+                w = w[:s]
+                ok = True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 9:
+            if s >= rv and w.endswith("e", 0, s):
+                w = w[:s] + "ir"
+                ok = True
+        break
+
+    if not ok:
+        suf, _ = _longest_in_rv(w, _PT_VERB, rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+            ok = True
+
+    if ok:
+        # final 'i' preceded by 'c', i in RV
+        if (w.endswith("i") and len(w) >= 2 and w[-2] == "c"
+                and len(w) - 1 >= rv):
+            w = w[:-1]
+    else:
+        # residual_suffix: a i o os á í ó in RV
+        best = None
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and (best is None or len(suf) > len(best)):
+                best = suf
+        if best is not None and len(w) - len(best) >= rv:
+            w = w[: -len(best)]
+
+    # residual_form
+    best = None
+    for suf in ("e", "é", "ê", "ç"):
+        if w.endswith(suf):
+            best = suf
+            break
+    if best == "ç":
+        w = w[:-1] + "c"
+    elif best is not None:
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if ((w.endswith("u") and len(w) >= 2 and w[-2] == "g")
+                    or (w.endswith("i") and len(w) >= 2 and w[-2] == "c")):
+                if len(w) - 1 >= rv:
+                    w = w[:-1]
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+SNOWBALL_STEMMERS.update(italian=italian_stem, portuguese=portuguese_stem)
