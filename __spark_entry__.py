@@ -169,7 +169,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 _GATE_WINDOW: tuple = (
     # training-data pipeline family — rewritten in r2, no r02 rows
     "corpus_stats", "top_df_terms",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_chunk", "pipeline_decontaminate",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "pipeline_clean_corpus", "dedup_simhash", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_cosine_topk_pandas", "ann_ivf_topk",
     "ann_ivf_stored_topk", "ann_ivf_trained_topk",
@@ -178,10 +179,12 @@ _GATE_WINDOW: tuple = (
     # sloppy-phrase family — scorer rewritten this round (reference walk)
     "phrase_sloppy_topk", "phrase_sloppy3_topk", "phrase_sloppy_repeat_topk",
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
-    # one gate per core search family
+    # one gate per core search family (bool_not/range demoted this round
+    # to make room for the new pipeline gates — both are thrice-green with
+    # unchanged code, and range stays covered via parsed_keyword_range)
     "term_topk_bm25", "term_topk_classic",
-    "bool_and_topk", "bool_or_topk", "bool_not_topk",
-    "phrase_exact_topk", "prefix_topk", "fuzzy_topk", "range_topk",
+    "bool_and_topk", "bool_or_topk",
+    "phrase_exact_topk", "prefix_topk", "fuzzy_topk",
     "multi_phrase_topk", "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
     # new gates this round: parser keyword-range fix + MultiFieldQueryParser
@@ -399,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .limit(10),
         # --- training-data pipeline: dedup family ---
         "dedup_exact": _q_dedup_exact,
+        "dedup_chunk": _q_dedup_chunk,
+        "pipeline_decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "pipeline_clean_corpus": _q_clean_corpus,
@@ -742,6 +747,28 @@ def _q_dedup_exact(spark, sf):
     return exact_dedup(corpus).select(
         "keep_id", "n_copies", F.element_at("doc_ids", -1).alias("max_id")
     ).orderBy("keep_id")
+
+
+def _q_dedup_chunk(spark, sf):
+    """Chunk-level (paragraph) exact dedup over docs + planted truncated
+    twins: identical 10-token windows across docs (boilerplate model)."""
+    from clucene_spark.pipeline.dedup import chunk_dedup, with_planted_dups
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
+    return chunk_dedup(corpus, chunk_tokens=10).orderBy("chunk_hash")
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: bench set = first 12 tokens of every
+    50th doc; flag corpus docs sharing any 8-gram (broadcast semi-join)."""
+    from clucene_spark.pipeline.dedup import decontaminate
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
 def _q_dedup_ngram(spark, sf):
@@ -1831,6 +1858,50 @@ LEFT JOIN near n ON n.doc_id = q.doc_id
 ORDER BY q.doc_id
 """,
         "dedup_ngram_jaccard": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
+        # chunk dedup: same planted corpus, 10-token windows; keep_idx is
+        # recovered from a packed (doc_id, idx) min — equivalent to
+        # Spark's min(struct(doc_id, chunk_idx)).chunk_idx for idx < 1e6
+        "dedup_chunk": _dup_corpus_sql(0.8) + """
+, tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+, ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(toks[i*10+1 : i*10+10], ' ') AS chunk
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i
+        FROM tokd)
+  WHERE array_to_string(toks[i*10+1 : i*10+10], ' ') <> ''
+)
+SELECT ('0x'||substr(md5(chunk),1,15))::BIGINT AS chunk_hash,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS keep_doc,
+       min(doc_id * 1000000 + chunk_idx) % 1000000 AS keep_idx
+FROM ch GROUP BY 1 HAVING count(*) > 1
+ORDER BY chunk_hash
+""",
+        "pipeline_decontaminate": """
+WITH bt AS (
+  SELECT string_split(array_to_string(toks[1:12], ' '), ' ') AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 50 = 0
+),
+bg AS (
+  SELECT DISTINCT
+    ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS g
+  FROM (SELECT toks, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM bt)
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id,
+    ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM dt)
+)
+SELECT doc_id, count(*) AS n_hits, min(g) AS first_hit
+FROM dg JOIN bg USING (g)
+GROUP BY doc_id ORDER BY doc_id
+""",
         "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(32, 4),
         "dedup_embedding_cosine": _emb_neardup_sql(0.99),

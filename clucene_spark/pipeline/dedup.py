@@ -394,3 +394,75 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Chunk-level (paragraph-level) exact dedup: split every doc into
+    fixed chunk_tokens-token windows, hash each, group identical chunks
+    across the corpus. Returns (chunk_hash, n_copies, n_docs, keep_doc,
+    keep_idx) for chunks occurring more than once — the sub-document
+    granularity a boilerplate-removal pass needs (site headers, license
+    blocks, navigation text repeat across pages even when whole-doc
+    hashes differ).
+
+    Scale shape: one explode (docs x chunks_per_doc rows, each a 60-bit
+    hash + two ints — no chunk text moves) and one groupBy shuffle on the
+    hash; at 100 TB this is the same single-shuffle profile as
+    exact_dedup, ~10x the row count."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    return (
+        chunks.select(
+            "doc_id", "chunk_idx", md5_60(F.col("chunk")).alias("chunk_hash")
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.min(F.struct("doc_id", "chunk_idx"))["chunk_idx"].alias("keep_idx"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
+                  min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    n-gram with an evaluation/benchmark corpus — the standard
+    leakage-removal pass before LLM training.
+
+    bench: DataFrame with a `text` column (the benchmark set). Returns
+    (doc_id, n_hits, first_hit) for contaminated docs (n_hits = how many
+    distinct benchmark n-grams the doc contains).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its distinct n-gram hashes BROADCAST; the corpus side streams its
+    shingles through a broadcast-hash semi-join — no shuffle of the
+    100 TB side at all. Hashes are 60-bit (md5_60): collision odds
+    ~|bench|x|doc n-grams|/2^60 — no practical false flags."""
+    bench_grams = (
+        shingles(bench.select(F.lit(-1).alias("doc_id"), "text"), n)
+        .select(md5_60(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    doc_grams = shingles(docs, n).select(
+        "doc_id", md5_60(F.col("shingle")).alias("g")
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"), F.min("g").alias("first_hit"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

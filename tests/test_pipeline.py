@@ -270,3 +270,40 @@ def test_clean_corpus_fates(spark, docs):
     # originals are never charged as duplicates of their twins (lower id wins)
     assert all(out[i] in ("kept", "low_quality", "near_dup") for i in range(100))
     assert sum(1 for v in out.values() if v == "kept") > 0
+
+
+def test_chunk_dedup_finds_planted_boilerplate(docs):
+    from clucene_spark.pipeline.dedup import chunk_dedup, with_planted_dups
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    groups = chunk_dedup(corpus, chunk_tokens=10).collect()
+    assert groups, "planted truncated twins must share 10-token chunks"
+    # every group references at least two occurrences and a valid keeper
+    for g in groups:
+        assert g["n_copies"] >= 2
+        assert g["n_docs"] >= 1
+        assert g["keep_doc"] >= 0 and g["keep_idx"] >= 0
+    # twins share their doc's leading chunk: at least one cross-doc group
+    assert any(g["n_docs"] >= 2 for g in groups)
+
+
+def test_decontaminate_flags_bench_sources(spark, docs):
+    from pyspark.sql import functions as F
+
+    from clucene_spark.pipeline.dedup import decontaminate
+
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text")
+    )
+    flagged = {r["doc_id"]: r["n_hits"]
+               for r in decontaminate(docs, bench, n=8).collect()}
+    # every doc the bench was derived from must be flagged (it contains
+    # its own leading 8-grams)
+    sources = [r["doc_id"] for r in
+               docs.filter(F.col("doc_id") % 50 == 0).collect()]
+    for d in sources:
+        assert d in flagged and flagged[d] >= 1
+    # an 8-gram-free corpus stays clean
+    clean_bench = bench.limit(0)
+    assert decontaminate(docs, clean_bench, n=8).count() == 0
