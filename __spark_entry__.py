@@ -178,13 +178,14 @@ _GATE_WINDOW: tuple = (
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
     "phrase_sloppy_topk", "phrase_sloppy3_topk", "phrase_sloppy_repeat_topk",
+    "multi_phrase_sloppy_topk",
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
     # one gate per core search family (bool_not/range demoted this round
     # to make room for the new pipeline gates — both are thrice-green with
     # unchanged code, and range stays covered via parsed_keyword_range)
     "term_topk_bm25", "term_topk_classic",
     "bool_and_topk", "bool_or_topk",
-    "phrase_exact_topk", "prefix_topk", "fuzzy_topk",
+    "phrase_exact_topk", "fuzzy_topk",
     "multi_phrase_topk", "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
     # new gates this round: parser keyword-range fix + MultiFieldQueryParser
@@ -259,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_topk": lambda spark, sf: _searcher(spark, sf).topk(
             __import__("clucene_spark.search.engine", fromlist=["MultiPhraseQuery"])
             .MultiPhraseQuery(slots=[["key", "hash"], ["value"]]),
+            10,
+            round_to=4,
+        ),
+        # MultiPhraseQuery with slop: the SloppyPhraseScorer walk over the
+        # per-slot unions (MultiPhraseQuery.cpp:99-105)
+        "multi_phrase_sloppy_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            __import__("clucene_spark.search.engine", fromlist=["MultiPhraseQuery"])
+            .MultiPhraseQuery(slots=[["key", "hash"], ["value"]], slop=2),
             10,
             round_to=4,
         ),
@@ -1267,12 +1276,19 @@ def _sloppy_topk_sql(terms: list[str], slop: int, k: int = 10) -> str:
     descending slot order, rank m takes index m+1 and the last (lowest)
     slot keeps 0, valid only when the doc has >= group-size occurrences.
     """
+    # each element of `terms` is a single term (str) or a slot of term
+    # ALTERNATIVES (list) — the MultiPhraseQuery model, whose sloppy
+    # scorer walks the per-slot UNION of positions
+    def _key(t):
+        return (t,) if isinstance(t, str) else tuple(sorted(set(t)))
+
     n = len(terms)
-    dterms = list(dict.fromkeys(terms))
-    cte_of = {t: f"pt{j}" for j, t in enumerate(dterms)}
-    groups: dict[str, list[int]] = {}
-    for i, t in enumerate(terms):
-        groups.setdefault(t, []).append(i)
+    keys = [_key(t) for t in terms]
+    dkeys = list(dict.fromkeys(keys))
+    cte_of = {k: f"pt{j}" for j, k in enumerate(dkeys)}
+    groups: dict[tuple, list[int]] = {}
+    for i, kk in enumerate(keys):
+        groups.setdefault(kk, []).append(i)
     init_idx = [0] * n
     siblings: list[list[int]] = [[] for _ in range(n)]
     for slots in groups.values():
@@ -1283,19 +1299,26 @@ def _sloppy_topk_sql(terms: list[str], slop: int, k: int = 10) -> str:
             for rank, s in enumerate(desc[:-1]):
                 init_idx[s] = rank + 1
 
-    # per-slot position CTEs (shared across duplicate slots)
+    # per-slot position CTEs (shared across duplicate slots; alternatives
+    # of one slot never share a position, so the union list stays sorted
+    # and distinct without a DISTINCT pass)
+    def _term_pred(k: tuple) -> str:
+        if len(k) == 1:
+            return f"term = '{k[0]}'"
+        return "term IN (" + ", ".join(f"'{t}'" for t in k) + ")"
+
     pts = ",\n".join(
-        f"{cte_of[t]} AS (SELECT doc_id, list(pos ORDER BY pos) AS ps "
-        f"FROM tok WHERE term = '{t}' GROUP BY doc_id)"
-        for t in dterms
+        f"{cte_of[k]} AS (SELECT doc_id, list(pos ORDER BY pos) AS ps "
+        f"FROM tok WHERE {_term_pred(k)} GROUP BY doc_id)"
+        for k in dkeys
     )
-    seed_lists = ", ".join(f"{cte_of[terms[i]]}.ps AS l{i}" for i in range(n))
-    seed_joins = cte_of[dterms[0]] + "".join(
-        f" JOIN {cte_of[t]} USING (doc_id)" for t in dterms[1:]
+    seed_lists = ", ".join(f"{cte_of[keys[i]]}.ps AS l{i}" for i in range(n))
+    seed_joins = cte_of[dkeys[0]] + "".join(
+        f" JOIN {cte_of[k]} USING (doc_id)" for k in dkeys[1:]
     )
     group_guards = [
-        f"len({cte_of[t]}.ps) >= {len(slots)}"
-        for t, slots in groups.items()
+        f"len({cte_of[k]}.ps) >= {len(slots)}"
+        for k, slots in groups.items()
         if len(slots) > 1
     ]
     seed_where = ("WHERE " + " AND ".join(group_guards)) if group_guards else ""
@@ -1398,14 +1421,16 @@ st AS (
   )
 )"""
 
-    slot_terms = ", ".join(f"'{t}'" for t in terms)
+    slot_terms = ", ".join(
+        f"'{t}'" for k in keys for t in k
+    )
     prelude = _PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
     return (
         prelude
         + f"""
 , {pts},
 seed AS (
-  SELECT {cte_of[dterms[0]]}.doc_id, {seed_lists}
+  SELECT {cte_of[dkeys[0]]}.doc_id, {seed_lists}
   FROM {seed_joins}
   {seed_where}
 ),
@@ -1595,6 +1620,7 @@ ORDER BY doc_id
         "phrase_sloppy_topk": _sloppy_topk_sql(["key", "value"], 2),
         "phrase_sloppy3_topk": _sloppy_topk_sql(["key", "value", "table"], 4),
         "phrase_sloppy_repeat_topk": _sloppy_topk_sql(["batch", "batch"], 1),
+        "multi_phrase_sloppy_topk": _sloppy_topk_sql([["key", "hash"], "value"], 2),
         "boosted_or_topk": _PRELUDE
         + """
 SELECT doc_id,

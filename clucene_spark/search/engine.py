@@ -135,9 +135,12 @@ class MultiPhraseQuery(Query):
     search/MultiPhraseQuery.cpp, MultipleTermPositions.cpp: per-slot
     posting lists are PQ-unioned before the position check). slots is a
     list of term lists; a doc matches when some position p has, for every
-    slot i, (p + i) among that slot's union of positions."""
+    slot i, (p + i) among that slot's union of positions. slop > 0 runs
+    the SloppyPhraseScorer walk over the unioned per-slot positions
+    (MultiPhraseQuery.cpp:99-105)."""
     slots: list = field(default_factory=list)
     field: Optional[str] = None
+    slop: int = 0
 
     def __str__(self) -> str:
         body = " ".join(
@@ -618,13 +621,49 @@ class Searcher:
         joined = slot_dfs[0]
         for p in slot_dfs[1:]:
             joined = joined.join(p, "doc_id")
-        aligned = F.col("pos0")
-        for i in range(1, len(query.slots)):
-            aligned = F.array_intersect(
-                aligned, F.transform(F.col(f"pos{i}"), _shift(i))
+        if query.slop == 0:
+            aligned = F.col("pos0")
+            for i in range(1, len(query.slots)):
+                aligned = F.array_intersect(
+                    aligned, F.transform(F.col(f"pos{i}"), _shift(i))
+                )
+            pfreq = F.size(aligned).cast("double")
+        else:
+            # SloppyPhraseScorer over the unioned slot positions
+            # (MultiPhraseQuery.cpp:99-105). Identical slots share one
+            # union list, so they repeat exactly like duplicated single
+            # terms; PARTIALLY overlapping slots collide doc-dependently
+            # in the reference (initPhrasePositions marks repeats from
+            # the FIRST scored doc's positions, SloppyPhraseScorer.cpp:
+            # 95-118) and are not supported.
+            from clucene_spark.search.sloppy import (
+                repeat_groups,
+                sloppy_phrase_freq,
+            )
+
+            keys = [tuple(sorted(set(s))) for s in query.slots]
+            for i, a in enumerate(keys):
+                for b in keys[i + 1:]:
+                    if a != b and set(a) & set(b):
+                        raise NotImplementedError(
+                            "MultiPhraseQuery slop with partially "
+                            "overlapping slots: repeat detection is "
+                            "doc-dependent in the reference"
+                        )
+            marks = repeat_groups(["\x1f".join(k) for k in keys])
+            slop = query.slop
+
+            @F.pandas_udf("double")
+            def _mp_sloppy_pf(arrs):
+                return arrs.map(
+                    lambda ls: sloppy_phrase_freq(list(ls), slop, marks)
+                )
+
+            pfreq = _mp_sloppy_pf(
+                F.array(*[F.col(f"pos{i}") for i in range(len(query.slots))])
             )
         idf_sum = sum(self._idf(dfs[t]) for t in all_terms if dfs[t] > 0)
-        scored = joined.withColumn("pfreq", F.size(aligned)).filter(F.col("pfreq") > 0)
+        scored = joined.withColumn("pfreq", pfreq).filter(F.col("pfreq") > 0)
         scored = scored.join(self._doclens(query.field), "doc_id")
         if self.similarity == "bm25":
             score = (

@@ -231,6 +231,43 @@ def test_multi_phrase_union_superset(spark, index):
     assert narrow <= wide
 
 
+def test_multi_phrase_slop_degenerates_to_sloppy_phrase(spark, index):
+    """Single-alternative slots with slop must equal PhraseQuery slop
+    (MultiPhraseQuery.cpp:99-105 delegates to the same SloppyPhraseScorer)."""
+    from clucene_spark.search.engine import MultiPhraseQuery, PhraseQuery, Searcher
+
+    s = Searcher(index)
+    mp = [(r["doc_id"], r["score"]) for r in
+          s.topk(MultiPhraseQuery(slots=[["key"], ["value"]], slop=2), 10,
+                 round_to=4).collect()]
+    ph = [(r["doc_id"], r["score"]) for r in
+          s.topk(PhraseQuery(terms=["key", "value"], slop=2), 10,
+                 round_to=4).collect()]
+    assert mp == ph
+
+
+def test_multi_phrase_slop_superset_of_exact(spark, index):
+    from clucene_spark.search.engine import MultiPhraseQuery, Searcher
+
+    s = Searcher(index)
+    slots = [["key", "hash"], ["value"]]
+    exact = {r["doc_id"] for r in
+             s.score(MultiPhraseQuery(slots=slots)).collect()}
+    sloppy = {r["doc_id"] for r in
+              s.score(MultiPhraseQuery(slots=slots, slop=3)).collect()}
+    assert exact <= sloppy
+
+
+def test_multi_phrase_slop_overlapping_slots_raises(spark, index):
+    from clucene_spark.search.engine import MultiPhraseQuery, Searcher
+
+    s = Searcher(index)
+    with pytest.raises(NotImplementedError):
+        s.score(
+            MultiPhraseQuery(slots=[["key", "hash"], ["key"]], slop=1)
+        ).collect()
+
+
 def test_explanation_value_equals_score(spark, index):
     """TestExplanations invariant: component product == score, both sims."""
     from clucene_spark.search.engine import Searcher, TermQuery
