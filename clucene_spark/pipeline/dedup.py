@@ -38,6 +38,21 @@ def md5_31(c: Column) -> Column:
 MERSENNE_61 = (1 << 61) - 1
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Rebalance tiny-partition inputs before a CPU-heavy map stage.
+
+    A small parquet file scans as 1-2 splits, so the tokenize/shingle
+    explode — the dominant cost of every dedup pipeline — runs on 1-2 of
+    the cluster's cores. At production scale the scan yields >= cores
+    splits (spark.sql.files.maxPartitionBytes) and this is a no-op
+    branch; the conditional keeps the full-width shuffle out of the
+    100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_planted_dups(docs: DataFrame, every: int = 10, id_offset: int = 1_000_000,
                       keep_frac: float = 0.8) -> DataFrame:
     """Deterministic near-duplicate corpus: every Nth doc gets a twin with
@@ -78,6 +93,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct token n-grams — the dedup unit."""
+    docs = ensure_parallelism(docs)
     toks = F.split(F.col("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -261,7 +277,8 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign-sum of term-hash bits (the
     term hash is 60-bit so all `bits` positions are uniformly random)."""
     toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -411,7 +428,7 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     exact_dedup, ~10x the row count."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
-    chunks = docs.select(
+    chunks = ensure_parallelism(docs).select(
         "doc_id",
         F.posexplode(
             F.transform(
