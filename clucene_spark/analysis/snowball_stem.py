@@ -1,8 +1,9 @@
-"""Snowball stemmers: french / dutch / spanish (ISO-8859-1, May-2005).
+"""Snowball stemmers: french / dutch / spanish / danish / norwegian /
+swedish / italian / portuguese / finnish (ISO-8859-1, May-2005).
 
 Algorithm ports matching the reference's generated stemmers at
-`src/contribs-lib/CLucene/snowball/src_c/stem_ISO_8859_1_{french,dutch,
-spanish}.c` (Snowball "May 2005" revision per snowball.version). Suffix
+`src/contribs-lib/CLucene/snowball/src_c/stem_ISO_8859_1_*.c`
+(Snowball "May 2005" revision per snowball.version). Suffix
 tables were transcribed from the generated among-tables; control flow
 follows the generated routines (NOT the current published algorithm pages
 — the 2005 revision differs, e.g. French runs plain
@@ -1078,3 +1079,190 @@ def portuguese_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS.update(italian=italian_stem, portuguese=portuguese_stem)
+
+
+# ---------------------------------------------------------------------------
+# finnish (stem_ISO_8859_1_finnish.c, May-2005) — agglutinative pipeline:
+# particle -> possessive -> case_ending -> other_endings -> i/t_plural ->
+# tidy, over p1/p2 regions. Among semantics: longest suffix first, an
+# entry whose attached test (VI/LONG) fails falls back to the next
+# shorter candidate; a failed CASE condition fails the whole routine.
+# ---------------------------------------------------------------------------
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aeiä")
+_FI_PARTICLE_END = frozenset("aeinotuyäö")
+_FI_LONG = frozenset(("aa", "ee", "ii", "oo", "uu", "ää", "öö"))
+
+
+def _fi_long(w: str, pos: int, lb: int) -> bool:
+    """r_LONG under the active limit: double vowel ending at pos."""
+    return pos - 2 >= lb and w[pos - 2:pos] in _FI_LONG
+
+
+def _fi_vi(w: str, pos: int, lb: int) -> bool:
+    """r_VI: 'i' preceded by a V2 vowel, both inside the limit."""
+    return (pos - 2 >= lb and w[pos - 1] == "i" and w[pos - 2] in _FI_V2)
+
+
+# (suffix, result, guard fn or None) — guard failure falls back to the
+# next (shorter) candidate, exactly like the generated among trees.
+_FI_A0 = [("kään", 1, None), ("kaan", 1, None), ("sti", 2, None),
+          ("han", 1, None), ("hän", 1, None), ("kin", 1, None),
+          ("pa", 1, None), ("pä", 1, None), ("ko", 1, None), ("kö", 1, None)]
+
+_FI_A4 = [("nsa", 3, None), ("nsä", 3, None), ("mme", 3, None),
+          ("nne", 3, None), ("ni", 2, None), ("si", 1, None),
+          ("an", 4, None), ("en", 6, None), ("än", 5, None)]
+
+_FI_A6 = [
+    ("seen", -1, _fi_long), ("tten", -1, _fi_vi), ("siin", -1, _fi_vi),
+    ("den", -1, _fi_vi),
+    ("lla", -1, None), ("ssa", -1, None), ("lta", -1, None),
+    ("sta", -1, None), ("tta", 9, None), ("llä", -1, None),
+    ("ssä", -1, None), ("ltä", -1, None), ("stä", -1, None),
+    ("ttä", 9, None), ("lle", -1, None), ("ine", -1, None),
+    ("ksi", -1, None), ("han", 1, None), ("hen", 2, None),
+    ("hin", 3, None), ("hon", 4, None), ("hän", 5, None), ("hön", 6, None),
+    ("na", -1, None), ("ta", -1, None), ("nä", -1, None), ("tä", -1, None),
+    ("n", 7, None), ("a", 8, None), ("ä", 8, None),
+]
+
+_FI_A7 = [
+    ("imma", -1, None), ("impa", -1, None), ("immi", -1, None),
+    ("impi", -1, None), ("immä", -1, None), ("impä", -1, None),
+    ("eja", -1, None), ("ejä", -1, None),
+    ("mma", 1, None), ("mpa", 1, None), ("mmi", 1, None),
+    ("mpi", 1, None), ("mmä", 1, None), ("mpä", 1, None),
+]
+
+_FI_A9 = [("imma", -1, None), ("mma", 1, None)]
+
+
+def _fi_among(w: str, table, lb: int):
+    """Longest matching suffix starting at or after lb whose guard passes.
+    Returns (cut_position, result) or (None, None)."""
+    for suf, res, fn in table:
+        i = len(w) - len(suf)
+        if i >= lb and w.endswith(suf):
+            if fn is None or fn(w, i, lb):
+                return i, res
+    return None, None
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    p1, p2 = _r1_r2(w, _FI_V1)
+
+    # particle_etc (limit p1)
+    i, res = _fi_among(w, _FI_A0, p1)
+    if i is not None:
+        if res == 1:
+            if i > 0 and w[i - 1] in _FI_PARTICLE_END:
+                w = w[:i]
+        elif res == 2:
+            if i >= p2:
+                w = w[:i]
+
+    # possessive (limit p1; context checks below run unlimited)
+    i, res = _fi_among(w, _FI_A4, p1)
+    if i is not None:
+        if res == 1:  # si, unless preceded by k
+            if not (i > 0 and w[i - 1] == "k"):
+                w = w[:i]
+        elif res == 2:  # ni; then kse -> ksi
+            w = w[:i]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif res == 3:  # nsa/nsä/mme/nne
+            w = w[:i]
+        elif res == 4:  # an after lla/na/ssa/ta/lta/sta
+            if any(w[:i].endswith(s) for s in
+                   ("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = w[:i]
+        elif res == 5:  # än after llä/nä/ssä/tä/ltä/stä
+            if any(w[:i].endswith(s) for s in
+                   ("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = w[:i]
+        elif res == 6:  # en after lle/ine
+            if any(w[:i].endswith(s) for s in ("lle", "ine")):
+                w = w[:i]
+
+    # case_ending (limit p1) — a failed case condition removes nothing
+    ending_removed = False
+    i, res = _fi_among(w, _FI_A6, p1)
+    if i is not None:
+        ok = True
+        if res == 1:
+            ok = i > 0 and w[i - 1] == "a"
+        elif res == 2:
+            ok = i > 0 and w[i - 1] == "e"
+        elif res == 3:
+            ok = i > 0 and w[i - 1] == "i"
+        elif res == 4:
+            ok = i > 0 and w[i - 1] == "o"
+        elif res == 5:
+            ok = i > 0 and w[i - 1] == "ä"
+        elif res == 6:
+            ok = i > 0 and w[i - 1] == "ö"
+        elif res == 7:  # n: try absorbing the 2nd char of LONG / the e of ie
+            if ((_fi_long(w, i, 0) or w[i - 2:i] == "ie") and i > 0):
+                i -= 1
+        elif res == 8:  # a/ä after vowel+consonant... (consonant then vowel)
+            ok = i >= 2 and w[i - 1] in _FI_V1 and w[i - 2] not in _FI_V1
+        elif res == 9:  # tta/ttä after e
+            ok = i > 0 and w[i - 1] == "e"
+        if ok:
+            w = w[:i]
+            ending_removed = True
+
+    # other_endings (limit p2)
+    i, res = _fi_among(w, _FI_A7, p2)
+    if i is not None:
+        if res == 1:  # comparative, unless po precedes
+            if w[:i].endswith("po"):
+                i = None
+        if i is not None:
+            w = w[:i]
+
+    if ending_removed:
+        # i_plural (limit p1)
+        if w and w[-1] in "ij" and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        # t_plural: final t after a vowel (both inside p1), then mma/imma
+        n = len(w)
+        if (n >= 2 and w[-1] == "t" and n - 1 >= p1
+                and n - 2 >= p1 and w[-2] in _FI_V1):
+            w = w[:-1]
+            i, res = _fi_among(w, _FI_A9, p2)
+            if i is not None:
+                if res == 1 and w[:i].endswith("po"):
+                    i = None
+                if i is not None:
+                    w = w[:i]
+
+    # tidy (first four steps limited to p1)
+    if _fi_long(w, len(w), p1) and len(w) - 1 >= 0:
+        w = w[:-1]
+    n = len(w)
+    if (n - 1 >= p1 and n - 2 >= p1 and w[n - 1] in _FI_AEI
+            and w[n - 2] not in _FI_V1):
+        w = w[:-1]
+    n = len(w)
+    if n - 1 >= p1 and n - 2 >= p1 and w[n - 1] == "j" and w[n - 2] in "ou":
+        w = w[:-1]
+    n = len(w)
+    if n - 1 >= p1 and n - 2 >= p1 and w[n - 1] == "o" and w[n - 2] == "j":
+        w = w[:-1]
+    # final consonant un-doubling (unlimited)
+    c0 = len(w)
+    while c0 > 0 and w[c0 - 1] in _FI_V1:
+        c0 -= 1
+    if c0 >= 2 and w[c0 - 2] == w[c0 - 1]:
+        w = w[:c0 - 1] + w[c0:]
+    return w
+
+
+SNOWBALL_STEMMERS.update(finnish=finnish_stem)
