@@ -1,5 +1,6 @@
 """Snowball stemmers: french / dutch / spanish / danish / norwegian /
-swedish / italian / portuguese / finnish (ISO-8859-1, May-2005).
+swedish / italian / portuguese / finnish (ISO-8859-1) + russian
+(KOI8-R), May-2005.
 
 Algorithm ports matching the reference's generated stemmers at
 `src/contribs-lib/CLucene/snowball/src_c/stem_ISO_8859_1_*.c`
@@ -1266,3 +1267,146 @@ def finnish_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS.update(finnish=finnish_stem)
+
+
+# ---------------------------------------------------------------------------
+# russian (stem_KOI8_R_russian.c, May-2005) — KOI8-R bytes transcribed to
+# Cyrillic: perfective_gerund OR (try reflexive; adjectival OR verb OR
+# noun), then try -и, derivational (R2), tidy_up. The ENTIRE backward
+# section runs under `setlimit tomark pV`, so every context test (the
+# preceding-а/я guards, the нн checks) must also sit inside RV — unlike
+# Finnish, where the limit lifts before the case conditions.
+# ---------------------------------------------------------------------------
+
+_RU_V = frozenset("аеиоуыэюя")
+
+_RU_PERF = [("ившись", 2), ("ывшись", 2), ("вшись", 1), ("ивши", 2),
+            ("ывши", 2), ("вши", 1), ("ив", 2), ("ыв", 2), ("в", 1)]
+
+_RU_ADJ = [(s, 1) for s in
+           ("ими ыми его ого ему ому юю ею ою ую ее ие ое ые их ых ей ий "
+            "ой ый ем им ом ым ая яя").split()]
+
+_RU_PART = [("ующ", 2), ("ивш", 2), ("ывш", 2), ("ем", 1), ("нн", 1),
+            ("вш", 1), ("ющ", 1), ("щ", 1)]
+
+_RU_REFLEX = [("ся", 1), ("сь", 1)]
+
+_RU_VERB = [("ейте", 2), ("уйте", 2), ("ила", 2), ("ыла", 2), ("ена", 2),
+            ("ете", 1), ("ите", 2), ("йте", 1), ("или", 2), ("ыли", 2),
+            ("ило", 2), ("ыло", 2), ("ено", 2), ("нно", 1), ("уют", 2),
+            ("ует", 2), ("ить", 2), ("ыть", 2), ("ешь", 1), ("ишь", 2),
+            ("ены", 2),
+            ("ла", 1), ("на", 1), ("ли", 1), ("ей", 2), ("уй", 2),
+            ("ил", 2), ("ыл", 2), ("ем", 1), ("им", 2), ("ым", 2),
+            ("ен", 2), ("ло", 1), ("но", 1), ("ют", 1),
+            ("ет", 1), ("ит", 2), ("ят", 2), ("ыт", 2), ("ть", 1),
+            ("ны", 1), ("ую", 2),
+            ("ю", 2), ("й", 1), ("л", 1), ("н", 1)]
+
+_RU_NOUN = [(s, 1) for s in
+            ("иями ами ями иях ией ием иям ию ью ие ье ах ях еи ии ей ий "
+             "ой ам ем ом ям ия ья ев ов ю а е и й о я у ь ы").split()]
+
+_RU_DERIV = [("ость", 1), ("ост", 1)]
+
+_RU_TIDY = [("ейше", 1), ("ейш", 1), ("н", 2), ("ь", 3)]
+
+
+def _ru_among(w: str, table, lb: int):
+    """Longest suffix (table pre-sorted longest-first) starting >= lb."""
+    for suf, res in table:
+        i = len(w) - len(suf)
+        if i >= lb and w.endswith(suf):
+            return i, res
+    return None, None
+
+
+def _ru_regions(w: str):
+    """pV = after the first vowel; p2 = after the second
+    vowel->non-vowel transition (gopast chains of mark_regions)."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RU_V:
+        i += 1
+    if i >= n:
+        return n, n
+    pv = i + 1
+    j = pv
+    while j < n and w[j] in _RU_V:
+        j += 1
+    if j >= n:
+        return pv, n
+    j += 1
+    while j < n and w[j] not in _RU_V:
+        j += 1
+    if j >= n:
+        return pv, n
+    j += 1
+    while j < n and w[j] in _RU_V:
+        j += 1
+    if j >= n:
+        return pv, n
+    return pv, j + 1
+
+
+def russian_stem(word: str) -> str:
+    w = word
+    pv, p2 = _ru_regions(w)
+
+    def _precede_ay(i: int) -> bool:
+        return i - 1 >= pv and w[i - 1] in "ая"
+
+    # step 1: perfective_gerund OR (try reflexive; adj OR verb OR noun)
+    done = False
+    i, res = _ru_among(w, _RU_PERF, pv)
+    if i is not None:
+        if res == 2 or _precede_ay(i):
+            w = w[:i]
+            done = True
+    if not done:
+        i, _ = _ru_among(w, _RU_REFLEX, pv)
+        if i is not None:
+            w = w[:i]
+        i, _ = _ru_among(w, _RU_ADJ, pv)
+        if i is not None:
+            w = w[:i]
+            j, pres = _ru_among(w, _RU_PART, pv)
+            if j is not None and (pres == 2 or
+                                  (j - 1 >= pv and w[j - 1] in "ая")):
+                w = w[:j]
+        else:
+            i, res = _ru_among(w, _RU_VERB, pv)
+            if i is not None and (res == 2 or _precede_ay(i)):
+                w = w[:i]
+            else:
+                i, _ = _ru_among(w, _RU_NOUN, pv)
+                if i is not None:
+                    w = w[:i]
+
+    # step 2: try final -и
+    if w.endswith("и") and len(w) - 1 >= pv:
+        w = w[:-1]
+
+    # step 3: derivational (needs R2)
+    i, _ = _ru_among(w, _RU_DERIV, pv)
+    if i is not None and i >= p2:
+        w = w[:i]
+
+    # step 4: tidy_up
+    i, res = _ru_among(w, _RU_TIDY, pv)
+    if i is not None:
+        if res == 1:  # ейше/ейш, then нн -> н
+            w = w[:i]
+            n = len(w)
+            if n - 2 >= pv and w[n - 2:] == "нн":
+                w = w[:-1]
+        elif res == 2:  # нн -> н
+            if i - 1 >= pv and i >= 1 and w[i - 1] == "н":
+                w = w[:i]
+        elif res == 3:  # -ь
+            w = w[:i]
+    return w
+
+
+SNOWBALL_STEMMERS.update(russian=russian_stem)
