@@ -176,6 +176,11 @@ _GATE_WINDOW: tuple = (
     "ann_ivf_stored_topk", "ann_ivf_trained_topk",
     "multimodal_features", "multimodal_frame_sample",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
+    # new this round: repetition signals + deterministic corpus-mix ops
+    # (multi_phrase_topk / wand_delete_topk / date_range_topk demoted —
+    # twice-green, unchanged code; multi-phrase machinery stays covered
+    # by multi_phrase_sloppy_topk's degenerate path)
+    "text_repetition", "sample_stratified", "sample_stratum_cap",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
     "phrase_sloppy_topk", "phrase_sloppy3_topk", "phrase_sloppy_repeat_topk",
     "multi_phrase_sloppy_topk",
@@ -186,13 +191,13 @@ _GATE_WINDOW: tuple = (
     "term_topk_bm25", "term_topk_classic",
     "bool_and_topk", "bool_or_topk",
     "phrase_exact_topk", "fuzzy_topk",
-    "multi_phrase_topk", "span_near_topk", "wand_fielded_topk",
+    "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
-    # new gates this round: parser keyword-range fix + MultiFieldQueryParser
+    # round-3 gates: parser keyword-range fix + MultiFieldQueryParser
     "parsed_keyword_range_topk", "parsed_multifield_topk",
-    "date_range_topk", "term_topk_bm25_std", "phrase_topk_std",
+    "term_topk_bm25_std", "phrase_topk_std",
     "snowball_fr_topk",
-    "wand_or_topk", "wand_and_topk", "wand_merged_topk", "wand_delete_topk",
+    "wand_or_topk", "wand_and_topk", "wand_merged_topk",
     "term_dict",
 )
 
@@ -432,6 +437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
+        "text_repetition": _q_repetition,
+        "sample_stratified": _q_sample_stratified,
+        "sample_stratum_cap": _q_sample_cap,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1027,6 +1035,35 @@ def _q_fingerprint(spark, sf):
     from clucene_spark.pipeline.textstats import fingerprint
 
     return fingerprint(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_repetition(spark, sf):
+    from clucene_spark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_sample_stratified(spark, sf):
+    from clucene_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        stratified_sample(docs, fraction=0.5,
+                          fractions={"src3": 1.0, "src7": 0.1})
+        .select("doc_id", "source", "u")
+        .orderBy("doc_id")
+    )
+
+
+def _q_sample_cap(spark, sf):
+    from clucene_spark.pipeline.sampling import per_stratum_cap
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        per_stratum_cap(docs, cap=10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2002,6 +2039,57 @@ SELECT doc_id,
            list_transform({_TOKS_SQL}, t -> ('0x'||substr(md5(t),1,7))::BIGINT)),
          (a, b) -> (a * 31 + b) % 9007199254740881) AS fp
 FROM documents ORDER BY doc_id
+""",
+        "text_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens,
+                len(list_distinct(toks)) AS n_distinct FROM t),
+g2 AS (SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 1),
+                                    i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+       FROM t WHERE len(toks) >= 2),
+g3 AS (SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+       FROM t WHERE len(toks) >= 3),
+c2 AS (SELECT doc_id, max(cnt) AS max2 FROM
+         (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       GROUP BY 1),
+c3 AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3 FROM
+         (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       ROUND(CASE WHEN b.n_tokens > 0
+                  THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END, 4) AS dup_token_frac,
+       ROUND(CASE WHEN b.n_tokens > 0
+                  THEN COALESCE(c2.max2, 0) * 2.0 / b.n_tokens
+                  ELSE 0.0 END, 4) AS top_2gram_frac,
+       ROUND(least(CASE WHEN b.n_tokens > 0
+                        THEN COALESCE(c3.dup3, 0) * 3.0 / b.n_tokens
+                        ELSE 0.0 END, 1.0), 4) AS dup_3gram_frac
+FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+ORDER BY b.doc_id
+""",
+        "sample_stratified": """
+WITH s AS (SELECT doc_id, source,
+        ROUND(('0x'||substr(md5(source || ':' || CAST(doc_id AS VARCHAR) || ':42'),
+                            1, 7))::BIGINT / 268435456.0, 6) AS u
+      FROM documents)
+SELECT doc_id, source, u FROM s
+WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
+ORDER BY doc_id
+""",
+        "sample_stratum_cap": """
+WITH s AS (SELECT doc_id, source,
+        ('0x'||substr(md5(source || ':' || CAST(doc_id AS VARCHAR) || ':42'),
+                      1, 7))::BIGINT AS h
+      FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h ASC, doc_id ASC) AS rk
+      FROM s)
+SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id
 """,
     }
     # fielded keyword clause (source:src3) contributes constant 1.0 and

@@ -96,6 +96,78 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+      * dup_token_frac: 1 - distinct_tokens/n_tokens — the line-free
+        analogue of "duplicate line fraction"
+      * top_2gram_frac: tokens covered by the single most frequent
+        2-gram, / n_tokens (most-common-n-gram character-fraction rule,
+        token approximation)
+      * dup_3gram_frac: tokens covered by 3-grams occurring more than
+        once (capped at 1; occurrences may overlap)
+
+    High values flag keyword-stuffed / boilerplate / degenerate pages
+    that per-doc quality scores miss. Shape: one n-gram explode and two
+    doc_id-keyed aggregations (partial-agg friendly) — the same
+    single-shuffle profile as simhash; the base token stats stay
+    map-only."""
+    from clucene_spark.pipeline.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+    def _grams(n: int):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return docs.filter(F.size(toks) >= n).select(
+            "doc_id", F.lit(n).alias("n"), F.explode(g).alias("gram")
+        )
+
+    gram_stats = (
+        _grams(2).unionByName(_grams(3))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("max_cnt"))).alias("max2"),
+            F.max(F.when(F.col("n") == 3, F.col("dup_cnt"))).alias("dup3"),
+        )
+    )
+    j = base.join(gram_stats, "doc_id", "left")
+    nt = F.col("n_tokens").cast("double")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.when(nt > 0, 1 - F.col("n_distinct") / nt).otherwise(0.0), 4
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(nt > 0, F.coalesce(F.col("max2"), F.lit(0)) * 2 / nt)
+            .otherwise(0.0), 4
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.least(
+                F.when(nt > 0, F.coalesce(F.col("dup3"), F.lit(0)) * 3 / nt)
+                .otherwise(0.0),
+                F.lit(1.0),
+            ), 4
+        ).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): order-sensitive rolling hash over tokens —
     fp = fold(h = (h*31 + md5_31(token)) mod FP_MOD). Equal texts collide

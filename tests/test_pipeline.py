@@ -307,3 +307,64 @@ def test_decontaminate_flags_bench_sources(spark, docs):
     # an 8-gram-free corpus stays clean
     clean_bench = bench.limit(0)
     assert decontaminate(docs, clean_bench, n=8).count() == 0
+
+
+def test_repetition_stats_planted(spark):
+    from clucene_spark.pipeline.textstats import repetition_stats
+
+    rows = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),       # pure 2-gram loop
+            (2, "a b c d e f g h"),                       # all distinct
+            (3, "x x x x x x"),                           # one repeated token
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(rows).collect()}
+    # doc 1: "buy now" occurs 4x of 7 2-gram slots; every 3-gram repeats
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_2gram_frac"] == 1.0  # 4 * 2 / 8
+    assert out[1]["dup_3gram_frac"] == 1.0
+    # doc 2: nothing repeats
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.25  # every 2-gram unique, max=1
+    assert out[2]["dup_3gram_frac"] == 0.0
+    # doc 3: single token repeated
+    assert out[3]["dup_token_frac"] == round(1 - 1 / 6, 4)
+    assert out[3]["top_2gram_frac"] == round(5 * 2 / 6, 4)
+    assert out[3]["dup_3gram_frac"] == 1.0
+
+
+def test_stratified_sample_deterministic_and_sized(docs):
+    from clucene_spark.pipeline.sampling import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(docs, 0.5).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, 0.5).collect()}
+    assert a == b  # hash-based, not rand(): identical across runs
+    n = docs.count()
+    assert 0.35 * n < len(a) < 0.65 * n
+    # per-stratum override: fraction 1.0 keeps the whole stratum
+    full = stratified_sample(docs, 0.0, fractions={"src3": 1.0})
+    kept = full.select("source").distinct().collect()
+    assert [r["source"] for r in kept] == ["src3"]
+    assert full.count() == docs.filter(F.col("source") == "src3").count()
+    # different seed -> different (but same-sized-ish) sample
+    c = {r["doc_id"] for r in stratified_sample(docs, 0.5, seed=7).collect()}
+    assert c != a
+
+
+def test_per_stratum_cap(docs):
+    from clucene_spark.pipeline.sampling import per_stratum_cap
+
+    capped = per_stratum_cap(docs, cap=3)
+    sizes = {r["source"]: r["n"] for r in
+             capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_source = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(3, per_source[src])
+    # deterministic selection
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in per_stratum_cap(docs, cap=3).collect())
+    assert a == b
