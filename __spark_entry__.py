@@ -189,7 +189,10 @@ _GATE_WINDOW: tuple = (
     # to make room for the new pipeline gates — both are thrice-green with
     # unchanged code, and range stays covered via parsed_keyword_range)
     "term_topk_bm25", "term_topk_classic",
-    "bool_and_topk", "bool_or_topk",
+    "bool_and_topk",
+    # bool_or demoted (thrice-green; OR scoring stays covered in-window
+    # by wand_or_topk and out-of-window by bool_or/boosted_or rows)
+    "chained_filter_topk",
     "phrase_exact_topk", "fuzzy_topk",
     "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
@@ -325,6 +328,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             FilteredQuery(
                 query=TermQuery(term="spark"),
                 predicate=(F.col("n_chars") >= 100) & (F.col("n_chars") <= 300),
+            ),
+            10,
+            round_to=4,
+        ),
+        # ChainedFilter XOR of a QueryFilter (docs matching 'join') and a
+        # column RangeFilter — the bitset ops of ChainedFilter.h:50-57
+        "chained_filter_topk": lambda spark, sf: _searcher(spark, sf).topk(
+            FilteredQuery(
+                query=TermQuery(term="spark"),
+                predicate=__import__(
+                    "clucene_spark.search.engine", fromlist=["ChainedFilter"]
+                ).ChainedFilter(
+                    filters=[
+                        __import__(
+                            "clucene_spark.search.engine",
+                            fromlist=["QueryFilter"],
+                        ).QueryFilter(TermQuery(term="join")),
+                        F.col("n_chars") >= 300,
+                    ],
+                    ops=["XOR"],
+                ),
             ),
             10,
             round_to=4,
@@ -1681,6 +1705,16 @@ SELECT b.doc_id, ROUND(SUM(b.sc), 4) AS score
 FROM bm25 b
 WHERE b.term = 'spark'
   AND b.doc_id IN (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300)
+GROUP BY b.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "chained_filter_topk": _PRELUDE
+        + """
+SELECT b.doc_id, ROUND(SUM(b.sc), 4) AS score
+FROM bm25 b
+WHERE b.term = 'spark'
+  AND ((b.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'join'))
+       != (b.doc_id IN (SELECT doc_id FROM documents WHERE n_chars >= 300)))
 GROUP BY b.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,

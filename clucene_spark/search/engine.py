@@ -190,6 +190,33 @@ class FilteredQuery(Query):
 
 
 @dataclass
+class QueryFilter:
+    """Filter drawn from another query's matched-doc set (reference
+    search/QueryFilter.cpp): membership only — the wrapped query's scores
+    are discarded, like the reference's bits() hit collection."""
+    query: Optional[Query] = None
+
+
+@dataclass
+class SpanQueryFilter:
+    """Filter from a span query's matching docs (reference
+    search/SpanQueryFilter.cpp:30-55: bits set per span hit doc)."""
+    span: Optional[object] = None
+
+
+@dataclass
+class ChainedFilter:
+    """Bitset combinator over sub-filters (reference
+    search/ChainedFilter.h:50-57, .cpp:219): the first filter seeds the
+    set, each op in ("AND","OR","ANDNOT","XOR") folds in the next.
+    Sub-filters are column predicates, QueryFilter, SpanQueryFilter, or
+    nested ChainedFilter. In Spark the bitset algebra becomes doc-id set
+    algebra: semi-join / union-distinct / anti-join / symmetric anti."""
+    filters: list = field(default_factory=list)
+    ops: list = field(default_factory=list)  # len(filters) - 1
+
+
+@dataclass
 class BooleanClause:
     query: Query = None
     occur: str = SHOULD
@@ -729,11 +756,47 @@ class Searcher:
             return matched.select("doc_id", F.lit(float(query.boost)).alias("score"))
         if isinstance(query, FilteredQuery):
             scores = self.score(query.query, query_norm)
-            allowed = self.index.docs.filter(query.predicate).select("doc_id")
+            allowed = self._filter_docids(query.predicate)
             return scores.join(allowed, "doc_id", "left_semi")
         if isinstance(query, BooleanQuery):
             return self._score_boolean(query, query_norm)
         raise TypeError(f"unknown query type: {type(query)}")
+
+    def _filter_docids(self, flt) -> DataFrame:
+        """Resolve any Filter form to its doc-id set. Column predicates
+        evaluate against the docs table (pushed into the scan); query /
+        span filters collect their matched docs; ChainedFilter folds the
+        reference's bitset ops as doc-id set algebra — each op is one
+        doc_id-keyed join, broadcast when the filter side is small."""
+        if isinstance(flt, QueryFilter):
+            return self.score(flt.query).select("doc_id")
+        if isinstance(flt, SpanQueryFilter):
+            from clucene_spark.search.spans import SpanSearcher
+
+            return (
+                SpanSearcher(self.index, self.similarity)
+                .spans(flt.span)
+                .select("doc_id")
+                .distinct()
+            )
+        if isinstance(flt, ChainedFilter):
+            cur = self._filter_docids(flt.filters[0]).distinct()
+            for op, f in zip(flt.ops, flt.filters[1:]):
+                nxt = self._filter_docids(f).distinct()
+                if op == "AND":
+                    cur = cur.join(nxt, "doc_id", "left_semi")
+                elif op == "OR":
+                    cur = cur.union(nxt).distinct()
+                elif op == "ANDNOT":
+                    cur = cur.join(nxt, "doc_id", "left_anti")
+                elif op == "XOR":
+                    cur = cur.join(nxt, "doc_id", "left_anti").union(
+                        nxt.join(cur, "doc_id", "left_anti")
+                    )
+                else:
+                    raise ValueError(f"unknown ChainedFilter op: {op}")
+            return cur
+        return self.index.docs.filter(flt).select("doc_id")
 
     def explain(self, query: TermQuery) -> DataFrame:
         """Score-component breakdown for a term query — the Explanation

@@ -444,3 +444,92 @@ def test_fuzzy_reference_semantics(spark):
         FuzzyQuery(term="spark", min_similarity=0.5)
     )._jdf.queryExecution().analyzed().toString()
     assert "1024" in plan
+
+
+def test_chained_filter_set_algebra(spark, index):
+    """ChainedFilter folds its sub-filter bitsets with AND/OR/ANDNOT/XOR
+    (reference search/ChainedFilter.h:50-57, ChainedFilter.cpp:219); in
+    Spark the bitset algebra is doc-id set algebra. Verify each op against
+    Python set arithmetic on the member sets."""
+    import pyspark.sql.functions as F
+
+    from clucene_spark.search.engine import (
+        ChainedFilter,
+        FilteredQuery,
+        QueryFilter,
+        Searcher,
+        TermQuery,
+    )
+
+    s = Searcher(index, similarity="bm25")
+    a_ids = {r["doc_id"] for r in s.score(TermQuery(term="spark")).collect()}
+    b_ids = {
+        r["doc_id"]
+        for r in index.docs.filter(F.col("n_chars") >= 300)
+        .select("doc_id")
+        .collect()
+    }
+    assert a_ids and b_ids and a_ids - b_ids and b_ids - a_ids
+
+    expect = {
+        "AND": a_ids & b_ids,
+        "OR": a_ids | b_ids,
+        "ANDNOT": a_ids - b_ids,
+        "XOR": a_ids ^ b_ids,
+    }
+    for op, want in expect.items():
+        flt = ChainedFilter(
+            filters=[QueryFilter(TermQuery(term="spark")), F.col("n_chars") >= 300],
+            ops=[op],
+        )
+        got = {r["doc_id"] for r in s._filter_docids(flt).collect()}
+        assert got == want, op
+
+    # nested chain: (A XOR B) AND A == A - B
+    nested = ChainedFilter(
+        filters=[
+            ChainedFilter(
+                filters=[QueryFilter(TermQuery(term="spark")), F.col("n_chars") >= 300],
+                ops=["XOR"],
+            ),
+            QueryFilter(TermQuery(term="spark")),
+        ],
+        ops=["AND"],
+    )
+    got = {r["doc_id"] for r in s._filter_docids(nested).collect()}
+    assert got == expect["ANDNOT"]
+
+    # FilteredQuery with a chained predicate: membership-only — the scores
+    # it returns equal the unfiltered query's scores on the surviving docs
+    base = {r["doc_id"]: r["score"] for r in s.score(TermQuery(term="spark")).collect()}
+    fq = FilteredQuery(
+        query=TermQuery(term="spark"),
+        predicate=ChainedFilter(
+            filters=[QueryFilter(TermQuery(term="join")), F.col("n_chars") >= 300],
+            ops=["OR"],
+        ),
+    )
+    for r in s.score(fq).collect():
+        assert r["doc_id"] in base
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-9
+
+    bad = ChainedFilter(filters=[F.col("n_chars") >= 0, F.col("n_chars") >= 1], ops=["NAND"])
+    with pytest.raises(ValueError):
+        s._filter_docids(bad).collect()
+
+
+def test_span_query_filter(spark, index):
+    """SpanQueryFilter's doc set == the span query's matching docs
+    (reference search/SpanQueryFilter.cpp:30-55)."""
+    from clucene_spark.search.engine import Searcher, SpanQueryFilter
+    from clucene_spark.search.spans import SpanNear, SpanSearcher, SpanTerm
+
+    sq = SpanNear(clauses=[SpanTerm(term="spark"), SpanTerm(term="join")],
+                  slop=5, in_order=False)
+    s = Searcher(index, similarity="bm25")
+    got = {r["doc_id"] for r in s._filter_docids(SpanQueryFilter(span=sq)).collect()}
+    want = {
+        r["doc_id"]
+        for r in SpanSearcher(index, s.similarity).spans(sq).select("doc_id").collect()
+    }
+    assert got == want and got
