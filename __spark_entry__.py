@@ -170,7 +170,7 @@ _GATE_WINDOW: tuple = (
     # training-data pipeline family — rewritten in r2, no r02 rows
     "corpus_stats", "top_df_terms",
     "dedup_exact", "dedup_chunk", "pipeline_decontaminate",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster_canonical",
     "pipeline_clean_corpus", "dedup_simhash", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_cosine_topk_pandas", "ann_ivf_topk",
     "ann_ivf_stored_topk", "ann_ivf_trained_topk",
@@ -201,7 +201,8 @@ _GATE_WINDOW: tuple = (
     "term_topk_bm25_std", "phrase_topk_std",
     "snowball_fr_topk",
     "wand_or_topk", "wand_and_topk", "wand_merged_topk",
-    "term_dict",
+    # term_dict demoted this round (thrice-green, unchanged code) to
+    # make room for dedup_cluster_canonical
 )
 
 
@@ -444,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_cluster_canonical": _q_dedup_cluster,
         "pipeline_clean_corpus": _q_clean_corpus,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -826,6 +828,18 @@ def _q_dedup_minhash(spark, sf):
     return minhash_lsh_pairs(corpus, n=3, threshold=0.5).orderBy("a", "b")
 
 
+def _q_dedup_cluster(spark, sf):
+    """Pairs -> components -> one canonical survivor per duplicate cluster
+    (large-star/small-star, pipeline/graph.py). The training-pipeline shape
+    a pairwise drop policy can't express: transitive dups collapse to one."""
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs, with_planted_dups
+    from clucene_spark.pipeline.graph import cluster_canonical
+
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
+    pairs = minhash_lsh_pairs(corpus, n=3, threshold=0.5)
+    return cluster_canonical(corpus, pairs).orderBy("doc_id")
+
+
 def _q_dedup_simhash(spark, sf):
     from clucene_spark.pipeline.dedup import simhash_pairs, with_planted_dups
 
@@ -1108,7 +1122,7 @@ WITH corpus AS (
 """
 
 
-_SHINGLE_JACCARD_SQL = """
+_SHINGLE_JPAIRS_CTE = """
 , tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
 , sh AS (
     SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -1122,11 +1136,34 @@ _SHINGLE_JACCARD_SQL = """
     FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 )
-SELECT i.a, i.b,
-       ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
-WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
-ORDER BY a, b
+, jp AS (
+    SELECT i.a, i.b,
+           ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+)
+"""
+
+_SHINGLE_JACCARD_SQL = _SHINGLE_JPAIRS_CTE + """
+SELECT a, b, jaccard FROM jp ORDER BY a, b
+"""
+
+# Duplicate-cluster canonicalization: min reachable doc_id per node over the
+# UNDIRECTED pair graph (recursive CTE = transitive closure; the Spark side
+# computes the same fixpoint with large-star/small-star, pipeline/graph.py).
+# MinHash banded pairs == exact-Jaccard pairs here (32x1 bands at J>=0.5:
+# miss probability <= (1 - 0.5^1)^32 ~ 2e-10 per pair), so the exact-pairs
+# closure is a valid oracle for the LSH-fed component labels.
+_CLUSTER_CANONICAL_SQL = _SHINGLE_JPAIRS_CTE + """
+, edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp)
+, reach(node, comp) AS (
+    SELECT doc_id, doc_id FROM corpus
+  UNION
+    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS component,
+       CAST(CASE WHEN MIN(comp) = node THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
@@ -2000,6 +2037,9 @@ FROM dg JOIN bg USING (g)
 GROUP BY doc_id ORDER BY doc_id
 """,
         "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
+        "dedup_cluster_canonical": _dup_corpus_sql(0.8).replace(
+            "WITH corpus", "WITH RECURSIVE corpus"
+        ) + _CLUSTER_CANONICAL_SQL,
         "dedup_simhash": _simhash_sql(32, 4),
         "dedup_embedding_cosine": _emb_neardup_sql(0.99),
         "ann_cosine_topk": _ann_brute_sql(7),

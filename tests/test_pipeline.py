@@ -368,3 +368,86 @@ def test_per_stratum_cap(docs):
     a = sorted(r["doc_id"] for r in capped.collect())
     b = sorted(r["doc_id"] for r in per_stratum_cap(docs, cap=3).collect())
     assert a == b
+
+
+# --- connected components / cluster-canonical dedup -------------------------
+
+def _uf_components(edges, nodes=()):
+    """Union-find oracle: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    for n in nodes:
+        find(n)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_transitive(spark):
+    """A chain a-b-c-d must collapse to ONE component (the case pairwise-
+    greedy survivor picking gets right only by accident, and naive
+    min-propagation needs diameter rounds for)."""
+    from clucene_spark.pipeline.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 20)]  # 11-node path
+    iso = [(100, 101)]
+    e = spark.createDataFrame(chain + iso, "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == _uf_components(chain + iso)
+    assert {got[i] for i in range(10, 21)} == {10}
+    assert got[100] == got[101] == 100
+
+
+def test_connected_components_random_graphs(spark):
+    """Seeded random edge sets vs the union-find oracle — exercises multi-
+    component graphs, high-degree hubs, and reversed/duplicate edges."""
+    import random
+
+    from clucene_spark.pipeline.graph import connected_components
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            edges = [(0, 1)]
+        e = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+        assert got == _uf_components(edges), (trial, sorted(edges))
+
+
+def test_cluster_canonical_survivors(spark, docs):
+    """cluster_canonical keeps exactly one doc per duplicate component and
+    labels everything; planted twins (doc_id+1_000_000) must never both
+    survive."""
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs, with_planted_dups
+    from clucene_spark.pipeline.graph import cluster_canonical
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    pairs = minhash_lsh_pairs(corpus, n=3, threshold=0.5)
+    lab = cluster_canonical(corpus, pairs)
+    rows = lab.collect()
+    assert len(rows) == corpus.count()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r["keep"] == 1]
+        assert len(keeps) == 1, comp
+        assert keeps[0]["doc_id"] == comp == min(r["doc_id"] for r in members)
+    # every pair endpoint shares a component with its partner
+    for p in pairs.collect():
+        assert next(r["component"] for r in rows if r["doc_id"] == p["a"]) == next(
+            r["component"] for r in rows if r["doc_id"] == p["b"]
+        )
