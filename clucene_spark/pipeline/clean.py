@@ -34,13 +34,22 @@ def clean_corpus(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 32,
+    near_policy: str = "pairwise",
 ) -> DataFrame:
     """(doc_id, quality, reason) for every input doc; reason in
     {'kept', 'low_quality', 'exact_dup', 'near_dup'}.
 
     Order of gates matters and is part of the contract: a low-quality doc
     is never charged as a duplicate; an exact duplicate never reaches the
-    near-dup pass (its keeper represents the group there)."""
+    near-dup pass (its keeper represents the group there).
+
+    near_policy picks the near-dup survivor rule:
+      'pairwise' — drop the higher doc_id of each verified pair (greedy;
+                   a doc survives iff it has no lower-id near-dup partner);
+      'cluster'  — connected components over the pair graph, keep one doc
+                   (the min id) per component (pipeline/graph.py). The
+                   production shape: transitive duplicates a~b~c collapse
+                   to a single survivor even when a!~c directly."""
     q = quality_score(docs).select("doc_id", "quality")
     d = docs.select("doc_id", "text").join(q, "doc_id")
     passq = d.filter(F.col("quality") >= min_quality)
@@ -57,7 +66,17 @@ def clean_corpus(
     pairs = minhash_lsh_pairs(
         rem, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
     )
-    near = pairs.select(F.col("b").alias("doc_id")).distinct()
+    if near_policy == "cluster":
+        from clucene_spark.pipeline.graph import connected_components
+
+        comp = connected_components(pairs)
+        near = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+    elif near_policy == "pairwise":
+        near = pairs.select(F.col("b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near_policy: {near_policy!r}")
 
     out = (
         d.select("doc_id", "quality")

@@ -205,6 +205,31 @@ class SpanQueryFilter:
 
 
 @dataclass
+class CachingWrapperFilter:
+    """Caches the wrapped filter's resolved doc-id set (reference
+    search/CachingWrapperFilter.cpp: per-reader bitset cache). The
+    reference keys its cache by IndexReader; a Searcher here wraps one
+    index, so one cached DataFrame per filter instance is the same scope.
+    Spark mapping: resolve once, `.cache()`, reuse across queries —
+    subsequent FilteredQuery plans read the in-memory doc-id relation
+    instead of recomputing the sub-filter."""
+    flt: Optional[object] = None
+    _cached: Optional[DataFrame] = field(default=None, repr=False, compare=False)
+
+
+def date_filter(start, end, resolution: str = "second", column: str = "date"):
+    """Column predicate matching docs whose DateTools-encoded `column`
+    falls in [start, end] at `resolution` (reference search/DateFilter.cpp
+    term-range over DateField encodings; DateTools variant). Compose it
+    into FilteredQuery / ChainedFilter like any column predicate."""
+    from clucene_spark.document.tools import date_to_string
+
+    lo = date_to_string(start, resolution)
+    hi = date_to_string(end, resolution)
+    return (F.col(column) >= lo) & (F.col(column) <= hi)
+
+
+@dataclass
 class ChainedFilter:
     """Bitset combinator over sub-filters (reference
     search/ChainedFilter.h:50-57, .cpp:219): the first filter seeds the
@@ -768,6 +793,10 @@ class Searcher:
         span filters collect their matched docs; ChainedFilter folds the
         reference's bitset ops as doc-id set algebra — each op is one
         doc_id-keyed join, broadcast when the filter side is small."""
+        if isinstance(flt, CachingWrapperFilter):
+            if flt._cached is None:
+                flt._cached = self._filter_docids(flt.flt).cache()
+            return flt._cached
         if isinstance(flt, QueryFilter):
             return self.score(flt.query).select("doc_id")
         if isinstance(flt, SpanQueryFilter):

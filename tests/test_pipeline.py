@@ -451,3 +451,26 @@ def test_cluster_canonical_survivors(spark, docs):
         assert next(r["component"] for r in rows if r["doc_id"] == p["a"]) == next(
             r["component"] for r in rows if r["doc_id"] == p["b"]
         )
+
+
+def test_clean_corpus_cluster_policy(spark, docs):
+    """near_policy='cluster' drops everything but the component min; its
+    drop set contains the pairwise policy's (a component min never has a
+    lower-id partner), and each near-dup component keeps exactly one."""
+    from clucene_spark.pipeline.clean import clean_corpus
+    from clucene_spark.pipeline.dedup import with_planted_dups
+
+    corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
+    pw = {r["doc_id"]: r["reason"] for r in clean_corpus(corpus, min_quality=0.0).collect()}
+    cl = {r["doc_id"]: r["reason"]
+          for r in clean_corpus(corpus, min_quality=0.0, near_policy="cluster").collect()}
+    assert set(pw) == set(cl)
+    pw_near = {d for d, r in pw.items() if r == "near_dup"}
+    cl_near = {d for d, r in cl.items() if r == "near_dup"}
+    assert pw_near <= cl_near
+    # non-near reasons unchanged by the policy switch
+    for d in pw:
+        if pw[d] != "near_dup" and d not in cl_near:
+            assert pw[d] == cl[d]
+    with pytest.raises(ValueError):
+        clean_corpus(corpus, near_policy="bogus").collect()

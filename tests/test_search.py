@@ -533,3 +533,51 @@ def test_span_query_filter(spark, index):
         for r in SpanSearcher(index, s.similarity).spans(sq).select("doc_id").collect()
     }
     assert got == want and got
+
+
+def test_caching_wrapper_filter(spark, index):
+    """CachingWrapperFilter resolves its wrapped filter once, caches the
+    doc-id relation, and returns the same DataFrame thereafter (reference
+    CachingWrapperFilter.cpp per-reader bitset cache)."""
+    import pyspark.sql.functions as F
+
+    from clucene_spark.search.engine import (
+        CachingWrapperFilter,
+        FilteredQuery,
+        QueryFilter,
+        Searcher,
+        TermQuery,
+    )
+
+    s = Searcher(index, similarity="bm25")
+    cw = CachingWrapperFilter(flt=QueryFilter(TermQuery(term="join")))
+    d1 = s._filter_docids(cw)
+    d2 = s._filter_docids(cw)
+    assert d1 is d2
+    assert d1.storageLevel.useMemory
+    want = {r["doc_id"] for r in s.score(TermQuery(term="join")).collect()}
+    assert {r["doc_id"] for r in d1.collect()} == want
+    # behaves as a FilteredQuery predicate like the raw filter would
+    got = {r["doc_id"] for r in
+           s.score(FilteredQuery(query=TermQuery(term="spark"), predicate=cw)).collect()}
+    raw = {r["doc_id"] for r in
+           s.score(FilteredQuery(query=TermQuery(term="spark"),
+                                 predicate=QueryFilter(TermQuery(term="join")))).collect()}
+    assert got == raw
+    d1.unpersist()
+
+
+def test_date_filter_predicate(spark):
+    """date_filter brackets DateTools-encoded values at the chosen
+    resolution, endpoints inclusive (reference search/DateFilter.cpp)."""
+    import datetime as dt
+
+    from clucene_spark.document.tools import date_to_string
+    from clucene_spark.search.engine import date_filter
+
+    days = [dt.datetime(2001, 3, i, 12, 30, 0) for i in range(1, 9)]
+    rows = [(i, date_to_string(d, "second")) for i, d in enumerate(days)]
+    df = spark.createDataFrame(rows, "doc_id long, date string")
+    pred = date_filter(days[2], days[5], resolution="second")
+    got = {r["doc_id"] for r in df.filter(pred).collect()}
+    assert got == {2, 3, 4, 5}
