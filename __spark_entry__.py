@@ -181,8 +181,10 @@ _GATE_WINDOW: tuple = (
     # twice-green, unchanged code; multi-phrase machinery stays covered
     # by multi_phrase_sloppy_topk's degenerate path)
     "text_repetition", "sample_stratified", "sample_stratum_cap",
+    "text_pii_redact", "pack_sequences",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
-    "phrase_sloppy_topk", "phrase_sloppy3_topk", "phrase_sloppy_repeat_topk",
+    # phrase_sloppy3 demoted (same scorer as the two kept sloppy gates)
+    "phrase_sloppy_topk", "phrase_sloppy_repeat_topk",
     "multi_phrase_sloppy_topk",
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
     # one gate per core search family (bool_not/range demoted this round
@@ -200,7 +202,8 @@ _GATE_WINDOW: tuple = (
     "parsed_keyword_range_topk", "parsed_multifield_topk",
     "term_topk_bm25_std", "phrase_topk_std",
     "snowball_fr_topk",
-    "wand_or_topk", "wand_and_topk", "wand_merged_topk",
+    # wand_merged demoted (thrice-green; merge covered by pytest + wand gates)
+    "wand_or_topk", "wand_and_topk",
     # term_dict demoted this round (thrice-green, unchanged code) to
     # make room for dedup_cluster_canonical
 )
@@ -466,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "sample_stratified": _q_sample_stratified,
         "sample_stratum_cap": _q_sample_cap,
+        "text_pii_redact": _q_pii,
+        "pack_sequences": _q_pack_sequences,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1102,6 +1107,39 @@ def _q_sample_cap(spark, sf):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+
+def _q_pii(spark, sf):
+    """PII detect+redact over docs with deterministically planted PII
+    (every 7th doc gets an email, an IPv4, and a phone number appended);
+    the oracle replays the identical construction)."""
+    from clucene_spark.pipeline.textstats import pii_stats
+
+    docs = _docs(spark, sf)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " contact user%d@example.com from 10.1.2.%d call +1 555 123 4567",
+                    F.col("doc_id"),
+                    F.col("doc_id") % 250,
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_stats(planted).orderBy("doc_id")
+
+
+def _q_pack_sequences(spark, sf):
+    """Concat-and-split sequence packing (seq_len 512) — distributed
+    two-pass cumulative sum, never a single-partition window."""
+    from clucene_spark.pipeline.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), seq_len=512, n_ranges=16).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2153,6 +2191,41 @@ WITH s AS (SELECT doc_id, source,
 SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
+""",
+        "text_pii_redact": """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id || '@example.com from 10.1.2.'
+                   || (doc_id % 250) || ' call +1 555 123 4567'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}', '<PHONE>', 'g') AS redacted
+FROM corpus ORDER BY doc_id
+""",
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+       CAST(start_tok % 512 AS BIGINT) AS pack_offset,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT)
+                 - CAST(floor(start_tok / 512.0) AS BIGINT) + 1
+            ELSE 0 END AS n_packs
+FROM c ORDER BY doc_id
 """,
         "sample_stratum_cap": """
 WITH s AS (SELECT doc_id, source,

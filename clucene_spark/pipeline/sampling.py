@@ -74,3 +74,82 @@ def per_stratum_cap(
         .filter(F.col("rk") <= cap)
         .drop("rk")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    order_col: str = "doc_id",
+    count_col: str | None = None,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay every doc's tokens head to
+    tail in `order_col` order and cut the stream into fixed `seq_len`
+    training sequences. Per doc: (doc_id, n_tokens, start_tok, pack_id,
+    pack_offset, n_packs) — pack_id/pack_offset locate the doc's first
+    token in the packed stream; n_packs counts the sequences it spans.
+    The standard pretraining batch-assembly step (every doc's placement
+    is a pure function of the corpus prefix sums, so the 100 TB job is
+    deterministic and resumable).
+
+    The global running sum is NOT a single-partition window (that
+    serializes the corpus through one task — the classic cumsum scale
+    killer). Two-pass distributed form:
+      1. range-partition by `order_col` (n_ranges ascending ranges);
+         per-partition token totals -> driver (n_ranges rows, bounded);
+      2. prefix-offset per partition joined back (broadcast), plus a
+         WITHIN-partition running sum — windows only ever see one
+         range's rows.
+    """
+    if count_col is None:
+        d = docs.select(
+            "doc_id",
+            F.col(order_col).alias("_ord"),
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    else:
+        d = docs.select(
+            "doc_id", F.col(order_col).alias("_ord"),
+            F.col(count_col).cast("long").alias("n_tokens"),
+        )
+    d = d.repartitionByRange(n_ranges, "_ord").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.coalesce(
+        off_map.getItem(F.col("_pid")), F.lit(0)
+    )
+    sl = F.lit(int(seq_len))
+    out = d.withColumn("start_tok", start).select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / sl).alias("pack_id"),
+        (F.col("start_tok") % sl).alias("pack_offset"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / sl)
+            - F.floor(F.col("start_tok") / sl)
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .alias("n_packs"),
+    )
+    return out

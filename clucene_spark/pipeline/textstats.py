@@ -180,3 +180,35 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, t: (acc * 31 + t) % FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): fixed-shape quantifiers, no backrefs, no lookaround.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, redacted): detect and scrub
+    the three highest-volume PII shapes (emails, IPv4 addresses,
+    international-format phone numbers) — the mandatory scrub stage of a
+    web-crawl training pipeline. Map-only column regexes (no shuffle, no
+    Python); replacement tags are stable so downstream dedup of redacted
+    text still collapses pages differing only in their PII."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )

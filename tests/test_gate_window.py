@@ -22,8 +22,13 @@ MUST_BE_IN_WINDOW = [
     "multimodal_features", "multimodal_frame_sample",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     "corpus_stats", "top_df_terms",
-    "phrase_sloppy_topk", "phrase_sloppy3_topk",
+    # sloppy scorer rewritten round 3: the repeated-term gate is the
+    # strongest variant; 3-term slop shares the identical walk code path
+    "phrase_sloppy_topk", "phrase_sloppy_repeat_topk",
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
+    # first gated in round 3 — must stay in-window until twice green
+    "dedup_cluster_canonical", "text_pii_redact", "pack_sequences",
+    "text_repetition", "sample_stratified", "sample_stratum_cap",
 ]
 
 DRIVER_WINDOW = 50

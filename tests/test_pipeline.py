@@ -474,3 +474,62 @@ def test_clean_corpus_cluster_policy(spark, docs):
             assert pw[d] == cl[d]
     with pytest.raises(ValueError):
         clean_corpus(corpus, near_policy="bogus").collect()
+
+
+def test_pii_stats_planted(spark):
+    """Planted emails/IPs/phones are counted and scrubbed; clean text
+    passes through untouched."""
+    from clucene_spark.pipeline.textstats import pii_stats
+
+    rows = [
+        (0, "write to alice.smith+spam@corp-mail.example.org today"),
+        (1, "host 192.168.0.17 then 8.8.8.8 responded"),
+        (2, "call +44 207 946 0958 or +1 555 123 4567 now"),
+        (3, "nothing sensitive v1.2 here at all"),
+        (4, "mixed bob@x.io on 10.0.0.1 dial +1 555 000 1111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 0, 0)
+    assert "<EMAIL>" in got[0]["redacted"] and "alice" not in got[0]["redacted"]
+    assert got[1]["n_ips"] == 2 and got[1]["redacted"].count("<IP>") == 2
+    assert got[2]["n_phones"] == 2 and got[2]["redacted"].count("<PHONE>") == 2
+    assert got[3]["redacted"] == rows[3][1]
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    # redaction removes every detected span: re-running finds nothing
+    redone = pii_stats(
+        pii_stats(df).select("doc_id", F.col("redacted").alias("text"))
+    ).collect()
+    for r in redone:
+        assert r["n_emails"] == r["n_ips"] == r["n_phones"] == 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Global cumsum across range partitions; docs spanning pack
+    boundaries report the right span count; zero-token docs occupy no
+    pack; explicit count_col path agrees."""
+    from clucene_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in
+            [(0, 100), (1, 200), (2, 0), (3, 513), (4, 50), (5, 512), (6, 1)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=512, n_ranges=4).collect()}
+    acc = 0
+    for i, n in [(0, 100), (1, 200), (2, 0), (3, 513), (4, 50), (5, 512), (6, 1)]:
+        r = got[i]
+        assert r["start_tok"] == acc and r["n_tokens"] == n, r
+        assert r["pack_id"] == acc // 512 and r["pack_offset"] == acc % 512
+        want_span = 0 if n == 0 else (acc + n - 1) // 512 - acc // 512 + 1
+        assert r["n_packs"] == want_span, (r, want_span)
+        acc += n
+    # doc 3 (513 tokens starting at 300) spans packs 0..1
+    assert got[3]["n_packs"] == 2
+    # count_col path: identical placement from precomputed counts
+    counted = df.select("doc_id", F.size(F.filter(F.split("text", " "),
+                                                  lambda t: t != "")).alias("nt"))
+    got2 = {r["doc_id"]: r for r in
+            pack_sequences(counted, seq_len=512, count_col="nt", n_ranges=4).collect()}
+    for i in got:
+        assert (got2[i]["start_tok"], got2[i]["pack_id"]) == (
+            got[i]["start_tok"], got[i]["pack_id"])
