@@ -181,7 +181,7 @@ _GATE_WINDOW: tuple = (
     # twice-green, unchanged code; multi-phrase machinery stays covered
     # by multi_phrase_sloppy_topk's degenerate path)
     "text_repetition", "sample_stratified", "sample_stratum_cap",
-    "text_pii_redact", "pack_sequences",
+    "text_pii_redact", "pack_sequences", "stream_dedup_state",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
     # phrase_sloppy3 demoted (same scorer as the two kept sloppy gates)
     "phrase_sloppy_topk", "phrase_sloppy_repeat_topk",
@@ -195,7 +195,9 @@ _GATE_WINDOW: tuple = (
     # bool_or demoted (thrice-green; OR scoring stays covered in-window
     # by wand_or_topk and out-of-window by bool_or/boosted_or rows)
     "chained_filter_topk",
-    "phrase_exact_topk", "fuzzy_topk",
+    # phrase_exact demoted (thrice-green; the exact position-join stays
+    # covered in-window by phrase_topk_std over the DFA-built index)
+    "fuzzy_topk",
     "span_near_topk", "wand_fielded_topk",
     "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
     # round-3 gates: parser keyword-range fix + MultiFieldQueryParser
@@ -471,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratum_cap": _q_sample_cap,
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
+        "stream_dedup_state": _q_stream_dedup,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1140,6 +1143,32 @@ def _q_pack_sequences(spark, sf):
     from clucene_spark.pipeline.sampling import pack_sequences
 
     return pack_sequences(_docs(spark, sf), seq_len=512, n_ranges=16).orderBy("doc_id")
+
+
+
+def _q_stream_dedup(spark, sf):
+    """Stateful-streaming exact dedup (applyInPandasWithState): drain the
+    planted-dup corpus as a MULTI-batch file stream (one file per
+    trigger), return the final per-content-key table. Equal to the batch
+    GROUP BY because the per-key fold is order/batch invariant."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from clucene_spark.pipeline.dedup import with_planted_dups
+    from clucene_spark.streaming.stateful import stream_exact_dedup
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/clucene_sddp_{tag}"
+    src_dir, ckpt = f"{base}_src", f"{base}_ckpt"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=1.0)
+    corpus.select("doc_id", "text").repartition(2).write.parquet(src_dir)
+    out = stream_exact_dedup(
+        spark, src_dir, checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    return out.orderBy("h", "len")
 
 
 # ---------------------------------------------------------------------------
@@ -2226,6 +2255,12 @@ SELECT doc_id, n_tokens, start_tok,
                  - CAST(floor(start_tok / 512.0) AS BIGINT) + 1
             ELSE 0 END AS n_packs
 FROM c ORDER BY doc_id
+""",
+        "stream_dedup_state": _dup_corpus_sql(1.0) + """
+SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS h,
+       CAST(length(text) AS BIGINT) AS len,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1, 2 ORDER BY h, len
 """,
         "sample_stratum_cap": """
 WITH s AS (SELECT doc_id, source,

@@ -100,6 +100,12 @@ def pack_sequences(
       2. prefix-offset per partition joined back (broadcast), plus a
          WITHIN-partition running sum — windows only ever see one
          range's rows.
+    Plan note: Catalyst can't prove range-partitioning by `order_col`
+    already co-locates `_pid`, so the window adds a second exchange —
+    but it moves only the narrow (doc_id, ord, count) rows (~24 B/row;
+    the text column is projected away before the first exchange), not
+    the corpus. Both aggregation passes share the range exchange via
+    ReuseExchange, so the text is scanned once.
     """
     if count_col is None:
         d = docs.select(

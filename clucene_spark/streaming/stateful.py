@@ -1,0 +1,104 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference engine has no streaming (SURVEY §2e: its incremental path
+is the LSM add/flush/merge pipeline, mapped in streaming/ingest.py). This
+module covers the other half of the Spark streaming surface the project
+brief mandates: arbitrary per-key state with `applyInPandasWithState` —
+here, streaming exact-dedup bookkeeping, the stateful form of
+pipeline/dedup.exact_dedup for a corpus that arrives as a stream.
+
+Per content key (60-bit md5, byte length) the state holds
+(keeper doc_id = min seen, n_copies). Both reducers are commutative and
+associative, so the final value per key is independent of batch
+boundaries and arrival order — which is what makes the operator
+deterministic and lets the batch GROUP BY oracle gate it exactly.
+
+Scale shape: state is hash-partitioned by key across executors (one
+shuffle per micro-batch, same as the batch groupBy); state size is one
+(long, long) pair per distinct document — the streaming-state analogue
+of the dedup hash table, RocksDB-backed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clucene_spark.pipeline.dedup import md5_60
+
+
+def dedup_state_stream(
+    docs_stream: DataFrame,
+) -> DataFrame:
+    """(streaming df with doc_id, text) -> streaming (h, len, keep_id,
+    n_copies) updates; one row per content key per batch in which the key
+    was touched. Compose with .writeStream (update mode)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs_stream.select(
+        md5_60(F.col("text")).alias("h"),
+        F.length("text").cast("long").alias("len"),
+        "doc_id",
+    )
+
+    def _fold(key, pdfs, state):
+        mn, cnt = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = int(pdf["doc_id"].min())
+            mn = m if mn is None or m < mn else mn
+            cnt += len(pdf)
+        state.update((int(mn), int(cnt)))
+        yield pd.DataFrame(
+            {"h": [key[0]], "len": [key[1]], "keep_id": [mn], "n_copies": [cnt]}
+        )
+
+    return keyed.groupBy("h", "len").applyInPandasWithState(
+        _fold,
+        outputStructType="h long, len long, keep_id long, n_copies long",
+        stateStructType="mn long, cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "doc_id long, text string",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a file-source stream through the stateful dedup operator
+    (availableNow) and return the FINAL per-key table as a batch
+    DataFrame: (h, len, keep_id, n_copies).
+
+    Update-mode emissions are folded in foreachBatch (last update per key
+    wins — correct because the per-key fold is order/batching-invariant),
+    so the result equals the batch `GROUP BY h, len` regardless of how
+    the source files split into micro-batches."""
+    final: dict = {}
+
+    def _collect(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            final[(r["h"], r["len"])] = (r["keep_id"], r["n_copies"])
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = dedup_state_stream(stream).writeStream.foreachBatch(_collect).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    rows = [
+        (h, ln, keep, cnt) for (h, ln), (keep, cnt) in sorted(final.items())
+    ]
+    return spark.createDataFrame(
+        rows, "h long, len long, keep_id long, n_copies long"
+    )

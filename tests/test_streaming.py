@@ -62,3 +62,41 @@ def test_stream_ingest_matches_batch_build(spark, tmp_path):
     )
     s1b = SegmentStore(spark, d_stream)
     assert s1b.stats() == s2.stats()
+
+
+def test_stateful_stream_dedup_batch_invariant(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: the final per-key table equals
+    the batch GROUP BY, and is IDENTICAL whether the source arrives as
+    one micro-batch or one-file-at-a-time (the fold is commutative/
+    associative, so batch boundaries can't change the fixpoint)."""
+    import pyspark.sql.functions as F
+
+    from clucene_spark.streaming.stateful import stream_exact_dedup
+
+    rows = [(i, ["aa bb", "cc dd ee", "ff"][i % 3]) for i in range(30)]
+    rows += [(100 + i, f"unique text {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "src")
+    # several files so maxFilesPerTrigger=1 forces several micro-batches
+    docs.repartition(4).write.parquet(src)
+
+    one = stream_exact_dedup(
+        spark, src, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    many = stream_exact_dedup(
+        spark, src, checkpoint_dir=str(tmp_path / "ck2"), max_files_per_trigger=1
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.groupBy(
+            F.expr("conv(substring(md5(text),1,15),16,10)").cast("long").alias("h"),
+            F.length("text").cast("long").alias("len"),
+        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .collect()
+    )
+    got_one = sorted(tuple(r) for r in one.collect())
+    got_many = sorted(tuple(r) for r in many.collect())
+    assert got_one == want
+    assert got_many == want
