@@ -174,7 +174,7 @@ _GATE_WINDOW: tuple = (
     "pipeline_clean_corpus", "dedup_simhash", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_cosine_topk_pandas", "ann_ivf_topk",
     "ann_ivf_stored_topk", "ann_ivf_trained_topk",
-    "multimodal_features", "multimodal_frame_sample",
+    "multimodal_features", "multimodal_frame_sample", "multimodal_wav_stats",
     "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
     # new this round: repetition signals + deterministic corpus-mix ops
     # (multi_phrase_topk / wand_delete_topk / date_range_topk demoted —
@@ -204,8 +204,9 @@ _GATE_WINDOW: tuple = (
     "parsed_keyword_range_topk", "parsed_multifield_topk",
     "term_topk_bm25_std", "phrase_topk_std",
     "snowball_fr_topk",
-    # wand_merged demoted (thrice-green; merge covered by pytest + wand gates)
-    "wand_or_topk", "wand_and_topk",
+    # wand_merged + wand_and demoted (thrice-green; WAND stays covered
+    # in-window by wand_or/wand_fielded/wand_sloppy_phrase)
+    "wand_or_topk",
     # term_dict demoted this round (thrice-green, unchanged code) to
     # make room for dedup_cluster_canonical
 )
@@ -474,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
         "stream_dedup_state": _q_stream_dedup,
+        "multimodal_wav_stats": _q_wav_stats,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1169,6 +1171,39 @@ def _q_stream_dedup(spark, sf):
         spark, src_dir, checkpoint_dir=ckpt, max_files_per_trigger=1
     )
     return out.orderBy("h", "len")
+
+
+
+def _q_wav_stats(spark, sf):
+    """REAL multimodal decode end-to-end: per doc, build a genuine PCM WAV
+    payload (samples from closed-form integer arithmetic, stdlib wave
+    encoder), decode it back with the stdlib parser inside audio_stats,
+    and emit exact-int clip statistics. The oracle replays the sample
+    arithmetic in SQL — if the WAV encode/decode path corrupted a single
+    sample, sum_sq/peak would mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clucene_spark.pipeline.multimodal import audio_stats, encode_wav
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 20
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+                ids.append(did)
+                pays.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"), "payload": pays}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, payload binary")
+    return audio_stats(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2261,6 +2296,19 @@ SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS h,
        CAST(length(text) AS BIGINT) AS len,
        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM corpus GROUP BY 1, 2 ORDER BY h, len
+""",
+        "multimodal_wav_stats": """
+WITH ids AS (SELECT doc_id FROM documents),
+f AS (SELECT doc_id,
+             unnest(generate_series(0, 49 + CAST(doc_id % 20 AS INT))) AS i
+      FROM ids),
+s AS (SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v FROM f)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate, 1 AS n_channels,
+       CAST(50 + doc_id % 20 AS BIGINT) AS n_frames,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s GROUP BY doc_id ORDER BY media_id
 """,
         "sample_stratum_cap": """
 WITH s AS (SELECT doc_id, source,

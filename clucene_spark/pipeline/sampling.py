@@ -100,12 +100,15 @@ def pack_sequences(
       2. prefix-offset per partition joined back (broadcast), plus a
          WITHIN-partition running sum — windows only ever see one
          range's rows.
-    Plan note: Catalyst can't prove range-partitioning by `order_col`
-    already co-locates `_pid`, so the window adds a second exchange —
-    but it moves only the narrow (doc_id, ord, count) rows (~24 B/row;
-    the text column is projected away before the first exchange), not
-    the corpus. Both aggregation passes share the range exchange via
-    ReuseExchange, so the text is scanned once.
+    Plan note: the totals pass and the placement pass are separate JOBS
+    (the prefix offsets must reach the driver between them), so the
+    narrow (doc_id, ord, count) frame is persisted — the text is scanned
+    and tokenized exactly once; the second job reads the ~24 B/row
+    cached relation. Catalyst can't prove range-partitioning by
+    `order_col` already co-locates `_pid`, so the window re-exchanges —
+    but only those narrow cached rows, never the corpus. The caller may
+    `.unpersist()` the returned frame's source when done; at 100 TB the
+    cached frame is n_docs × 24 B (disk-spillable MEMORY_AND_DISK).
     """
     if count_col is None:
         d = docs.select(
@@ -120,8 +123,12 @@ def pack_sequences(
             "doc_id", F.col(order_col).alias("_ord"),
             F.col(count_col).cast("long").alias("n_tokens"),
         )
-    d = d.repartitionByRange(n_ranges, "_ord").withColumn(
-        "_pid", F.spark_partition_id()
+    from pyspark import StorageLevel
+
+    d = (
+        d.repartitionByRange(n_ranges, "_ord")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = {
         r["_pid"]: r["tot"]

@@ -533,3 +533,66 @@ def test_pack_sequences_invariants(spark):
     for i in got:
         assert (got2[i]["start_tok"], got2[i]["pack_id"]) == (
             got[i]["start_tok"], got[i]["pack_id"])
+
+
+# --- real multimodal decode (stdlib WAV / BMP) ------------------------------
+
+def test_audio_stats_real_wav_decode(spark):
+    """Genuine PCM WAV payloads decode through the stdlib parser; stats
+    equal closed-form expectations; a 2-channel clip (written with the
+    wave module directly) reports interleaved frames correctly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import audio_stats, encode_wav
+
+    s0 = np.array([0, 100, -100, 32767, -32768], dtype="<i2")
+    s1 = (np.arange(64, dtype=np.int64) * 515 % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()  # stereo clip
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.array([1, 2, 3, 4, 5, 6], dtype="<i2").tobytes())
+    rows = [(0, bytearray(encode_wav(s0))), (1, bytearray(encode_wav(s1))),
+            (2, bytearray(buf.getvalue()))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_stats(media).collect()}
+    assert got[0]["n_frames"] == 5 and got[0]["peak"] == 32768
+    assert got[0]["sum_sq"] == int((s0.astype(np.int64) ** 2).sum())
+    assert got[1]["sum_sq"] == int((s1.astype(np.int64) ** 2).sum())
+    assert got[2]["n_channels"] == 2 and got[2]["n_frames"] == 3
+    assert got[2]["sample_rate"] == 16000 and got[2]["sum_sq"] == 1+4+9+16+25+36
+
+
+def test_image_stats_and_real_resize(spark):
+    """BMP decode + nearest-neighbor resize are real: resized payloads
+    re-decode to the requested dimensions with exactly the pixels the
+    index map selects; non-BMP payloads pass through flagged."""
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import (
+        _decode_real,
+        encode_bmp,
+        image_stats,
+        resize_media,
+    )
+
+    px = (np.arange(6 * 10 * 3, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(6, 10, 3)
+    rows = [(0, bytearray(encode_bmp(px))), (1, bytearray(b"\x89PNG notreally"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    st = {r["media_id"]: r for r in image_stats(media.filter("media_id = 0")).collect()}
+    assert (st[0]["width"], st[0]["height"]) == (10, 6)
+    assert st[0]["sum_px"] == int(px.astype(np.int64).sum())
+
+    out = {r["media_id"]: r for r in resize_media(media, 5, 3).collect()}
+    assert out[0]["decoded"] is True and out[1]["decoded"] is False
+    assert bytes(out[1]["payload"]) == b"\x89PNG notreally"
+    d = _decode_real(bytes(out[0]["payload"]), "image")
+    yi = (np.arange(3) * 6) // 3
+    xi = (np.arange(5) * 10) // 5
+    assert d["width"] == 5 and d["height"] == 3
+    assert np.array_equal(d["pixels"], px[yi][:, xi])

@@ -85,3 +85,51 @@ def test_fused_build_single_exchange(spark):
 
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     assert n_exchanges == 1, plan
+
+
+def test_pii_stats_map_only(spark):
+    """PII detect/redact is column-regex math — the plan must contain NO
+    exchange (pure map stage over the scan)."""
+    from clucene_spark.pipeline.textstats import pii_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_no_global_window_single_scan(spark):
+    """The packing cumsum must never be a single-partition window: every
+    Window in the plan partitions by the range-bucket id, and the text is
+    scanned once (both aggregation passes share the range exchange)."""
+    from clucene_spark.pipeline.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs, seq_len=512, n_ranges=8))
+    assert "Window" in plan
+    # formatted explain lists window specs with their partition columns;
+    # a global window would show 'windowspecdefinition(' with no partition
+    # expr — ours must carry _pid
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, plan
+    # the totals pass already materialized the narrow counts frame, so
+    # the placement job reads the CACHE (the residual "Scan parquet" lines
+    # in the explain are the InMemoryRelation's stored definition, not an
+    # executed rescan of the text)
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_cluster_canonical_no_cartesian(spark):
+    """Component labeling joins by doc_id / band keys only — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from clucene_spark.pipeline.graph import cluster_canonical
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    plan = _plan(cluster_canonical(docs, pairs))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
