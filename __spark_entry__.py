@@ -182,6 +182,7 @@ _GATE_WINDOW: tuple = (
     # by multi_phrase_sloppy_topk's degenerate path)
     "text_repetition", "sample_stratified", "sample_stratum_cap",
     "text_pii_redact", "pack_sequences", "stream_dedup_state",
+    "text_lm_score",
     # sloppy-phrase family — scorer rewritten this round (reference walk)
     # phrase_sloppy3 demoted (same scorer as the two kept sloppy gates)
     "phrase_sloppy_topk", "phrase_sloppy_repeat_topk",
@@ -199,7 +200,9 @@ _GATE_WINDOW: tuple = (
     # covered in-window by phrase_topk_std over the DFA-built index)
     "fuzzy_topk",
     "span_near_topk", "wand_fielded_topk",
-    "lang_dispatch_topk", "stream_ingest_topk", "fielded_tf_topk",
+    # fielded_tf demoted (twice-green, unchanged; fielded coverage stays
+    # in-window via wand_fielded_topk + parsed_multifield_topk)
+    "lang_dispatch_topk", "stream_ingest_topk",
     # round-3 gates: parser keyword-range fix + MultiFieldQueryParser
     "parsed_keyword_range_topk", "parsed_multifield_topk",
     "term_topk_bm25_std", "phrase_topk_std",
@@ -476,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stream_dedup_state": _q_stream_dedup,
         "multimodal_wav_stats": _q_wav_stats,
+        "text_lm_score": _q_lm_score,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1204,6 +1208,16 @@ def _q_wav_stats(spark, sf):
 
     media = docs.mapInPandas(_mk, "media_id long, payload binary")
     return audio_stats(media).orderBy("media_id")
+
+
+
+def _q_lm_score(spark, sf):
+    """Corpus-trained bigram LM scoring (perplexity-filter stage); the
+    per-doc log-prob sum is an ordered left fold so both engines add the
+    same doubles in the same order."""
+    from clucene_spark.pipeline.textstats import lm_score
+
+    return lm_score(_docs(spark, sf)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2309,6 +2323,32 @@ SELECT doc_id AS media_id,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
        CAST(MAX(ABS(v)) AS INT) AS peak
 FROM s GROUP BY doc_id ORDER BY media_id
+""",
+        "text_lm_score": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t FROM tokd WHERE len(t) >= 2),
+bi AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+),
+uni AS (SELECT term, count(*) AS cu
+        FROM (SELECT unnest(t) AS term FROM tokd) GROUP BY term),
+big AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+vv AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT b.doc_id, b.pos, ln((cb + 1.0) / (cu + (SELECT v FROM vv))) AS logp
+  FROM bi b JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+            JOIN uni u ON u.term = b.w1
+),
+folded AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                     (a, x) -> a + x) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(sum_logp / n_bigrams, 4) AS avg_logp
+FROM folded ORDER BY doc_id
 """,
         "sample_stratum_cap": """
 WITH s AS (SELECT doc_id, source,

@@ -212,3 +212,64 @@ def pii_stats(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0)).alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+def lm_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
+    """Corpus-trained bigram language-model score per doc — the
+    perplexity-filtering stage of a curation pipeline (docs whose text is
+    improbable under the corpus's own bigram statistics are gibberish /
+    boilerplate candidates). (doc_id, n_bigrams, avg_logp) where
+    avg_logp = mean over bigrams of ln P(w2 | w1), Laplace-smoothed:
+    P = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Scale shape: two count aggregations (one shuffle each, token-keyed,
+    map-side partial) + one bigram-keyed join of the doc stream against
+    the count tables (the LM is corpus-derived and corpus-sized, so a
+    shuffle join — a fixed external LM would broadcast instead).
+
+    Determinism: per-doc log-prob summation is an ORDERED left fold over
+    the position-sorted bigram list (sort_array + F.aggregate), never a
+    shuffle-order float sum — so the DuckDB oracle's identical fold is
+    bit-for-bit reproducible.
+    """
+    from clucene_spark.pipeline.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bi = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w as w1, t[i + 1] as w2))")
+        ).alias("pos", "b"),
+    ).select("doc_id", "pos", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cu"))
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    v = uni.count()
+
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("term").alias("w1"), "cu"), "w1")
+        .withColumn(
+            "logp",
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.lit(float(v)))),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["logp"],
+        ).alias("sum_logp"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("sum_logp") / F.col("n_bigrams"), round_to).alias("avg_logp"),
+    )

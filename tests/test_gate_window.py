@@ -28,7 +28,7 @@ MUST_BE_IN_WINDOW = [
     "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
     # first gated in round 3 — must stay in-window until twice green
     "dedup_cluster_canonical", "text_pii_redact", "pack_sequences",
-    "stream_dedup_state", "multimodal_wav_stats",
+    "stream_dedup_state", "multimodal_wav_stats", "text_lm_score",
     "text_repetition", "sample_stratified", "sample_stratum_cap",
 ]
 

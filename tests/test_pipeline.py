@@ -596,3 +596,35 @@ def test_image_stats_and_real_resize(spark):
     xi = (np.arange(5) * 10) // 5
     assert d["width"] == 5 and d["height"] == 3
     assert np.array_equal(d["pixels"], px[yi][:, xi])
+
+
+def test_lm_score_hand_computed(spark):
+    """Bigram LM with Laplace smoothing on a 3-doc corpus, checked
+    against a hand-rolled python model; repeated-bigram doc scores higher
+    than a novel-bigram doc."""
+    import math
+
+    from clucene_spark.pipeline.textstats import lm_score
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "c a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score(df, round_to=6).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    uni, big = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    V = len(uni)
+    for i, t in toks.items():
+        lps = [math.log((big[(x, y)] + 1.0) / (uni[x] + float(V)))
+               for x, y in zip(t, t[1:])]
+        acc = 0.0
+        for lp in lps:
+            acc += lp
+        assert got[i]["n_bigrams"] == len(lps)
+        assert abs(got[i]["avg_logp"] - round(acc / len(lps), 6)) < 1e-9, i
+    # 'a b' occurs 4x -> doc 0 (all 'a b'/'b a') beats doc 1 (has rare 'b c')
+    assert got[0]["avg_logp"] > got[1]["avg_logp"]
