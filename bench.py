@@ -99,17 +99,24 @@ def main() -> None:
     from clucene_spark.data.webtext import webtext_df
 
     corpus = webtext_df(spark, bench_docs)
-    idx_dir = tempfile.mkdtemp(
-        prefix="bench_idx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
-    )
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_segments_fused(
-        corpus, idx_dir, docs_per_segment=2048, analyzer="standard"
-    )
-    t1 = time.perf_counter()
-    timings["seg_build_fused"] = round(t1 - t0, 4)
-    shutil.rmtree(idx_dir, ignore_errors=True)
+    # best-of-2 FRESH runs (each rep rebuilds from scratch — the job
+    # semantics stay single-shot batch; the min filters the one-sided
+    # tenant noise on this shared box, the same per-run-minimum estimator
+    # BENCH/BASELINE.md uses for scaling)
+    build_best = None
+    for _ in range(2):
+        idx_dir = tempfile.mkdtemp(
+            prefix="bench_idx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+        )
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_segments_fused(
+            corpus, idx_dir, docs_per_segment=2048, analyzer="standard"
+        )
+        dt = time.perf_counter() - t0
+        build_best = dt if build_best is None or dt < build_best else build_best
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    timings["seg_build_fused"] = round(build_best, 4)
 
     # --- segment store over the sf documents table for query latencies ---
     idx_dir = tempfile.mkdtemp(
@@ -152,11 +159,21 @@ def main() -> None:
     for name, q in headline.items():
         timings[name] = best_of(lambda q=q: searcher.topk(q, 10).collect())
 
-    # --- pipeline ops (single-shot: a dedup pass is a batch job, its
-    # startup amortizes over the corpus at scale) ---
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(with_planted_dups(docs.select("doc_id", "text"))).count()
-    timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 4)
+    # --- pipeline ops (fresh full job per rep — a dedup pass is a batch
+    # job whose startup amortizes at scale; best-of-2 filters tenant
+    # noise without warming caches between reps) ---
+    dedup_best = None
+    for _ in range(2):
+        # minhash persists its doc-state internally and Spark's cache
+        # manager matches by plan — drop it so every rep is a cold job
+        # (this also drops the relational index cache, which no query
+        # below needs)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(with_planted_dups(docs.select("doc_id", "text"))).count()
+        dt = time.perf_counter() - t0
+        dedup_best = dt if dedup_best is None or dt < dedup_best else dedup_best
+    timings["dedup_minhash_lsh"] = round(dedup_best, 4)
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in vecs.first()["embedding"]]

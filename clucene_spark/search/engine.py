@@ -809,6 +809,13 @@ class Searcher:
                 .distinct()
             )
         if isinstance(flt, ChainedFilter):
+            if not flt.filters:
+                raise ValueError("ChainedFilter needs at least one sub-filter")
+            if len(flt.ops) != len(flt.filters) - 1:
+                raise ValueError(
+                    f"ChainedFilter: {len(flt.filters)} filters need "
+                    f"{len(flt.filters) - 1} ops, got {len(flt.ops)}"
+                )
             cur = self._filter_docids(flt.filters[0]).distinct()
             for op, f in zip(flt.ops, flt.filters[1:]):
                 nxt = self._filter_docids(f).distinct()

@@ -628,3 +628,17 @@ def test_lm_score_hand_computed(spark):
         assert abs(got[i]["avg_logp"] - round(acc / len(lps), 6)) < 1e-9, i
     # 'a b' occurs 4x -> doc 0 (all 'a b'/'b a') beats doc 1 (has rare 'b c')
     assert got[0]["avg_logp"] > got[1]["avg_logp"]
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    """Empty edge sets and pure self-loops yield no labeled nodes;
+    cluster_canonical then marks every doc a singleton keeper."""
+    from clucene_spark.pipeline.graph import cluster_canonical, connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(3, 3), (4, 4)], "a long, b long")
+    assert connected_components(loops).count() == 0
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    lab = cluster_canonical(docs, empty).collect()
+    assert all(r["keep"] == 1 and r["component"] == r["doc_id"] for r in lab)

@@ -581,3 +581,23 @@ def test_date_filter_predicate(spark):
     pred = date_filter(days[2], days[5], resolution="second")
     got = {r["doc_id"] for r in df.filter(pred).collect()}
     assert got == {2, 3, 4, 5}
+
+
+def test_chained_filter_arity_validation(spark, index):
+    import pyspark.sql.functions as F
+
+    from clucene_spark.search.engine import ChainedFilter, Searcher
+
+    s = Searcher(index, similarity="bm25")
+    with pytest.raises(ValueError, match="at least one"):
+        s._filter_docids(ChainedFilter(filters=[], ops=[]))
+    with pytest.raises(ValueError, match="ops"):
+        s._filter_docids(
+            ChainedFilter(filters=[F.col("n_chars") > 0, F.col("n_chars") > 1], ops=[])
+        )
+    # single filter, no ops: degenerates to the filter itself
+    got = {r["doc_id"] for r in
+           s._filter_docids(ChainedFilter(filters=[F.col("n_chars") >= 300], ops=[])).collect()}
+    want = {r["doc_id"] for r in
+            index.docs.filter(F.col("n_chars") >= 300).select("doc_id").collect()}
+    assert got == want
