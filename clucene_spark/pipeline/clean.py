@@ -10,9 +10,11 @@ Plan shape at 100 TB:
   3. near-dup removal — MinHash+LSH candidates + candidate-only exact
                         verify (dedup.minhash_lsh_pairs — the scale-safe
                         form), run only over quality-passing, exact-unique
-                        survivors, dropping the higher doc_id of each
-                        verified pair (deterministic greedy policy: a doc
-                        that pairs with any lower-id survivor drops).
+                        survivors. Survivor policy is selectable:
+                        'pairwise' drops the higher doc_id of each
+                        verified pair; 'cluster' runs connected components
+                        over the pair graph and keeps one doc per
+                        component (pipeline/graph.py).
 
 Every decision is recorded, not destroyed: the output labels ALL input
 docs with keep/drop + reason, so the cleaning pass is auditable and

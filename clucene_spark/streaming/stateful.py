@@ -78,7 +78,14 @@ def stream_exact_dedup(
     Update-mode emissions are folded in foreachBatch (last update per key
     wins — correct because the per-key fold is order/batching-invariant),
     so the result equals the batch `GROUP BY h, len` regardless of how
-    the source files split into micro-batches."""
+    the source files split into micro-batches.
+
+    The driver-side dict here is the TEST/GATE harness form (bounded by
+    the gate corpora). At 100 TB the foreachBatch body writes each
+    batch's update rows to a keyed sink instead (parquet partition
+    overwrite / a Delta-style merge); the stateful operator itself —
+    where the actual corpus-sized state lives — is already distributed
+    and RocksDB-backed on a real cluster."""
     final: dict = {}
 
     def _collect(batch_df: DataFrame, batch_id: int) -> None:
