@@ -170,7 +170,12 @@ def main() -> None:
         # below needs)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        minhash_lsh_pairs(with_planted_dups(docs.select("doc_id", "text"))).count()
+        # bands=32 pinned for round-over-round comparability with r1/r2
+        # records (the at-scale default is auto-banding; its effect is
+        # recorded in BENCH/BASELINE.md large-corpus spot checks)
+        minhash_lsh_pairs(
+            with_planted_dups(docs.select("doc_id", "text")), bands=32
+        ).count()
         dt = time.perf_counter() - t0
         dedup_best = dt if dedup_best is None or dt < dedup_best else dedup_best
     timings["dedup_minhash_lsh"] = round(dedup_best, 4)

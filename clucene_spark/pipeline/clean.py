@@ -35,7 +35,7 @@ def clean_corpus(
     threshold: float = 0.5,
     n: int = 3,
     num_hashes: int = 32,
-    bands: int = 32,
+    bands: int | None = None,
     near_policy: str = "pairwise",
 ) -> DataFrame:
     """(doc_id, quality, reason) for every input doc; reason in

@@ -642,3 +642,14 @@ def test_connected_components_empty_and_selfloop(spark):
     docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
     lab = cluster_canonical(docs, empty).collect()
     assert all(r["keep"] == 1 and r["component"] == r["doc_id"] for r in lab)
+
+
+def test_pick_bands_rule():
+    """Auto-banding: most selective power-of-two rows-per-band that keeps
+    candidate recall at the threshold >= 0.95."""
+    from clucene_spark.pipeline.dedup import pick_bands
+
+    assert pick_bands(32, 0.5) == 16    # r=2: recall 0.990; r=4 would be 0.40
+    assert pick_bands(32, 0.8) == 8     # r=4: recall 0.985
+    assert pick_bands(32, 0.3) == 32    # r=1 only: r=2 recall 0.78 < 0.95
+    assert pick_bands(32, 0.9) == 8     # r=8 recall 0.894 < 0.95 -> stay r=4
