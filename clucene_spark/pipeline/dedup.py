@@ -273,10 +273,26 @@ def minhash_lsh_pairs(
     # exact Jaccard computed ONLY for LSH candidate pairs: the candidate
     # pairs join both sides' (bounded, doc-length-sized) shingle-hash sets
     # by doc id, intersection is JVM-side array_intersect — no
-    # shingle-keyed shuffle, no global shingle self-join.
+    # shingle-keyed shuffle, no global shingle self-join. Candidates are
+    # size-ratio prefiltered with ONLY the set cardinalities before any
+    # array moves: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so ratio < t
+    # pairs can NEVER verify — an exact necessary condition (not an
+    # approximation), which on lognormal doc lengths kills most of the
+    # band-collision survivors before the heavy set join.
+    sizes = state.select("doc_id", F.size("S").alias("n_sh"))
     sets = state.select("doc_id", "S")
-    j = (
+    pre = (
         cands.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .filter(
+            F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(float(threshold))
+        )
+        .select("a", "b", "na", "nb")
+    )
+    j = (
+        pre.join(
             sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")), "a"
         )
         .join(sets.select(F.col("doc_id").alias("b"), F.col("S").alias("sb")), "b")
@@ -284,8 +300,8 @@ def minhash_lsh_pairs(
             "a",
             "b",
             F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
+            "na",
+            "nb",
         )
         .withColumn(
             "jaccard",
