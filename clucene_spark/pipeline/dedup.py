@@ -339,17 +339,33 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Banded candidate join: the signature splits into (max_hamming+1)
     disjoint bit-bands; by pigeonhole any pair within the radius agrees
     exactly on at least one band, so candidates come from an EQUI-join on
     (band, band_value) — never an all-pairs theta-join — and the explicit
-    hamming filter restores precision. Recall is 1 by construction, so the
-    output equals the all-pairs result exactly (pytest-asserted). Shuffle
-    volume = (max_hamming+1) x signature rows; band-bucket skew is bounded
-    because band values are hashes of content."""
+    hamming filter restores precision. Recall is 1 by construction (on
+    buckets under the cap), so the output equals the all-pairs result
+    exactly (pytest-asserted).
+
+    Band width = bits/(max_hamming+1) DECIDES scalability: expected
+    bucket size is n_docs/2^width, and the per-bucket self-join is
+    quadratic in it. 32-bit signatures (6-bit bands at h=3..4) mega-
+    bucket at ~10^5 docs — measured: 100k Zipf docs did not finish in
+    10 min — so the default signature is the full 60-bit term hash
+    (12-15-bit bands: ~10^2-sized buckets at 1M docs). Buckets above
+    max_bucket are dropped (the minhash-style skew cap; identical-doc
+    floods belong to exact_dedup, which clean_corpus runs first). Beyond
+    ~10M docs even 60-bit bands saturate — at that scale use the
+    MinHash path or multi-probe rotations; the cap keeps this operator
+    safe (never quadratic), not silently slow."""
     sig = simhash_signatures(docs, bits)
     nb = max_hamming + 1
     w = bits // nb
@@ -369,6 +385,15 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"),
              F.col("bv.val").alias("val"))
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "val"))
+        )
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     cands = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "val"])
