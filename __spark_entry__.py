@@ -880,7 +880,11 @@ def _perturbed_vecs(spark, sf):
 def _q_dedup_embedding(spark, sf):
     from clucene_spark.pipeline.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_perturbed_vecs(spark, sf), threshold=0.99).orderBy("a", "b")
+    # n_planes=8 pinned: the DuckDB oracle embeds exactly these 8 plane
+    # constants (production default auto-sizes planes to the corpus)
+    return embedding_neardup_pairs(
+        _perturbed_vecs(spark, sf), threshold=0.99, n_planes=8
+    ).orderBy("a", "b")
 
 
 def _query_vec(spark, sf, vec_id=7):

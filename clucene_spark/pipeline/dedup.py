@@ -417,7 +417,7 @@ def embedding_neardup_pairs(
     vecs: DataFrame,
     threshold: float = 0.99,
     round_to: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     dim: int = 64,
     multi_probe: int = 1,
@@ -433,8 +433,22 @@ def embedding_neardup_pairs(
     corpus-quadratic. Recall: a pair straddling > multi_probe sign flips is
     missed — with threshold 0.99 (angle ~8 deg) P(flip) per plane is a few
     percent, so flip-1 probing covers all but ~0.1% of true pairs; the
-    pytest measures recall vs the exact all-pairs reference."""
+    pytest measures recall vs the exact all-pairs reference.
+
+    n_planes=None auto-sizes the code: max(8, ceil(log2(n/32))) planes so
+    expected bucket size stays ~32 (measured: fixed 8 planes left ~400-
+    vector buckets at 100k vecs — 269s of in-bucket cosine; auto picks 12
+    planes there). Costs one count() job; flip-1 probe recall decays
+    slowly with planes (~0.95 at 8, ~0.91 at 12 for threshold 0.99) —
+    raise multi_probe or use the IVF path when that matters. The driver
+    gate pins n_planes=8 (its oracle embeds those 8 plane constants)."""
+    import math
+
     from clucene_spark.pipeline.ann import lsh_bucketed
+
+    if n_planes is None:
+        n = vecs.count()
+        n_planes = max(8, math.ceil(math.log2(n / 32))) if n > 32 else 8
 
     b = lsh_bucketed(vecs, n_planes=n_planes, seed=seed, dim=dim)
     v = b.select(
