@@ -252,8 +252,14 @@ def lm_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
     big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     v = uni.count()
 
+    # the bigram LM is corpus-derived and corpus-sized: pin a shuffled
+    # hash join — AQE's size estimate (compressed bytes) can sneak it
+    # under the broadcast threshold and then blow spark.driver.
+    # maxResultSize collecting it (observed at 1M docs: 103 tasks,
+    # >1 GiB serialized). The unigram table is vocab-sized and genuinely
+    # broadcastable, so it stays AQE-planned.
     scored = (
-        bi.join(big, ["w1", "w2"])
+        bi.join(big.hint("shuffle_hash"), ["w1", "w2"])
         .join(uni.select(F.col("term").alias("w1"), "cu"), "w1")
         .withColumn(
             "logp",
