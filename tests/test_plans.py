@@ -133,3 +133,14 @@ def test_cluster_canonical_no_cartesian(spark):
     )
     plan = _plan(cluster_canonical(docs, pairs))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_lm_score_join_not_broadcast(spark):
+    """The corpus-derived bigram LM join must stay a shuffled hash join:
+    AQE's compressed-size estimate once broadcast it and aborted on
+    driver.maxResultSize at 1M docs (BENCH/large_corpus.json)."""
+    from clucene_spark.pipeline.textstats import lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lm_score(docs))
+    assert "ShuffledHashJoin" in plan, plan
