@@ -794,7 +794,9 @@ def _q_clean_corpus(spark, sf):
     )
     corpus = docs.unionByName(exact).unionByName(near)
     # min_quality 0.05 ~ the corpus's 25th percentile: all four fates occur
-    return clean_corpus(corpus, min_quality=0.05, bands=32).orderBy("doc_id")
+    return clean_corpus(
+        corpus, min_quality=0.05, bands=32, min_shingles=1
+    ).orderBy("doc_id")
 
 
 def _q_dedup_exact(spark, sf):
@@ -842,7 +844,9 @@ def _q_dedup_minhash(spark, sf):
     # bands=32 (1-row bands): provably-complete candidate recall so the
     # verified pairs equal the exact-Jaccard oracle; production default
     # is auto-banding (pick_bands) — see dedup.minhash_lsh_pairs
-    return minhash_lsh_pairs(corpus, n=3, threshold=0.5, bands=32).orderBy("a", "b")
+    return minhash_lsh_pairs(
+        corpus, n=3, threshold=0.5, bands=32, min_shingles=1
+    ).orderBy("a", "b")
 
 
 def _q_dedup_cluster(spark, sf):
@@ -853,7 +857,7 @@ def _q_dedup_cluster(spark, sf):
     from clucene_spark.pipeline.graph import cluster_canonical
 
     corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
-    pairs = minhash_lsh_pairs(corpus, n=3, threshold=0.5, bands=32)
+    pairs = minhash_lsh_pairs(corpus, n=3, threshold=0.5, bands=32, min_shingles=1)
     return cluster_canonical(corpus, pairs).orderBy("doc_id")
 
 

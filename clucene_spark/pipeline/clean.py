@@ -37,6 +37,7 @@ def clean_corpus(
     num_hashes: int = 32,
     bands: int | None = None,
     near_policy: str = "pairwise",
+    min_shingles: int | None = None,
 ) -> DataFrame:
     """(doc_id, quality, reason) for every input doc; reason in
     {'kept', 'low_quality', 'exact_dup', 'near_dup'}.
@@ -52,7 +53,20 @@ def clean_corpus(
                    (the min id) per component (pipeline/graph.py). The
                    production shape: transitive duplicates a~b~c collapse
                    to a single survivor even when a!~c directly."""
-    q = quality_score(docs).select("doc_id", "quality")
+    from pyspark import StorageLevel
+
+    # Narrow frames persist; text never does. The labeling join at the
+    # end and the three dedup stages all reference the quality / keep-id
+    # relations — without materialization each reference re-runs the
+    # tokenize subtree (DataFrame subtree reuse is NOT caching), which at
+    # 1M docs turned this composition from ~6 min of real work into a
+    # timeout. Cached rows are ~16-24 B/doc (disk-spillable); text is
+    # re-read from the source scan where a stage genuinely needs it.
+    q = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     d = docs.select("doc_id", "text").join(q, "doc_id")
     passq = d.filter(F.col("quality") >= min_quality)
 
@@ -62,11 +76,30 @@ def clean_corpus(
         .withColumn("len", F.length("text"))
         .withColumn("keep_id", F.min("doc_id").over(w))
     )
-    exact_dup = g.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
-    rem = g.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id", "text")
+    keep_flags = (
+        g.select(
+            "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("is_keeper")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact_dup = keep_flags.filter(~F.col("is_keeper")).select("doc_id")
+    # MATERIALIZE the exact-unique survivors before the near-dup pass. A
+    # production pipeline writes this intermediate corpus out between
+    # stages; here the checkpoint is that table. It also matters for the
+    # plan: the minhash pipeline over a join-lineage input loses all
+    # cardinality stats and its one big query (state + banding +
+    # self-join + verify) mis-plans into tens of GB of sort spill at 1M
+    # docs, while the identical rows behind a leaf relation plan and run
+    # cleanly (BENCH/large_corpus.json).
+    rem = (
+        docs.select("doc_id", "text")
+        .join(keep_flags.filter(F.col("is_keeper")).select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
 
     pairs = minhash_lsh_pairs(
-        rem, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
+        rem, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        min_shingles=min_shingles,
     )
     if near_policy == "cluster":
         from clucene_spark.pipeline.graph import connected_components

@@ -43,11 +43,17 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
     A small parquet file scans as 1-2 splits, so the tokenize/shingle
     explode — the dominant cost of every dedup pipeline — runs on 1-2 of
-    the cluster's cores. At production scale the scan yields >= cores
-    splits (spark.sql.files.maxPartitionBytes) and this is a no-op
-    branch; the conditional keeps the full-width shuffle out of the
-    100 TB plan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    the cluster's cores. Join/shuffle outputs are as bad in the other
+    direction: exactly spark.sql.shuffle.partitions FAT partitions, and
+    the explode multiplies each ~300x before the partial aggregation, so
+    per-task agg state outgrows memory and sort-spills (observed at 1M
+    docs: an input with join lineage spilled >70 GB where the same rows
+    from a 201-split scan spilled almost nothing). Target 4x parallelism
+    so the explode-heavy stage runs many small tasks. At production
+    scale the scan already yields >= 4x cores splits and this is a no-op
+    branch — the conditional keeps the extra shuffle out of the 100 TB
+    plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 4
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -217,6 +223,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     round_to: int = 4,
+    min_shingles: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard >= threshold.
 
@@ -240,7 +247,31 @@ def minhash_lsh_pairs(
     # frame is persisted: at 100 TB this is the materialized signatures
     # table every production MinHash pipeline writes once and reads from
     # both the banding and the verify stage.
-    state = minhash_doc_state(docs, n, num_hashes).persist()
+    state = minhash_doc_state(docs, n, num_hashes)
+    # Signature floor: MinHash needs |S| >> K for the K minima to carry
+    # independent information. Short docs (|S| ~ K or less) have
+    # degenerate signatures — the same few shingles win many minima — so
+    # they band-collide with every other short doc: measured at 1M Zipf
+    # webtext docs, no floor -> 147.6M candidates (~147 per doc) whose
+    # verify join then sorted array-attached rows into a >70 GB spill
+    # abort. With the 2K floor the tiny docs (whose Jaccard estimates
+    # are statistically meaningless anyway) are left to exact/chunk
+    # dedup, and candidates collapse to the genuinely-comparable pairs.
+    # Driver gates pin min_shingles=1: their exact-Jaccard oracle covers
+    # every doc, and the gate corpora are small enough that degeneracy
+    # is harmless there.
+    if min_shingles is None:
+        min_shingles = 2 * num_hashes
+    if min_shingles > 1:
+        state = state.filter(F.size("S") >= min_shingles)
+    # persist AND materialize now: the banding self-join's two branches
+    # otherwise race into an unpopulated cache and each computes the full
+    # shingle aggregation — double work, and the duplicated sort-based
+    # collect_set fallback spills tens of GB at 1M docs. One count()
+    # builds the cache once; this IS the "signatures table written once"
+    # that a production pipeline materializes between stages.
+    state = state.persist()
+    state.count()
     # band keys as plain column math over the wide minima (no re-stack /
     # re-group): key = md5(band_index : the band's consecutive minima).
     band_cols = []
@@ -291,6 +322,16 @@ def minhash_lsh_pairs(
         )
         .select("a", "b", "na", "nb")
     )
+    # MATERIALIZE the prefiltered candidate table before the array join.
+    # Without the barrier Catalyst plans the verify joins with no stats on
+    # the candidate side (any upstream join lineage erases them) and can
+    # reorder the heavy set join ahead of the size filter — observed at
+    # 1M docs as >70 GB of sort spill and an abort when the same operator
+    # over a stat-less input frame; over a bare scan it planned fine.
+    # Production pipelines write the candidate table out anyway; the
+    # checkpoint is that table, and downstream plans see its true
+    # (post-filter, small) size.
+    pre = pre.localCheckpoint(eager=True)
     j = (
         pre.join(
             sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")), "a"

@@ -46,9 +46,25 @@ def test_minhash_lsh_recall_vs_exact(docs):
 
     corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
     exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(corpus, 3, 0.5).collect()}
-    lsh = {(r["a"], r["b"]) for r in minhash_lsh_pairs(corpus, 3, threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           minhash_lsh_pairs(corpus, 3, threshold=0.5, min_shingles=1).collect()}
     assert exact, "planted twins must be detectable"
     assert lsh == exact  # 16x2 bands: ~full recall at J>=0.5, verified subset
+
+    # default signature floor (2K shingles): output = exact restricted to
+    # docs long enough for the minima to carry information — a subset,
+    # never new pairs, and exactly the floor-eligible ones
+    from clucene_spark.pipeline.dedup import shingles
+
+    n_sh = {r["doc_id"]: r["c"] for r in
+            shingles(corpus, 3).groupBy("doc_id").count()
+            .withColumnRenamed("count", "c").collect()}
+    lsh_floor = {(r["a"], r["b"]) for r in
+                 minhash_lsh_pairs(corpus, 3, threshold=0.5).collect()}
+    want_floor = {(a, b) for (a, b) in exact
+                  if n_sh.get(a, 0) >= 64 and n_sh.get(b, 0) >= 64}
+    assert lsh_floor == want_floor
+    assert lsh_floor <= exact
 
 
 def test_simhash_planted_twins_close(docs):
@@ -257,7 +273,8 @@ def test_clean_corpus_fates(spark, docs):
     )
     corpus = d.unionByName(exact).unionByName(near)
     out = {r["doc_id"]: r["reason"]
-           for r in clean_corpus(corpus, min_quality=0.05).collect()}
+           for r in clean_corpus(corpus, min_quality=0.05,
+                                 min_shingles=1).collect()}
     assert len(out) == corpus.count()  # every doc labeled
     # every planted exact twin whose original passed quality is exact_dup
     for i in range(0, 100, 10):
@@ -461,9 +478,11 @@ def test_clean_corpus_cluster_policy(spark, docs):
     from clucene_spark.pipeline.dedup import with_planted_dups
 
     corpus = with_planted_dups(docs, every=10, keep_frac=0.8)
-    pw = {r["doc_id"]: r["reason"] for r in clean_corpus(corpus, min_quality=0.0).collect()}
+    pw = {r["doc_id"]: r["reason"]
+          for r in clean_corpus(corpus, min_quality=0.0, min_shingles=1).collect()}
     cl = {r["doc_id"]: r["reason"]
-          for r in clean_corpus(corpus, min_quality=0.0, near_policy="cluster").collect()}
+          for r in clean_corpus(corpus, min_quality=0.0, near_policy="cluster",
+                                min_shingles=1).collect()}
     assert set(pw) == set(cl)
     pw_near = {d for d, r in pw.items() if r == "near_dup"}
     cl_near = {d for d, r in cl.items() if r == "near_dup"}
