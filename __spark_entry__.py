@@ -289,6 +289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             10,
             round_to=4,
         ),
+        # PARTIALLY-overlapping slots (r4): doc-dependent repeat detection
+        # per the reference's one-time checkedRepeats — the two gates pin
+        # both outcomes (clean first doc / colliding first doc)
+        "multi_phrase_overlap_topk": _q_mp_overlap,
+        "multi_phrase_overlap_repeat_topk": _q_mp_overlap_repeat,
         "explain_term": lambda spark, sf: _searcher(spark, sf)
         .explain(TermQuery(term="spark"))
         .select(
@@ -479,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stream_dedup_state": _q_stream_dedup,
         "multimodal_wav_stats": _q_wav_stats,
+        "multimodal_png_stats": _q_png_stats,
         "text_lm_score": _q_lm_score,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
@@ -891,6 +897,62 @@ def _q_dedup_embedding(spark, sf):
     ).orderBy("a", "b")
 
 
+_MP_OVERLAP_PLANT = "hash key value hash table"
+_PLANT_SEARCHER_CACHE: dict[tuple, "Searcher"] = {}
+
+
+def _planted_searcher(spark, sf, plant_text):
+    """Searcher over documents plus one planted doc_id=-1 row — the search
+    twin of the dedup gates' planted-duplicate pattern: the planted row is
+    the MINIMUM doc_id, so it is deterministically the first doc the
+    SloppyPhraseScorer scores (where the reference's one-time repeat
+    detection fires)."""
+    key = (sf, plant_text)
+    if key not in _PLANT_SEARCHER_CACHE:
+        from clucene_spark.index.build import InvertedIndex
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        plant = spark.createDataFrame(
+            [(-1, plant_text)], "doc_id long, text string"
+        )
+        _PLANT_SEARCHER_CACHE[key] = Searcher(
+            InvertedIndex(docs.unionByName(plant)).cache()
+        )
+    return _PLANT_SEARCHER_CACHE[key]
+
+
+def _q_mp_overlap(spark, sf):
+    """Partially-overlapping slots over the natural corpus: at every
+    shipped sf the first matching doc's slot unions start on DISTINCT
+    positions (probed), so the reference's one-time detection
+    (SloppyPhraseScorer.cpp:95-118) marks nothing and the unmarked union
+    walk applies for every doc — including later docs where both slots sit
+    on the same shared-term token."""
+    from clucene_spark.search.engine import MultiPhraseQuery
+
+    return _searcher(spark, sf).topk(
+        MultiPhraseQuery(slots=[["key", "hash"], ["hash", "value"]], slop=2),
+        10,
+        round_to=4,
+    )
+
+
+def _q_mp_overlap_repeat(spark, sf):
+    """Same overlapping slots, but the planted first doc starts BOTH slot
+    unions on 'hash'@0 -> repeats are marked there and persist corpus-wide
+    (checkedRepeats fires once); every doc then runs the value-based
+    repeat init + termPositionsDiffer walk. Oracle: the marked recursive
+    state machine (_sloppy_topk_marked_sql)."""
+    from clucene_spark.search.engine import MultiPhraseQuery
+
+    s = _planted_searcher(spark, sf, _MP_OVERLAP_PLANT)
+    return s.topk(
+        MultiPhraseQuery(slots=[["key", "hash"], ["hash", "value"]], slop=2),
+        10,
+        round_to=4,
+    )
+
+
 def _query_vec(spark, sf, vec_id=7):
     row = _vecs(spark, sf).filter(F.col("vec_id") == vec_id).first()
     return [float(x) for x in row["embedding"]]
@@ -1039,8 +1101,9 @@ def _q_ann_ivf_trained(spark, sf):
     """k-means-trained IVF over cluster-partitioned storage: the trainer is
     a deterministic seeded Lloyd's over a bounded sample, the corpus is
     written partitionBy(cluster), and the probe reads only its clusters'
-    partitions. Registered WITHOUT an oracle (iterative algorithm — the
-    driver records the rows-only check); recall vs brute force is
+    partitions. FULL oracle since r4: the DuckDB side replays the identical
+    seeded trainer on the same sample rows and freezes the centroids as SQL
+    constants (_ivf_trained_sql); recall vs brute force additionally
     pytest-gated in tests/test_pipeline.py."""
     import hashlib
     import os
@@ -1166,7 +1229,9 @@ def _q_pack_sequences(spark, sf):
 def _q_stream_dedup(spark, sf):
     """Stateful-streaming exact dedup (applyInPandasWithState): drain the
     planted-dup corpus as a MULTI-batch file stream (one file per
-    trigger), return the final per-content-key table. Equal to the batch
+    trigger), updates appended to a KEYED PARQUET SINK (batch_id-stamped
+    merge-on-read log, r4 — no driver-side state), final table = one
+    max_by(batch_id) aggregation over the log. Equal to the batch
     GROUP BY because the per-key fold is order/batch invariant."""
     import hashlib
     import shutil
@@ -1177,13 +1242,15 @@ def _q_stream_dedup(spark, sf):
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     base = f"{tempfile.gettempdir()}/clucene_sddp_{tag}"
-    src_dir, ckpt = f"{base}_src", f"{base}_ckpt"
+    src_dir, ckpt, sink = f"{base}_src", f"{base}_ckpt", f"{base}_sink"
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
     corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=1.0)
     corpus.select("doc_id", "text").repartition(2).write.parquet(src_dir)
     out = stream_exact_dedup(
-        spark, src_dir, checkpoint_dir=ckpt, max_files_per_trigger=1
+        spark, src_dir, checkpoint_dir=ckpt, max_files_per_trigger=1,
+        sink_dir=sink,
     )
     return out.orderBy("h", "len")
 
@@ -1220,6 +1287,42 @@ def _q_wav_stats(spark, sf):
     media = docs.mapInPandas(_mk, "media_id long, payload binary")
     return audio_stats(media).orderBy("media_id")
 
+
+
+def _q_png_stats(spark, sf):
+    """REAL PNG decode end-to-end: per doc, build a genuine PNG payload
+    (RGB pixels from closed-form integer arithmetic, filter-0 scanlines,
+    stdlib zlib IDAT, CRC-correct chunks), decode it back with the stdlib
+    inflate + scanline-unfilter parser inside image_stats, and emit
+    exact-int pixel statistics. The oracle replays the pixel arithmetic in
+    SQL — a single corrupted byte anywhere in the encode/decode path
+    shifts sum_px."""
+    import numpy as np
+    import pandas as pd
+
+    from clucene_spark.pipeline.multimodal import encode_png, image_stats
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 6 + did % 5
+                h = 4 + did % 4
+                y, x, ch = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((did * 31 + y * 17 + x * 7 + ch * 3) % 256).astype(np.uint8)
+                ids.append(did)
+                pays.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"), "payload": pays}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
 
 
 def _q_lm_score(spark, sf):
@@ -1425,6 +1528,64 @@ probe AS (
   SELECT cid FROM c, q
   ORDER BY ROUND({_D2_SQL.format(a='qe', b='ce')}, 9) ASC, cid ASC
   LIMIT 3
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c.cid AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({_D2_SQL.format(a='v.e', b='c.ce')}, 9) ASC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN c) t
+  WHERE rn = 1
+)
+SELECT a.vec_id, ROUND({_COS_SQL.format(a='a.e', b='qe')}, 4) AS cosine
+FROM assign a JOIN probe p ON a.cluster = p.cid, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ivf_trained_sql(qid: int = 7, k: int = 8, n_iter: int = 8, seed: int = 42,
+                     sample: int = 4096, n_probe: int = 3) -> str:
+    """Oracle for the k-means-TRAINED IVF (`ann_ivf_trained_topk`).
+
+    The trainer is deterministic (seeded Lloyd's over the first `sample`
+    rows by vec_id — `ann.kmeans_fit`), so the oracle replays the IDENTICAL
+    training on the same rows read straight from the oracle parquet (DuckDB
+    fetch, no Spark; FLOAT storage widens to float64 exactly on both
+    engines), freezes the trained centroids as DOUBLE[] constants via
+    repr() (round-trip exact), and runs the same fixed-centroid IVF SQL as
+    `ann_ivf_topk` with the constants in place of the `c` CTE — the pattern
+    the 8-plane embedding gate established. The oracle reads the driver's
+    compare scale (sf0.01 by default; SPARK_GRAFT_ORACLE_SF_DIR overrides
+    for local checks at other scales)."""
+    import os
+
+    import duckdb
+
+    from clucene_spark.pipeline.ann import kmeans_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    con.close()
+    C = kmeans_fit([list(r[0]) for r in rows], k=k, n_iter=n_iter, seed=seed)
+    vals = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(C)
+    )
+    return f"""
+WITH c AS (SELECT * FROM (VALUES
+  {vals}) AS t(cid, ce)),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {qid}),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY ROUND({_D2_SQL.format(a='qe', b='ce')}, 9) ASC, cid ASC
+  LIMIT {n_probe}
 ),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 assign AS (
@@ -1675,6 +1836,220 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
     )
 
 
+def _sloppy_topk_marked_sql(slots: list[list[str]], slop: int,
+                            plant_text: str, k: int = 10) -> str:
+    """DuckDB replay of the MARKED (repeats-detected) SloppyPhraseScorer
+    walk over PARTIALLY-OVERLAPPING MultiPhraseQuery slots — the branch
+    `_sloppy_topk_sql` cannot express, because here two pps collide on
+    ACTUAL term positions of DIFFERENT union lists, so collision is value
+    equality, not index equality, and the repeat-init becomes a per-doc
+    simulation instead of a closed-form rank.
+
+    The corpus is `documents` plus one PLANTED doc_id=-1 row (`plant_text`)
+    — the gate's Spark side plants the identical row — so the FIRST
+    matching doc is known at generation time and the reference's one-time
+    repeat detection (checkedRepeats, SloppyPhraseScorer.cpp:95-118) is
+    replayed here in Python over `plant_text` to freeze the marked-slot
+    set; the flags then persist for every doc, exactly as in the
+    reference. The walk itself is a recursive-CTE state machine with THREE
+    phases: 'init' (advance marked pps, highest offset first, until all
+    sit on distinct actual positions — running out kills the doc,
+    initPhrasePositions returning -1), then the 'pop'/'walk' machine of
+    `_sloppy_topk_sql` with termPositionsDiffer as value comparisons
+    (SloppyPhraseScorer.cpp:153-171)."""
+    n = len(slots)
+    keys = [tuple(sorted(set(s))) for s in slots]
+    dkeys = list(dict.fromkeys(keys))
+    cte_of = {kk: f"pt{j}" for j, kk in enumerate(dkeys)}
+
+    # replay the one-time repeat detection on the planted first doc
+    ptoks = [t for t in plant_text.split(" ") if t]
+    for kk in keys:
+        assert any(t in ptoks for t in kk), \
+            "plant_text must match every slot so doc -1 is the first doc"
+    first_tp = [min(i for i, t in enumerate(ptoks) if t in kk) for kk in keys]
+    marked = sorted({
+        i for i in range(n)
+        for j in range(n)
+        if j != i and first_tp[i] == first_tp[j]
+    })
+    assert marked, "plant_text must make at least two slots collide"
+    order = sorted(marked, reverse=True)  # higher offsets propagate first
+    R = len(order)
+
+    def _term_pred(kk: tuple) -> str:
+        if len(kk) == 1:
+            return f"term = '{kk[0]}'"
+        return "term IN (" + ", ".join(f"'{t}'" for t in kk) + ")"
+
+    pts = ",\n".join(
+        f"{cte_of[kk]} AS (SELECT doc_id, list(pos ORDER BY pos) AS ps "
+        f"FROM tok WHERE {_term_pred(kk)} GROUP BY doc_id)"
+        for kk in dkeys
+    )
+    seed_lists = ", ".join(f"{cte_of[keys[i]]}.ps AS l{i}" for i in range(n))
+    seed_joins = cte_of[dkeys[0]] + "".join(
+        f" JOIN {cte_of[kk]} USING (doc_id)" for kk in dkeys[1:]
+    )
+    seed_idx = ", ".join(f"0 AS i{i}" for i in range(n))
+    qcols = ", ".join(f"l{i}[i{i} + 1] - {i} AS q{i}" for i in range(n))
+    lcols = ", ".join(f"l{i}" for i in range(n))
+
+    def case_by_popped(fmt: str) -> str:
+        whens = " ".join(f"WHEN {m} THEN {fmt.format(m=m)}" for m in range(n))
+        return f"CASE popped {whens} END"
+
+    def least_others(m: int) -> str:
+        others = [f"q{j}" for j in range(n) if j != m]
+        return others[0] if len(others) == 1 else "least(" + ", ".join(others) + ")"
+
+    pm_whens = []
+    for m in range(n - 1):
+        pm_whens.append(f"WHEN q{m} <= {least_others(m)} THEN {m}")
+    pm_expr = "CASE " + " ".join(pm_whens) + f" ELSE {n - 1} END"
+    pnext_expr = "CASE pm " + " ".join(
+        f"WHEN {m} THEN {least_others(m)}" for m in range(n)
+    ) + " END"
+    pstart_expr = "CASE pm " + " ".join(
+        f"WHEN {m} THEN q{m}" for m in range(n)
+    ) + " END"
+    cur_expr = case_by_popped("q{m}")
+    ni_expr = case_by_popped("i{m}") + " + 1"
+    lm_expr = case_by_popped("len(l{m})")
+    np_expr = case_by_popped("l{m}[i{m} + 2] - {m}")
+
+    # termPositionsDiffer on ACTUAL tp values: popped slot m just advanced
+    # to index i{m}+1 -> its tp is l{m}[i{m} + 2]
+    def tdiff_of(m: int) -> str:
+        if m not in marked:
+            return "TRUE"
+        return "(" + " AND ".join(
+            f"l{m}[i{m} + 2] <> l{j}[i{j} + 1]" for j in marked if j != m
+        ) + ")"
+
+    ntd_expr = "CASE popped " + " ".join(
+        f"WHEN {m} THEN {tdiff_of(m)}" for m in range(n)
+    ) + " END"
+
+    # init-phase expressions: ir indexes `order` (marked, offset desc)
+    init_m_expr = "CASE ir " + " ".join(
+        f"WHEN {r} THEN {order[r]}" for r in range(R)
+    ) + " END"
+
+    def coll_of(m: int) -> str:
+        return "(" + " OR ".join(
+            f"l{m}[i{m} + 1] = l{j}[i{j} + 1]" for j in marked if j != m
+        ) + ")"
+
+    init_coll_expr = "CASE ir " + " ".join(
+        f"WHEN {r} THEN {coll_of(order[r])}" for r in range(R)
+    ) + " END"
+    init_out_expr = "CASE ir " + " ".join(
+        f"WHEN {r} THEN i{order[r]} + 1 >= len(l{order[r]})" for r in range(R)
+    ) + " END"
+    end_init = "greatest(" + ", ".join(
+        f"l{i}[i{i} + 1] - {i}" for i in range(n)
+    ) + ")" if n > 1 else "l0[i0 + 1]"
+
+    iupd = ", ".join(
+        f"CASE WHEN phase = 'init' AND init_coll AND NOT init_out "
+        f"AND init_m = {i} THEN i{i} + 1 "
+        f"WHEN phase = 'walk' AND popped = {i} AND NOT exhausted "
+        f"THEN ni ELSE i{i} END AS i{i}"
+        for i in range(n)
+    )
+
+    walk = f"""
+st AS (
+  SELECT doc_id, {lcols}, {seed_idx},
+         'init' AS phase, 0 AS ir, -1 AS popped, 0 AS start_p, 0 AS next_p,
+         TRUE AS tdiff, 0 AS end_p, CAST(0.0 AS DOUBLE) AS freq
+  FROM seed
+  UNION ALL
+  SELECT doc_id, {lcols},
+         {iupd},
+         CASE WHEN phase = 'init' AND init_coll AND init_out THEN 'done'
+              WHEN phase = 'init' AND init_coll THEN 'init'
+              WHEN phase = 'init' AND ir + 1 >= {R} THEN 'pop'
+              WHEN phase = 'init' THEN 'init'
+              WHEN phase = 'pop' THEN 'walk'
+              WHEN exhausted THEN 'done'
+              WHEN cont THEN 'walk'
+              ELSE 'pop' END AS phase,
+         CASE WHEN phase = 'init' AND NOT init_coll THEN ir + 1
+              ELSE ir END AS ir,
+         CASE WHEN phase = 'pop' THEN pm ELSE popped END AS popped,
+         CASE WHEN phase = 'pop' THEN pstart
+              WHEN phase = 'walk' THEN new_start ELSE start_p END AS start_p,
+         CASE WHEN phase = 'pop' THEN pnext ELSE next_p END AS next_p,
+         CASE WHEN phase = 'pop' THEN TRUE
+              WHEN cont THEN ntd ELSE tdiff END AS tdiff,
+         CASE WHEN phase = 'init' AND NOT init_coll AND ir + 1 >= {R}
+              THEN {end_init}
+              WHEN exitw THEN greatest(end_p, np) ELSE end_p END AS end_p,
+         freq + CASE WHEN exhausted OR exitw THEN payoff
+                     ELSE CAST(0.0 AS DOUBLE) END AS freq
+  FROM (
+    SELECT *,
+           {pm_expr} AS pm,
+           {pnext_expr} AS pnext,
+           {pstart_expr} AS pstart,
+           {cur_expr} AS cur,
+           {ni_expr} AS ni,
+           {lm_expr} AS lm,
+           {np_expr} AS np,
+           {ntd_expr} AS ntd,
+           {init_m_expr} AS init_m,
+           {init_coll_expr} AS init_coll,
+           {init_out_expr} AS init_out,
+           CASE WHEN phase = 'walk' AND cur <= next_p AND tdiff
+                THEN cur ELSE start_p END AS new_start,
+           phase = 'walk' AND ni >= lm AS exhausted,
+           phase = 'walk' AND ni < lm AND (np <= next_p OR NOT ntd) AS cont,
+           phase = 'walk' AND ni < lm AND np > next_p AND ntd AS exitw,
+           CASE WHEN end_p - (CASE WHEN phase = 'walk' AND cur <= next_p
+                                        AND tdiff
+                                   THEN cur ELSE start_p END) <= {slop}
+                THEN 1.0 / (end_p - (CASE WHEN phase = 'walk'
+                                               AND cur <= next_p AND tdiff
+                                          THEN cur ELSE start_p END) + 1)
+                ELSE CAST(0.0 AS DOUBLE) END AS payoff
+    FROM (SELECT *, {qcols} FROM st WHERE phase <> 'done')
+  )
+)"""
+
+    slot_terms = ", ".join(f"'{t}'" for kk in keys for t in kk)
+    plant_sql = plant_text.replace("'", "''")
+    prelude = _PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        "FROM documents\n)",
+        "FROM (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT -1 AS doc_id, '{plant_sql}' AS text)\n)",
+        1,
+    )
+    return (
+        prelude
+        + f"""
+, {pts},
+seed AS (
+  SELECT {cte_of[dkeys[0]]}.doc_id, {seed_lists}
+  FROM {seed_joins}
+),
+{walk},
+pf AS (SELECT doc_id, freq AS pfreq FROM st WHERE phase = 'done'),
+idf AS (
+    SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
+           max(s.avgdl) AS avgdl
+    FROM (SELECT unnest([{slot_terms}]) AS qt) q
+    JOIN term_dict t ON t.term = q.qt CROSS JOIN stats s)
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
 _STOP33_SQL = "('" + "', '".join(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
@@ -1846,6 +2221,12 @@ ORDER BY doc_id
         "phrase_sloppy3_topk": _sloppy_topk_sql(["key", "value", "table"], 4),
         "phrase_sloppy_repeat_topk": _sloppy_topk_sql(["batch", "batch"], 1),
         "multi_phrase_sloppy_topk": _sloppy_topk_sql([["key", "hash"], "value"], 2),
+        "multi_phrase_overlap_topk": _sloppy_topk_sql(
+            [["key", "hash"], ["hash", "value"]], 2
+        ),
+        "multi_phrase_overlap_repeat_topk": _sloppy_topk_marked_sql(
+            [["key", "hash"], ["hash", "value"]], 2, _MP_OVERLAP_PLANT
+        ),
         "boosted_or_topk": _PRELUDE
         + """
 SELECT doc_id,
@@ -2173,6 +2554,9 @@ GROUP BY doc_id ORDER BY doc_id
         "ann_cosine_topk_pandas": _ann_brute_sql(7),
         "ann_ivf_topk": _IVF_SQL,
         "ann_ivf_stored_topk": _IVF_SQL,  # same algorithm, pruned storage
+        # trained variant: centroids frozen by replaying the deterministic
+        # seeded trainer on the oracle parquet (see _ivf_trained_sql)
+        "ann_ivf_trained_topk": _ivf_trained_sql(),
         "lang_dispatch_topk": _lang_dispatch_sql(),
         "stream_ingest_topk": _bm25_topk_sql(["spark", "window"]),
         "multimodal_features": """
@@ -2334,6 +2718,18 @@ SELECT doc_id AS media_id,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
        CAST(MAX(ABS(v)) AS INT) AS peak
 FROM s GROUP BY doc_id ORDER BY media_id
+""",
+        "multimodal_png_stats": """
+WITH dims AS (
+  SELECT doc_id, 6 + CAST(doc_id % 5 AS INT) AS w,
+         4 + CAST(doc_id % 4 AS INT) AS h
+  FROM documents),
+ys AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+xs AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+cs AS (SELECT doc_id, w, h, y, x, unnest(generate_series(0, 2)) AS ch FROM xs)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(SUM((doc_id * 31 + y * 17 + x * 7 + ch * 3) % 256) AS BIGINT) AS sum_px
+FROM cs GROUP BY doc_id, w, h ORDER BY media_id
 """,
         "text_lm_score": f"""
 WITH tokd AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

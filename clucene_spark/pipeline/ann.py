@@ -107,6 +107,29 @@ def hyperplanes(n_planes: int = 8, seed: int = 42, dim: int = 64) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def kmeans_fit(X: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
+    """Pure-numpy deterministic Lloyd's iteration — the shared trainer core.
+
+    Exposed separately from the Spark-facing ``kmeans_train`` so the DuckDB
+    oracle can replay the IDENTICAL training on the same sample rows (read
+    straight from parquet, no Spark) and freeze the resulting centroids as
+    SQL constants. Deterministic given (X row order, seed): init = seeded
+    choice without replacement, ties in argmin resolve to the lowest
+    centroid id (numpy argmin semantics)."""
+    X = np.asarray(X, dtype=np.float64)
+    k = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def kmeans_train(
     vecs: DataFrame,
     k: int = 16,
@@ -121,21 +144,11 @@ def kmeans_train(
     corpus scale (FAISS-style IVF trains centroids on ~10^5 vectors even
     for 10^9-vector indexes); the full-corpus pass is the ASSIGNMENT
     (ivf_assign / ivf_write), which stays distributed. Deterministic given
-    (input order, seed): sample = first `sample` rows by id, init = seeded
-    choice, ties in argmin resolve to the lowest centroid id."""
+    (input order, seed): sample = first `sample` rows by id; the numpy
+    core (``kmeans_fit``) is shared with the DuckDB oracle replay."""
     rows = vecs.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    k = min(k, len(X))
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=k, replace=False)].copy()
-    for _ in range(n_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return [c.tolist() for c in C]
+    return [c.tolist() for c in kmeans_fit(X, k, n_iter, seed)]
 
 
 def ivf_write(

@@ -8,11 +8,12 @@ mapInPandas — the Spark-side plumbing (schema, batching, partitioning) is
 real and tested.
 
 Decode itself is REAL for the formats the Python stdlib can parse — PCM
-WAV (`wave`) and 24-bit uncompressed BMP (struct header parse), with
-matching encoders so tests/gates build genuine payloads — and STUBBED
-(NotImplementedError, or a deterministic fake when `fake=True`) for
-formats that need external codec libraries (JPEG/PNG/MP3/MP4; none ship
-in this container).
+WAV (`wave`), 24-bit uncompressed BMP (struct header parse), and PNG
+(zlib inflate + scanline unfilter + palette expansion; bit depth 8,
+color types 0/2/3/6) — with matching encoders so tests/gates build
+genuine payloads — and STUBBED (NotImplementedError, or a deterministic
+fake when `fake=True`) for formats that need external codec libraries
+(JPEG/MP3/MP4; none ship in this container).
 
 At 100 TB: payload columns dominate IO — always select metadata columns
 first and filter before touching `payload`; Parquet column pruning means
@@ -115,9 +116,140 @@ def _decode_real(payload: bytes, kind: str):
             "bpp": bpp,
             "pixels": px,
         }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "no stdlib decoder for this payload (JPEG/PNG/MP3/... need external "
+        "no stdlib decoder for this payload (JPEG/MP3/MP4/... need external "
         "codec libraries); run with fake=True or install a decoder"
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6 / RFC 2083)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG is zlib + filter arithmetic, both stdlib: chunk walk -> IHDR
+    dims -> concatenated IDAT zlib stream -> per-scanline unfilter (all 5
+    filter types) -> palette expansion for color type 3. Supports bit
+    depth 8, color types 0/2/3/6, no interlace (the overwhelmingly common
+    web shapes); anything else raises NotImplementedError honestly."""
+    import struct
+    import zlib
+
+    pos = 8
+    width = height = None
+    bitdepth = ct = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # skip CRC
+        if typ == b"IHDR":
+            width, height, bitdepth, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or ct not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth} colortype={ct} interlace={interlace} "
+            "not supported (bit depth 8, color types 0/2/3/6, no interlace)"
+        )
+    channels = _PNG_CHANNELS[ct]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rp = 0
+    for y in range(height):
+        ft = raw[rp]
+        rp += 1
+        line = np.frombuffer(raw, np.uint8, stride, rp).astype(np.int32)
+        rp += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 255
+        else:  # Sub / Average / Paeth depend on the left pixel -> sequential
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                if ft == 1:  # Sub
+                    cur[i] = (line[i] + a) & 255
+                elif ft == 3:  # Average
+                    cur[i] = (line[i] + (a + b) // 2) & 255
+                elif ft == 4:  # Paeth
+                    c = prev[i - channels] if i >= channels else 0
+                    cur[i] = (line[i] + _paeth(a, b, c)) & 255
+                else:
+                    raise ValueError(f"PNG filter type {ft}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(height, width, channels)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        px = plte[px[:, :, 0]]
+        channels = 3
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "channels": channels,
+        "pixels": px,
+    }
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, c) uint8 (c = 1 gray / 3 RGB / 4 RGBA) -> PNG bytes: filter-0
+    scanlines, one zlib IDAT, CRC-correct chunks — the encode twin of
+    _decode_png, used by resize_media and by gates to build real
+    payloads deterministically."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    ct = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -276,12 +408,13 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 ids.append(int(mid))
                 ws.append(np.int32(width))
                 hs.append(np.int32(height))
-                if b[:2] == b"BM":
+                if b[:2] == b"BM" or b[:8] == _PNG_SIG:
                     d = _decode_real(b, "image")
                     yi = (np.arange(height) * d["height"]) // height
                     xi = (np.arange(width) * d["width"]) // width
-                    px = d["pixels"][yi][:, xi]
-                    payloads.append(encode_bmp(np.ascontiguousarray(px)))
+                    px = np.ascontiguousarray(d["pixels"][yi][:, xi])
+                    enc = encode_png if b[:8] == _PNG_SIG else encode_bmp
+                    payloads.append(enc(px))
                     decoded.append(True)
                 else:
                     payloads.append(b)

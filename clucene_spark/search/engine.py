@@ -684,25 +684,48 @@ class Searcher:
             # SloppyPhraseScorer over the unioned slot positions
             # (MultiPhraseQuery.cpp:99-105). Identical slots share one
             # union list, so they repeat exactly like duplicated single
-            # terms; PARTIALLY overlapping slots collide doc-dependently
-            # in the reference (initPhrasePositions marks repeats from
-            # the FIRST scored doc's positions, SloppyPhraseScorer.cpp:
-            # 95-118) and are not supported.
+            # terms. PARTIALLY overlapping slots collide doc-dependently:
+            # the reference marks repeats ONCE, from the FIRST scored
+            # doc's initial tp positions (checkedRepeats,
+            # SloppyPhraseScorer.cpp:95-118), and the flags then persist
+            # for every later doc — replayed here by fetching the first
+            # matching doc's head positions (a bounded single-row driver
+            # fetch; the joined frame is checkpointed so the scoring pass
+            # reuses it instead of recomputing the multi-join).
             from clucene_spark.search.sloppy import (
                 repeat_groups,
                 sloppy_phrase_freq,
             )
 
+            nslots = len(query.slots)
             keys = [tuple(sorted(set(s))) for s in query.slots]
-            for i, a in enumerate(keys):
-                for b in keys[i + 1:]:
-                    if a != b and set(a) & set(b):
-                        raise NotImplementedError(
-                            "MultiPhraseQuery slop with partially "
-                            "overlapping slots: repeat detection is "
-                            "doc-dependent in the reference"
-                        )
-            marks = repeat_groups(["\x1f".join(k) for k in keys])
+            partial_overlap = any(
+                a != b and set(a) & set(b)
+                for i, a in enumerate(keys)
+                for b in keys[i + 1:]
+            )
+            if not partial_overlap:
+                # disjoint-or-identical slots: two pps collide in ANY doc
+                # iff they share the identical union list (one token per
+                # position), so first-doc detection reduces to key
+                # identity — no extra job needed
+                marks = repeat_groups(["\x1f".join(k) for k in keys])
+            else:
+                joined = joined.localCheckpoint(eager=True)
+                first = (
+                    joined.orderBy("doc_id")
+                    .select(*[f"pos{i}" for i in range(nslots)])
+                    .first()
+                )
+                marks = None
+                if first is not None:
+                    tp0 = [int(first[i][0]) for i in range(nslots)]
+                    rep = [
+                        any(tp0[i] == tp0[j] for j in range(nslots) if j != i)
+                        for i in range(nslots)
+                    ]
+                    if any(rep):
+                        marks = [0 if r else -1 for r in rep]
             slop = query.slop
 
             @F.pandas_udf("double")

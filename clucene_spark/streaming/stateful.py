@@ -70,42 +70,53 @@ def stream_exact_dedup(
     schema: str = "doc_id long, text string",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Drain a file-source stream through the stateful dedup operator
     (availableNow) and return the FINAL per-key table as a batch
     DataFrame: (h, len, keep_id, n_copies).
 
-    Update-mode emissions are folded in foreachBatch (last update per key
-    wins — correct because the per-key fold is order/batching-invariant),
-    so the result equals the batch `GROUP BY h, len` regardless of how
-    the source files split into micro-batches.
+    KEYED SINK (merge-on-read log): each micro-batch's update rows are
+    APPENDED to `sink_dir` as parquet stamped with batch_id — never
+    collected to the driver. Because update mode emits, per touched key,
+    the complete state so far, the final value for a key is simply its
+    row from the LAST batch that touched it: one distributed
+    `max_by(struct(...), batch_id)` hash aggregation over the log (the
+    same merge-on-read compaction Hudi/Iceberg run, expressed as a
+    groupBy). Nothing key-shaped ever materializes on the driver; the
+    log is bounded by sum(touched keys per batch) and can be compacted
+    with the identical aggregation at any checkpoint."""
+    import tempfile
 
-    The driver-side dict here is the TEST/GATE harness form (bounded by
-    the gate corpora). At 100 TB the foreachBatch body writes each
-    batch's update rows to a keyed sink instead (parquet partition
-    overwrite / a Delta-style merge); the stateful operator itself —
-    where the actual corpus-sized state lives — is already distributed
-    and RocksDB-backed on a real cluster."""
-    final: dict = {}
+    if sink_dir is None:
+        sink_dir = tempfile.mkdtemp(prefix="clucene_dedup_sink_")
 
-    def _collect(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            final[(r["h"], r["len"])] = (r["keep_id"], r["n_copies"])
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    writer = dedup_state_stream(stream).writeStream.foreachBatch(_collect).outputMode(
+    writer = dedup_state_stream(stream).writeStream.foreachBatch(_append).outputMode(
         "update"
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    rows = [
-        (h, ln, keep, cnt) for (h, ln), (keep, cnt) in sorted(final.items())
-    ]
-    return spark.createDataFrame(
-        rows, "h long, len long, keep_id long, n_copies long"
+    try:
+        log = spark.read.parquet(sink_dir)
+    except Exception:  # empty source -> no batches ever written
+        return spark.createDataFrame(
+            [], "h long, len long, keep_id long, n_copies long"
+        )
+    return (
+        log.groupBy("h", "len")
+        .agg(F.max_by(F.struct("keep_id", "n_copies"), "batch_id").alias("s"))
+        .select("h", "len", "s.keep_id", "s.n_copies")
     )

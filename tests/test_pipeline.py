@@ -617,6 +617,120 @@ def test_image_stats_and_real_resize(spark):
     assert np.array_equal(d["pixels"], px[yi][:, xi])
 
 
+def test_png_roundtrip_all_channel_counts():
+    """encode_png -> _decode_png is the identity for gray/RGB/RGBA."""
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import _decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for c in (1, 3, 4):
+        px = rng.randint(0, 256, (13, 9, c), dtype=np.uint8)
+        d = _decode_png(encode_png(px))
+        assert (d["width"], d["height"]) == (9, 13)
+        assert np.array_equal(d["pixels"], px)
+
+
+def test_png_unfilter_all_five_filter_types():
+    """Decode a hand-filtered image using one row per PNG filter type
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) and recover the original
+    pixels exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import _decode_png, _paeth, _PNG_SIG
+
+    rng = np.random.RandomState(11)
+    h, w, c = 5, 4, 3
+    px = rng.randint(0, 256, (h, w, c), dtype=np.uint8).astype(np.int32)
+    stride = w * c
+    rows, prev = [], np.zeros(stride, np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = px[y].reshape(-1)
+        f = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = cur[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ft == 0:
+                f[i] = cur[i]
+            elif ft == 1:
+                f[i] = (cur[i] - a) & 255
+            elif ft == 2:
+                f[i] = (cur[i] - b) & 255
+            elif ft == 3:
+                f[i] = (cur[i] - (a + b) // 2) & 255
+            else:
+                f[i] = (cur[i] - _paeth(a, b, cc)) & 255
+        rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = cur
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+    d = _decode_png(payload)
+    assert np.array_equal(d["pixels"].astype(np.int32), px)
+
+
+def test_png_palette_decode():
+    """Color type 3: palette indices expand through PLTE to (h, w, 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import _decode_png, _PNG_SIG
+
+    rng = np.random.RandomState(3)
+    plte = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (6, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte.tobytes())
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    d = _decode_png(payload)
+    assert d["bpp"] == 24
+    assert np.array_equal(d["pixels"], plte[idx])
+
+
+def test_png_resize_roundtrip(spark):
+    """resize_media dispatches PNG payloads through decode -> nearest
+    neighbor -> re-encode, like BMP."""
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import (
+        _decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    px = (np.arange(8 * 12 * 3, dtype=np.int64) * 11 % 256).astype(
+        np.uint8).reshape(8, 12, 3)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_png(px)))], "media_id long, payload binary"
+    )
+    out = resize_media(media, 6, 4).collect()[0]
+    assert out["decoded"] is True
+    d = _decode_png(bytes(out["payload"]))
+    yi = (np.arange(4) * 8) // 4
+    xi = (np.arange(6) * 12) // 6
+    assert np.array_equal(d["pixels"], px[yi][:, xi])
+
+
 def test_lm_score_hand_computed(spark):
     """Bigram LM with Laplace smoothing on a 3-doc corpus, checked
     against a hand-rolled python model; repeated-bigram doc scores higher

@@ -258,14 +258,51 @@ def test_multi_phrase_slop_superset_of_exact(spark, index):
     assert exact <= sloppy
 
 
-def test_multi_phrase_slop_overlapping_slots_raises(spark, index):
+def _mp_overlap_scores(spark, rows, slots, slop):
+    from clucene_spark.index.build import InvertedIndex
     from clucene_spark.search.engine import MultiPhraseQuery, Searcher
 
-    s = Searcher(index)
-    with pytest.raises(NotImplementedError):
-        s.score(
-            MultiPhraseQuery(slots=[["key", "hash"], ["key"]], slop=1)
-        ).collect()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+    return {
+        r["doc_id"]: r["score"]
+        for r in s.score(MultiPhraseQuery(slots=slots, slop=slop)).collect()
+    }
+
+
+def test_multi_phrase_slop_overlapping_slots_first_doc_clean(spark):
+    """Partially-overlapping slots, FIRST matching doc has distinct initial
+    tp positions -> the reference never marks repeats (checkedRepeats fires
+    once, SloppyPhraseScorer.cpp:95-118), so a later doc where both slots
+    sit on the same 'b' token still scores. Hand trace for doc 1 'b y z':
+    slot0 {a,b} and slot1 {b,c} both only match b@0; unmarked walk scores
+    the pending window: end=0, start=-1, matchLength=1 <= slop -> 1/2."""
+    rows = [(0, "a b c"), (1, "b y z")]
+    scores = _mp_overlap_scores(spark, rows, [["a", "b"], ["b", "c"]], 1)
+    assert set(scores) == {0, 1}
+
+
+def test_multi_phrase_slop_overlapping_slots_first_doc_collides(spark):
+    """Same query, but the first matching doc 'b o c' has BOTH slot unions
+    starting on b@0 -> repeats marked from that doc and persist: in doc 1
+    'b y z' the init advance (highest offset first) runs slot1 out of
+    positions -> phraseFreq 0, doc excluded (the opposite outcome of the
+    clean-first-doc corpus above, proving the doc-dependent flags)."""
+    rows = [(0, "b o c"), (1, "b y z")]
+    scores = _mp_overlap_scores(spark, rows, [["a", "b"], ["b", "c"]], 1)
+    assert set(scores) == {0}
+
+
+def test_multi_phrase_overlap_identical_first_doc_semantics(spark):
+    """The doc-dependent path must agree with the static term-identity path
+    on queries where both apply: duplicate identical slots always collide
+    in the first doc, so the two detections coincide."""
+    rows = [(0, "k v k w k"), (1, "k k"), (2, "x k v")]
+    dup = _mp_overlap_scores(spark, rows, [["k"], ["k"]], 2)
+    # force the doc-dependent branch with a phantom alternative that never
+    # appears in the corpus: keys differ but positions are identical
+    forced = _mp_overlap_scores(spark, rows, [["k"], ["k", "zz_absent"]], 2)
+    assert dup == forced
 
 
 def test_explanation_value_equals_score(spark, index):

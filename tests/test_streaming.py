@@ -85,8 +85,16 @@ def test_stateful_stream_dedup_batch_invariant(spark, tmp_path):
         spark, src, checkpoint_dir=str(tmp_path / "ck1")
     )
     many = stream_exact_dedup(
-        spark, src, checkpoint_dir=str(tmp_path / "ck2"), max_files_per_trigger=1
+        spark, src, checkpoint_dir=str(tmp_path / "ck2"),
+        max_files_per_trigger=1, sink_dir=str(tmp_path / "sink2"),
     )
+    # the keyed sink is a genuine multi-batch merge-on-read log: several
+    # batch_ids present, and keys touched by >1 batch carry >1 log row —
+    # the final table is the max_by(batch_id) compaction, never a driver
+    # dict (stream_exact_dedup holds no per-key python state)
+    log = spark.read.parquet(str(tmp_path / "sink2"))
+    assert log.select("batch_id").distinct().count() > 1
+    assert log.count() > log.select("h", "len").distinct().count()
     want = sorted(
         tuple(r)
         for r in docs.groupBy(

@@ -33,6 +33,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # data-derived oracle constants (e.g. the trained-IVF centroids) must be
+    # computed from the SAME parquet this check compares against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
 
     spark = get_spark("oracle_check")
