@@ -23,6 +23,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # 60-bit portable hash: identical in DuckDB as ('0x'||substr(md5(x),1,15))::BIGINT
@@ -196,6 +199,55 @@ def minhash_doc_state(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Data
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+@contextmanager
+def minhash_state(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    min_shingles: int | None = None,
+    path: str | None = None,
+) -> Iterator[DataFrame]:
+    """Lifecycle handle for the materialized signatures table.
+
+    The signatures+verify-sets frame is read by BOTH the banding stage and
+    the exact-verify stage of minhash_lsh_pairs, so it must be materialized
+    exactly once. This context manager owns that materialization:
+
+      * ``path=None`` — persist() + count(), and **unpersist on exit** (the
+        in-memory form for interactive / moderate-scale runs; the cache is
+        provably released, see tests/test_pipeline.py).
+      * ``path=...``  — write-through: the state is written to parquet once
+        and read back as a leaf relation (the 100-TB production form — every
+        large MinHash pipeline writes its signatures table between stages;
+        as a leaf scan it also gives Catalyst true stats). The files are
+        caller-owned; delete the directory to release them.
+
+    Use with ``minhash_lsh_pairs(docs, state=st)``::
+
+        with minhash_state(corpus) as st:
+            pairs = minhash_lsh_pairs(corpus, state=st)
+            pairs.write.parquet(out)        # consume INSIDE the block
+
+    ``min_shingles`` (default 2*num_hashes) is applied here so a passed
+    state is always pre-filtered — minhash_lsh_pairs does not re-filter.
+    """
+    state = minhash_doc_state(docs, n, num_hashes)
+    if min_shingles is None:
+        min_shingles = 2 * num_hashes
+    if min_shingles > 1:
+        state = state.filter(F.size("S") >= min_shingles)
+    if path is not None:
+        state.write.mode("overwrite").parquet(path)
+        yield docs.sparkSession.read.parquet(path)
+    else:
+        state = state.persist()
+        state.count()
+        try:
+            yield state
+        finally:
+            state.unpersist()
+
+
 def pick_bands(num_hashes: int, threshold: float, min_recall: float = 0.95) -> int:
     """Banding auto-selection: the most selective rows-per-band r (largest
     power-of-two divisor of K) whose candidate recall at J=threshold,
@@ -224,6 +276,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     round_to: int = 4,
     min_shingles: int | None = None,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard >= threshold.
 
@@ -241,37 +294,46 @@ def minhash_lsh_pairs(
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
-    # ONE shingle scan feeds both the banded candidate generation and the
-    # exact-verify sets (round 2 ran shingles() twice — the double
-    # tokenize+explode pass dominated the whole pipeline's cost). The state
-    # frame is persisted: at 100 TB this is the materialized signatures
-    # table every production MinHash pipeline writes once and reads from
-    # both the banding and the verify stage.
-    state = minhash_doc_state(docs, n, num_hashes)
-    # Signature floor: MinHash needs |S| >> K for the K minima to carry
-    # independent information. Short docs (|S| ~ K or less) have
-    # degenerate signatures — the same few shingles win many minima — so
-    # they band-collide with every other short doc: measured at 1M Zipf
-    # webtext docs, no floor -> 147.6M candidates (~147 per doc) whose
-    # verify join then sorted array-attached rows into a >70 GB spill
-    # abort. With the 2K floor the tiny docs (whose Jaccard estimates
-    # are statistically meaningless anyway) are left to exact/chunk
-    # dedup, and candidates collapse to the genuinely-comparable pairs.
-    # Driver gates pin min_shingles=1: their exact-Jaccard oracle covers
-    # every doc, and the gate corpora are small enough that degeneracy
-    # is harmless there.
-    if min_shingles is None:
-        min_shingles = 2 * num_hashes
-    if min_shingles > 1:
-        state = state.filter(F.size("S") >= min_shingles)
-    # persist AND materialize now: the banding self-join's two branches
-    # otherwise race into an unpopulated cache and each computes the full
-    # shingle aggregation — double work, and the duplicated sort-based
-    # collect_set fallback spills tens of GB at 1M docs. One count()
-    # builds the cache once; this IS the "signatures table written once"
-    # that a production pipeline materializes between stages.
-    state = state.persist()
-    state.count()
+    if state is None:
+        # ONE shingle scan feeds both the banded candidate generation and
+        # the exact-verify sets (round 2 ran shingles() twice — the double
+        # tokenize+explode pass dominated the whole pipeline's cost). The
+        # state frame is persisted: at 100 TB this is the materialized
+        # signatures table every production MinHash pipeline writes once
+        # and reads from both the banding and the verify stage. This
+        # internal persist stays alive as long as the returned (lazy)
+        # DataFrame — convenient for one-shot gate/bench calls; for an
+        # owned lifecycle (unpersist on exit, or parquet write-through at
+        # scale) compute the state via the minhash_state context manager
+        # and pass it here.
+        state = minhash_doc_state(docs, n, num_hashes)
+        # Signature floor: MinHash needs |S| >> K for the K minima to carry
+        # independent information. Short docs (|S| ~ K or less) have
+        # degenerate signatures — the same few shingles win many minima — so
+        # they band-collide with every other short doc: measured at 1M Zipf
+        # webtext docs, no floor -> 147.6M candidates (~147 per doc) whose
+        # verify join then sorted array-attached rows into a >70 GB spill
+        # abort. With the 2K floor the tiny docs (whose Jaccard estimates
+        # are statistically meaningless anyway) are left to exact/chunk
+        # dedup, and candidates collapse to the genuinely-comparable pairs.
+        # Driver gates pin min_shingles=1: their exact-Jaccard oracle covers
+        # every doc, and the gate corpora are small enough that degeneracy
+        # is harmless there.
+        if min_shingles is None:
+            min_shingles = 2 * num_hashes
+        if min_shingles > 1:
+            state = state.filter(F.size("S") >= min_shingles)
+        # persist AND materialize now: the banding self-join's two branches
+        # otherwise race into an unpopulated cache and each computes the full
+        # shingle aggregation — double work, and the duplicated sort-based
+        # collect_set fallback spills tens of GB at 1M docs. One count()
+        # builds the cache once; this IS the "signatures table written once"
+        # that a production pipeline materializes between stages.
+        state = state.persist()
+        state.count()
+    # else: caller-materialized state (minhash_state) — already
+    # min_shingles-filtered and either persisted or a parquet leaf scan;
+    # its lifecycle (unpersist / file cleanup) belongs to the caller.
     # band keys as plain column math over the wide minima (no re-stack /
     # re-group): key = md5(band_index : the band's consecutive minima).
     band_cols = []

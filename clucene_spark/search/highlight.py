@@ -17,7 +17,18 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from clucene_spark.analysis.analyzers import whitespace_analyze
 from clucene_spark.analysis.standard import standard_analyze
+
+
+def _analyze(text: str, analyzer: str) -> list[tuple]:
+    """Token stream (term, pos, start, end, type) for the named analyzer —
+    the same two analyzers the index builders accept."""
+    if analyzer == "standard":
+        return standard_analyze(text)
+    if analyzer == "whitespace":
+        return [(t, p, s, e, "") for (t, p, s, e) in whitespace_analyze(text)]
+    raise ValueError(f"unknown analyzer: {analyzer!r}")
 
 
 def best_fragment(
@@ -28,6 +39,7 @@ def best_fragment(
     post: str = "</b>",
     term_weights: dict[str, float] | None = None,
     tokens: list[tuple] | None = None,
+    analyzer: str = "standard",
 ) -> tuple[str, float]:
     """-> (highlighted best fragment, fragment score).
 
@@ -42,7 +54,7 @@ def best_fragment(
     the best-scoring fragment's matched tokens are wrapped pre/post."""
     qset = set(query_terms)
     weights = term_weights or {}
-    toks = tokens if tokens is not None else standard_analyze(text)
+    toks = tokens if tokens is not None else _analyze(text, analyzer)
 
     # split tokens into fragments by character budget
     fragments: list[list[tuple]] = [[]]
@@ -86,6 +98,7 @@ def highlight(
     fragment_size: int = 100,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, fragment, n_matches) for every doc — apply after a top-k
     join so only the result page pays the python stage."""
@@ -98,7 +111,9 @@ def highlight(
         for pdf in batches:
             frags, scores = [], []
             for text in pdf["text"]:
-                f, s = best_fragment(text or "", terms, fragment_size)
+                f, s = best_fragment(
+                    text or "", terms, fragment_size, analyzer=analyzer
+                )
                 frags.append(f)
                 scores.append(s)
             yield pd.DataFrame(

@@ -12,24 +12,29 @@ import pytest
 
 ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
 
-# Ops rewritten in round 2/3 or never driver-verified before round 3 — these
-# MUST be oracle-checked by the driver (first 50 entries).
+# Round-4 rotation invariant: every registered query must be driver-green
+# within the last TWO rounds. These MUST therefore be oracle-checked by the
+# driver this round (first 50 entries): every gate that is new or whose code
+# path changed since the r3 driver run, and every gate whose last driver-green
+# row is round 2 (two rounds stale after r3 — VERDICT r03 "What's missing #2").
 MUST_BE_IN_WINDOW = [
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "pipeline_clean_corpus", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_cosine_topk_pandas", "ann_ivf_topk",
-    "ann_ivf_stored_topk", "ann_ivf_trained_topk",
-    "multimodal_features", "multimodal_frame_sample",
-    "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
-    "corpus_stats", "top_df_terms",
-    # sloppy scorer rewritten round 3: the repeated-term gate is the
-    # strongest variant; 3-term slop shares the identical walk code path
-    "phrase_sloppy_topk", "phrase_sloppy_repeat_topk",
-    "wand_sloppy_phrase_topk", "parsed_sloppy_phrase_topk",
-    # first gated in round 3 — must stay in-window until twice green
-    "dedup_cluster_canonical", "text_pii_redact", "pack_sequences",
-    "stream_dedup_state", "multimodal_wav_stats", "text_lm_score",
-    "text_repetition", "sample_stratified", "sample_stratum_cap",
+    # new / rewritten since the r3 driver run
+    "highlight_fragments", "multimodal_png_stats",
+    "multi_phrase_overlap_topk", "multi_phrase_overlap_repeat_topk",
+    "ann_ivf_trained_topk", "stream_dedup_state", "dedup_minhash_lsh",
+    # last driver-green in round 2 — rotate back through
+    "bool_or_topk", "bool_not_topk", "bool_minshould_topk",
+    "phrase_exact_topk", "prefix_topk", "wildcard_topk",
+    "fuzzy_prefix_topk", "range_topk", "multi_phrase_topk",
+    "explain_term", "explain_term_classic", "phrase_sloppy3_topk",
+    "boosted_or_topk", "matchall_topk", "constant_score_filter",
+    "filtered_term_topk", "sort_by_field", "numeric_range_encoded",
+    "span_first_topk", "span_or_topk", "span_not_topk",
+    "wand_phrase_topk", "parsed_and_topk", "parsed_nested_topk",
+    "parsed_boost_topk", "parsed_range_topk", "parsed_fielded_topk",
+    "fielded_tf_topk", "parsed_fielded_tf_topk", "date_range_topk",
+    "wand_and_topk", "wand_merged_topk", "wand_delete_topk",
+    "term_dict", "term_dict_salted", "doc_lens",
 ]
 
 DRIVER_WINDOW = 50

@@ -353,6 +353,24 @@ def test_best_fragment_weights_pick_rarer_term():
     assert "<b>rare</b>" in frag
 
 
+def test_best_fragment_whitespace_analyzer():
+    """Whitespace path (the oracle-replayable form behind the
+    highlight_fragments gate): case/punctuation preserved, offsets from
+    raw space splits."""
+    from clucene_spark.search.highlight import best_fragment
+
+    text = "Alpha spark, beta spark gamma"
+    frag, score = best_fragment(
+        text, ["spark"], fragment_size=100, analyzer="whitespace"
+    )
+    # whitespace tokens keep punctuation: 'spark,' != 'spark' (1 match)
+    assert score == 1.0
+    assert frag == "Alpha spark, beta <b>spark</b> gamma"
+    # the standard analyzer strips the comma and lowercases: 2 matches
+    frag_std, score_std = best_fragment(text, ["spark"], fragment_size=100)
+    assert score_std == 2.0
+
+
 def test_highlight_dataframe_stage(spark, index):
     from clucene_spark.search.highlight import highlight
 
