@@ -173,6 +173,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 _GATE_WINDOW: tuple = (
     # --- new or rewritten since the r3 driver run (must be checked) ---
     "highlight_fragments",          # new r4: contrib highlighter gate
+    "dedup_window_stats",           # new r4: exact-substring window dedup
     "multimodal_png_stats",         # new post-r3: stdlib PNG codec
     "multi_phrase_overlap_topk",    # new post-r3: overlapping-slot slop
     "multi_phrase_overlap_repeat_topk",  # new post-r3 (colliding first doc)
@@ -197,7 +198,9 @@ _GATE_WINDOW: tuple = (
     "phrase_sloppy_repeat_topk",    # once-green r3; strongest sloppy variant
     "term_topk_bm25",               # core BM25 scoring
     "wand_or_topk",                 # north-star block-max WAND path
-    "corpus_stats",                 # flagship index-build aggregate
+    # (corpus_stats yielded its pin to dedup_window_stats — thrice-green
+    # r1/r3, unchanged code, and its aggregation is exercised by every
+    # relational gate's avgdl anyway)
     "pipeline_clean_corpus",        # composes quality+exact+minhash (r4 state API)
     "dedup_cluster_canonical",      # once-green r3; CC graph op
     # --- demoted to out-of-window this round (all r3-green, code unchanged):
@@ -458,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: dedup family ---
         "dedup_exact": _q_dedup_exact,
         "dedup_chunk": _q_dedup_chunk,
+        "dedup_window_stats": _q_window_dedup,
         "pipeline_decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -919,6 +923,54 @@ def _q_clean_corpus(spark, sf):
     return clean_corpus(
         corpus, min_quality=0.05, bands=32, min_shingles=1
     ).orderBy("doc_id")
+
+
+def _q_window_dedup(spark, sf):
+    """Exact-substring (sliding 16-token-window) duplication stats over
+    docs + planted partial copies: doc_id%10==0 docs get a twin (+1M id)
+    carrying their first 21 tokens, so the twin's windows all collide
+    with the source's prefix windows at stride-1 alignments — the
+    passage-copy shape chunk-level dedup misses."""
+    from clucene_spark.pipeline.dedup import window_dedup_stats
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    plant = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 21), " ").alias("text"),
+    )
+    return window_dedup_stats(docs.unionByName(plant), w=16)
+
+
+_WINDOW_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:21], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+eligible AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) >= 16),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, n - 15)) AS i FROM eligible
+),
+wins AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+15], ' ')), 1, 15))::BIGINT AS h
+  FROM idx
+),
+per_dh AS (SELECT doc_id, h, count(*) AS c FROM wins GROUP BY doc_id, h),
+per_h AS (SELECT h, (min(doc_id) < max(doc_id)) AS is_dup FROM per_dh GROUP BY h)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN p.is_dup THEN d.c ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       ROUND(CAST(SUM(CASE WHEN p.is_dup THEN d.c ELSE 0 END) AS DOUBLE)
+             / SUM(d.c), 4) AS dup_frac
+FROM per_dh d JOIN per_h p USING (h)
+GROUP BY d.doc_id
+"""
 
 
 def _q_dedup_exact(spark, sf):
@@ -2548,6 +2600,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "top_df_terms": _PRELUDE
         + "SELECT term, df, cf FROM term_dict ORDER BY df DESC, term ASC LIMIT 10",
         # --- training-data pipeline oracles ---
+        "dedup_window_stats": _WINDOW_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)
         + """
 , h AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS hh,

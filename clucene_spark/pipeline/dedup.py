@@ -635,6 +635,69 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     )
 
 
+def window_dedup_stats(
+    docs: DataFrame, w: int = 16, round_to: int = 4
+) -> DataFrame:
+    """Exact-substring (sliding token-window) duplication stats per doc —
+    the declarative restatement of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    a token position is duplicated text iff some w-token window covering
+    it also occurs in ANOTHER doc. Complements chunk_dedup (fixed
+    non-overlapping chunks): overlapping stride-1 windows catch shared
+    substrings at any alignment, the way copied passages actually appear
+    in web text. Returns (doc_id, n_windows, n_dup_windows, dup_frac)
+    for every doc with >= w tokens — curation drops or trims docs whose
+    dup_frac exceeds a policy threshold.
+
+    Scale shape: one explode to (doc_id, window-hash) rows — n_tokens-w+1
+    per doc, each 16 bytes, no window text ever moves — then three
+    aggregations, all with map-side partial aggregation:
+      1. (doc_id, h) occurrence counts (combines same-doc repeats early),
+      2. per-h min/max doc_id — cross-doc iff min < max, which avoids a
+         countDistinct entirely and cannot skew (partial agg collapses a
+         boilerplate hash to one row per map task),
+      3. per-doc rollup of total vs cross-doc-flagged window counts.
+    The only join attaches the 1-row-per-hash flag back to (doc_id, h)
+    rows; a mega-hash (site boilerplate in millions of docs) lands many
+    left rows on one key with a single build row — AQE skew-join splits
+    it. Window hashing is JVM-side column math (md5 over array_join of a
+    slice), no Python in the plan."""
+    toks = F.split(F.col("text"), " ")
+    wins = ensure_parallelism(docs).filter(F.size(toks) >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(toks, i + 1, w), " ")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("h"),
+    )
+    per_dh = wins.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    per_h = per_dh.groupBy("h").agg(
+        (F.min("doc_id") < F.max("doc_id")).alias("is_dup")
+    )
+    return (
+        per_dh.join(per_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("is_dup"), F.col("c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), round_to),
+        )
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                   min_hits: int = 1) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any token

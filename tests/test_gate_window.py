@@ -19,7 +19,7 @@ ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
 # row is round 2 (two rounds stale after r3 — VERDICT r03 "What's missing #2").
 MUST_BE_IN_WINDOW = [
     # new / rewritten since the r3 driver run
-    "highlight_fragments", "multimodal_png_stats",
+    "highlight_fragments", "dedup_window_stats", "multimodal_png_stats",
     "multi_phrase_overlap_topk", "multi_phrase_overlap_repeat_topk",
     "ann_ivf_trained_topk", "stream_dedup_state", "dedup_minhash_lsh",
     # last driver-green in round 2 — rotate back through

@@ -67,6 +67,52 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert lsh_floor <= exact
 
 
+def test_window_dedup_stats_planted_substrings(docs, spark):
+    """ExactSubstr semantics: a doc carrying a copied 21-token prefix of
+    another doc shares exactly 21-16+1=6 windows with it; unrelated docs
+    share none (60-bit hashes); short docs (<16 tokens) emit no row."""
+    from clucene_spark.pipeline.dedup import window_dedup_stats
+
+    base = docs.select("doc_id", "text").filter(F.size(F.split("text", " ")) >= 25)
+    toks = F.split(F.col("text"), " ")
+    plant = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 21), " ").alias("text"),
+    )
+    out = {r["doc_id"]: r for r in
+           window_dedup_stats(base.unionByName(plant), w=16).collect()}
+
+    planted_ids = [r["doc_id"] for r in plant.select("doc_id").collect()]
+    assert planted_ids
+    for pid in planted_ids:
+        twin, src = out[pid], out[pid - 1_000_000]
+        # the 21-token copy has exactly 6 sliding 16-token windows, all dup
+        assert twin["n_windows"] == 6 and twin["n_dup_windows"] == 6
+        assert twin["dup_frac"] == 1.0
+        # the source doc's first 6 windows are the same ones (the corpus
+        # itself shares sentences across docs, so >6 and even ==n_windows
+        # are legitimate — the generator reuses fragments like real web
+        # boilerplate)
+        assert src["n_dup_windows"] >= 6
+        assert 0 < src["dup_frac"] <= 1.0
+
+    # synthetic control: disjoint-vocab docs share nothing; a doc under
+    # w tokens emits no row
+    ctl = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(30))),
+            (2, " ".join(f"b{i}" for i in range(30))),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in window_dedup_stats(ctl, w=16).collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["n_dup_windows"] == 0 and r["dup_frac"] == 0.0
+               for r in rows.values())
+    assert rows[1]["n_windows"] == 15
+
+
 def test_minhash_state_lifecycle(docs, spark, tmp_path):
     """minhash_state owns the signatures materialization: same pairs as the
     internal-persist path, and the cache is provably released on exit
