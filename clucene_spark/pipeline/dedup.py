@@ -682,8 +682,19 @@ def window_dedup_stats(
     per_h = per_dh.groupBy("h").agg(
         (F.min("doc_id") < F.max("doc_id")).alias("is_dup")
     )
+    # per_h is CORPUS-SIZED (one row per distinct window hash, ~n_tokens
+    # rows at stride 1), and per_dh is the same size — pin SORT-MERGE for
+    # this join. The r4 1M-doc audit hit both failure modes of the
+    # alternatives: AQE sized the flag table by compressed shuffle bytes
+    # and picked broadcast ("Not enough memory to build and broadcast"),
+    # and shuffle_hash then failed its per-partition hash-relation build
+    # under concurrent-task memory pressure ("Can't acquire 67108864
+    # bytes"). SMJ spills gracefully on both sides — the only safe shape
+    # when NEITHER side is bounded. (Contrast lm_score: its LM side is
+    # corpus-derived but row-bounded by the vocab², so shuffle_hash is
+    # right there.) Plan pinned by tests/test_plans.py.
     return (
-        per_dh.join(per_h, "h")
+        per_dh.join(per_h.hint("merge"), "h")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_windows"),

@@ -135,6 +135,20 @@ def test_cluster_canonical_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
 
+def test_window_dedup_flag_join_not_broadcast(spark):
+    """Both sides of the window_dedup_stats flag join are corpus-sized
+    (~one row per token). The r4 1M-doc audit hit broadcast-build OOM
+    (AQE compressed-size estimate) AND a shuffle-hash per-partition
+    hash-relation build failure — the join must be SORT-MERGE, the only
+    shape that spills on both sides."""
+    from clucene_spark.pipeline.dedup import window_dedup_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(window_dedup_stats(docs))
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_lm_score_join_not_broadcast(spark):
     """The corpus-derived bigram LM join must stay a shuffled hash join:
     AQE's compressed-size estimate once broadcast it and aborted on

@@ -126,6 +126,24 @@ def main() -> None:
         _tree(p, 36),
     ))
 
+    # 4b. window dedup: corpus-sized flag join stays shuffled-hash
+    from clucene_spark.pipeline.dedup import window_dedup_stats
+
+    p = _plan(window_dedup_stats(docs))
+    assert "SortMergeJoin" in p and "BroadcastExchange" not in p
+    sections.append((
+        "Exact-substring window-dedup stats",
+        "Window hashes are JVM-side column math (md5 over array_join of "
+        "a slice) — no Python in the plan; all three aggregations carry "
+        "map-side partial aggregation, and the per-hash cross-doc flag "
+        "is min<max (no countDistinct). The flag join is PINNED "
+        "sort-merge: BOTH sides are corpus-sized (~one row per token) — "
+        "the 1M-doc audit hit broadcast-build OOM (AQE compressed-size "
+        "estimate) and then a shuffle-hash per-partition build failure; "
+        "SMJ is the only shape that spills on both sides.",
+        _tree(p, 30),
+    ))
+
     # 5. pack_sequences: distributed cumsum, no global window
     from clucene_spark.pipeline.sampling import pack_sequences
 
