@@ -179,6 +179,7 @@ _GATE_WINDOW: tuple = (
     "multi_phrase_overlap_repeat_topk",  # new post-r3 (colliding first doc)
     "ann_ivf_trained_topk",         # first FULL oracle (frozen k-means)
     "stream_dedup_state",           # sink rewritten: keyed merge-on-read
+    "stream_window_stats",          # new r4: watermarked windowed agg
     "dedup_minhash_lsh",            # state-lifecycle API added r4
     # --- stale rotation: last driver-green in round 2 ---
     "bool_or_topk", "bool_not_topk", "bool_minshould_topk",
@@ -196,7 +197,9 @@ _GATE_WINDOW: tuple = (
     # --- high-value r3 pins (r3-green, kept in-window anyway) ---
     "multi_phrase_sloppy_topk",     # multi-phrase code changed post-r3
     "phrase_sloppy_repeat_topk",    # once-green r3; strongest sloppy variant
-    "term_topk_bm25",               # core BM25 scoring
+    # (term_topk_bm25 yielded its pin to stream_window_stats — green in
+    # r1/r2/r3, and the BM25 scorer is exercised by every in-window topk
+    # gate in the stale-rotation block)
     "wand_or_topk",                 # north-star block-max WAND path
     # (corpus_stats yielded its pin to dedup_window_stats — thrice-green
     # r1/r3, unchanged code, and its aggregation is exercised by every
@@ -489,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
         "stream_dedup_state": _q_stream_dedup,
+        "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
         "multimodal_png_stats": _q_png_stats,
         "text_lm_score": _q_lm_score,
@@ -1178,6 +1182,76 @@ def _q_stream_ingest(spark, sf):
         )
         store = SegmentStore(spark, d)
     return wand_query_direct(store, ["spark", "window"], k=10)
+
+
+_WIN_BASE_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+_WIN_BARRIER_EPOCH = 1_893_456_000  # 2030-01-01 UTC — high-watermark barrier
+
+
+def _q_stream_window(spark, sf):
+    """Watermarked event-time windowed aggregation (the Structured
+    Streaming windowed-agg surface): docs arrive with ts = base + doc_id
+    minutes; 1-hour tumbling windows with a 30-min watermark aggregate
+    (n_docs, n_tokens) in APPEND mode — each window emits exactly once,
+    finalized. The source carries a far-future barrier row (doc_id=-1)
+    so the bounded drain's trailing real windows all finalize; the
+    barrier's own window never emits. Epochs (longs) cross the engine
+    boundary instead of timestamps so the compare is timezone-proof."""
+    import hashlib
+    import os
+    import shutil
+
+    from clucene_spark.streaming.ingest import windowed_ingest_stats
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    import tempfile
+
+    base = f"{tempfile.gettempdir()}/clucene_winstats_{tag}"
+    src, sink, ckpt = f"{base}_src", f"{base}_sink", f"{base}_ckpt"
+    # _spark_metadata is the file-sink's commit log — its presence marks a
+    # completed drain (a half-built sink from a crashed run is rebuilt)
+    if not os.path.isdir(f"{sink}/_spark_metadata"):
+        for p in (src, sink, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(_WIN_BASE_EPOCH) + F.col("doc_id") * 60
+            ).alias("ts"),
+        )
+        barrier = spark.createDataFrame(
+            [(-1, "x")], "doc_id long, text string"
+        ).select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(_WIN_BARRIER_EPOCH)).alias("ts"),
+        )
+        docs.unionByName(barrier).coalesce(1).write.parquet(src)
+        windowed_ingest_stats(
+            spark, src, sink_dir=sink, checkpoint_dir=ckpt,
+            window_dur="1 hour", watermark_delay="30 minutes",
+        )
+    out = spark.read.schema(
+        "win_start timestamp, win_end timestamp, n_docs long, n_tokens long"
+    ).parquet(sink)
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_epoch"),
+        F.unix_timestamp("win_end").alias("win_end_epoch"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+_STREAM_WINDOW_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text, ({_WIN_BASE_EPOCH} + doc_id * 60) AS ev FROM documents
+)
+SELECT (ev // 3600) * 3600 AS win_start_epoch,
+       (ev // 3600) * 3600 + 3600 AS win_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM src GROUP BY (ev // 3600) * 3600
+"""
 
 
 # 64 CJK ideographs shared by the Spark construction and the DuckDB oracle
@@ -2729,6 +2803,7 @@ GROUP BY doc_id ORDER BY doc_id
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "lang_dispatch_topk": _lang_dispatch_sql(),
         "stream_ingest_topk": _bm25_topk_sql(["spark", "window"]),
+        "stream_window_stats": _STREAM_WINDOW_SQL,
         "multimodal_features": """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,

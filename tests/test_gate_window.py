@@ -21,7 +21,8 @@ MUST_BE_IN_WINDOW = [
     # new / rewritten since the r3 driver run
     "highlight_fragments", "dedup_window_stats", "multimodal_png_stats",
     "multi_phrase_overlap_topk", "multi_phrase_overlap_repeat_topk",
-    "ann_ivf_trained_topk", "stream_dedup_state", "dedup_minhash_lsh",
+    "ann_ivf_trained_topk", "stream_dedup_state", "stream_window_stats",
+    "dedup_minhash_lsh",
     # last driver-green in round 2 — rotate back through
     "bool_or_topk", "bool_not_topk", "bool_minshould_topk",
     "phrase_exact_topk", "prefix_topk", "wildcard_topk",

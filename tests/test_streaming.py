@@ -108,3 +108,68 @@ def test_stateful_stream_dedup_batch_invariant(spark, tmp_path):
     got_many = sorted(tuple(r) for r in many.collect())
     assert got_one == want
     assert got_many == want
+
+
+def test_windowed_stats_watermark_late_row_semantics(spark, tmp_path):
+    """Watermark contract of windowed_ingest_stats, driven batch by batch
+    (maxFilesPerTrigger=1): a late row still inside the delay is counted;
+    a row whose window already closed is dropped; an un-finalized trailing
+    window never emits in append mode."""
+    import glob
+    import shutil
+    import time as _time
+
+    from clucene_spark.streaming.ingest import windowed_ingest_stats
+
+    BASE = 1_704_067_200  # 2024-01-01 00:00 UTC
+    M = 60
+
+    def mk(rows):  # (doc_id, minutes-offset)
+        return spark.createDataFrame(
+            [(i, "a b c", ) + (m,) for i, m in rows],
+            "doc_id long, text string, off long",
+        ).select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(BASE) + F.col("off") * M).alias("ts"),
+        ).drop("off")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(df, name):
+        staging = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name))
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    # 10-min windows, 5-min watermark delay. Spark splits the watermark:
+    # late-event FILTERING in batch N uses the watermark computed after
+    # batch N-1 (one batch of grace), while state EVICTION/emission uses
+    # the current one — so a too-late row must arrive two batches after
+    # the rows that advanced the watermark past its window.
+    # batch 0: rows at :10 and :17 -> watermark :12 after the batch
+    write_file(mk([(1, 10), (2, 17)]), "b0.parquet")
+    # batch 1 (late-filter wm :12): :11 is late-but-open (window end :20
+    # > :12 -> counted); :30 advances the watermark to :25, and eviction
+    # at batch end finalizes [:10,:20)
+    write_file(mk([(4, 11), (5, 30)]), "b1.parquet")
+    # batch 2 (late-filter wm :25): :08's window [:00,:10) closed long
+    # ago -> DROPPED (no [:00,:10) row may appear in the sink)
+    write_file(mk([(3, 8)]), "b2.parquet")
+
+    out = windowed_ingest_stats(
+        spark, src,
+        window_dur="10 minutes", watermark_delay="5 minutes",
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    rows = {
+        int(r["win_start"].timestamp()): (r["n_docs"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # ONLY the closed [:10,:20) window emitted: rows 1, 2, 4 (the late-ok
+    # :11 row counted; the too-late :08 row dropped, so no [:00,:10) row;
+    # the :30 row's window is still open -> absent)
+    assert rows == {BASE + 10 * M: (3, 9)}, rows

@@ -20,6 +20,7 @@ sys.path.insert(0, REPO)
 NEW_THIS_ROUND = {
     "highlight_fragments": "new r4",
     "dedup_window_stats": "new r4",
+    "stream_window_stats": "new r4",
     "multimodal_png_stats": "new post-r3",
     "multi_phrase_overlap_topk": "new post-r3",
     "multi_phrase_overlap_repeat_topk": "new post-r3",
