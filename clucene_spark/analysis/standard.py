@@ -389,6 +389,28 @@ _FAST_BAD = _re.compile(r"(?:(?<= )|^)[0-9][a-z0-9]*[a-z]|[a-z0-9]{256}")
 # hybrid-path helpers: whitespace chunks + per-chunk fast eligibility
 _CHUNK_RE = _re.compile(r"\S+")
 _TOKEN_FAST = _re.compile(r"[a-z0-9]+\Z")
+# terms-only widening: an ASCII alpha run with at most ONE trailing '.'
+# or ',' — the dominant messy-webtext chunk shapes (sentence case, UPPER,
+# clause punctuation). The DFA provably emits exactly one token for the
+# run (case never splits an alpha run), the trailing ',' is discarded as
+# a non-token char, the trailing '.' is dot-shaved (or acronym-stripped
+# by StandardFilter for single letters), and LowerCaseFilter lowercases —
+# so term == chunk.rstrip('.,').lower(). 20k-case fuzz vs the DFA in
+# tests/test_analysis.py. Terms-only: offsets/types are not produced
+# here, so standard_analyze (the query/highlight path) still runs the
+# DFA for these chunks.
+_TOKEN_FAST_ALPHA = _re.compile(r"[A-Za-z]+[.,]?\Z")
+# whole-text widening of the same class: mixed-case alnum words where
+# every '.'/',' is chunk-FINAL (followed by space or end — so internal
+# dots like "3.5"/"a.b.c" and doubled punctuation fall through to the
+# DFA), no digit-led token containing a letter, no 256-char run. Under
+# these conditions tokenization degenerates to
+# lower().translate(drop .,).split(' ') in C — no per-chunk Python loop.
+_FAST_OK2 = _re.compile(r"[A-Za-z0-9 .,]*\Z")
+_FAST_BAD2 = _re.compile(
+    r"[.,][^ ]|(?:(?<= )|^)[0-9][A-Za-z0-9]*[A-Za-z]|[A-Za-z0-9]{256}"
+)
+_PUNCT_DEL = str.maketrans("", "", ".,")
 
 
 def standard_analyze(
@@ -460,6 +482,12 @@ def standard_analyze_terms(
     token — the allocation cost dominates the fused segment build."""
     if _FAST_OK.match(text) and not _FAST_BAD.search(text):
         return [w for w in text.split(" ") if w and w not in stop_words]
+    if _FAST_OK2.match(text) and not _FAST_BAD2.search(text):
+        return [
+            w
+            for w in text.lower().translate(_PUNCT_DEL).split(" ")
+            if w and w not in stop_words
+        ]
     out = []
     n = len(text)
     for m in _CHUNK_RE.finditer(text):
@@ -471,6 +499,11 @@ def standard_analyze_terms(
         ):
             if chunk not in stop_words:
                 out.append(chunk)
+            continue
+        if len(chunk) <= MAX_WORD_LEN and _TOKEN_FAST_ALPHA.match(chunk):
+            w = chunk.rstrip(".,").lower()
+            if w not in stop_words:
+                out.append(w)
             continue
         piece = chunk if m.end() == n else chunk + " "
         for tok in StandardTokenizer(piece).tokens():

@@ -357,3 +357,22 @@ def test_snowball_dispatch():
         snowball_stem("x", "klingon")
     toks = snowball_analyze("running quickly", "english")
     assert [t for t, *_ in toks] == ["run", "quickli"]
+
+
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefgABQZ", min_size=1, max_size=12),
+        st.sampled_from(["", ".", ",", "..", ".,"]),
+    ),
+    min_size=1, max_size=20,
+))
+@settings(max_examples=300, deadline=None)
+def test_terms_fast_alpha_chunk_equivalent_to_dfa(chunks):
+    """The widened terms-only fast path (ASCII alpha run + at most one
+    trailing '.'/',' — the dominant messy-webtext chunk shapes) must be
+    term-identical to the whole-text DFA; double-punct chunks fall back
+    to the DFA inside the same text."""
+    from clucene_spark.analysis.standard import standard_analyze_terms
+
+    text = " ".join(w + p for w, p in chunks)
+    assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
