@@ -496,13 +496,25 @@ def wand_query_local(
     algo: str = "taat",
     field: str | None = None,
 ) -> list[tuple[int, float]]:
-    """In-process serving (no Spark job): the same per-segment read +
-    decode + score loop wand_query_direct fans out, run sequentially where
-    the caller lives. This is the latency floor for a shard set that fits
-    one node — a query server holds SegmentStore handles and answers in
-    ~ms..100ms instead of paying per-query Spark stage scheduling. The
-    distributed paths reuse identical scoring code, so results are
+    """In-process serving (no Spark job ANYWHERE on the query path): the
+    same per-segment read + decode + score loop wand_query_direct fans
+    out, run where the caller lives. This is the latency floor for a
+    shard set that fits one node — a query server holds SegmentStore
+    handles and answers in ~ms..100ms instead of paying per-query Spark
+    stage scheduling. Two serving-path properties (r4):
+
+      * segment reads run on a thread pool — pyarrow's filtered to_table
+        releases the GIL, so 49 segments read in parallel instead of
+        ~5ms each sequentially;
+      * global df (for idf) comes from the SAME filtered read (each
+        postings row carries its segment-local df; the global value is
+        their sum), so the old per-cold-term Spark aggregation
+        (store.doc_freqs) is gone from the serving path entirely.
+
+    The distributed paths reuse identical scoring code, so results are
     rank-identical (tested)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import os
 
     import pyarrow.dataset as pa_ds
@@ -514,21 +526,45 @@ def wand_query_local(
 
         terms = [fielded_term(field, t) for t in terms]
     n_docs, avgdl = store.stats(field)
-    dfs = store.doc_freqs(terms)
-    idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
-    live_terms = [t for t in terms if t in idf_by_term]
     required = len(terms) if mode == "AND" else 1
-    if (mode == "AND" and len(live_terms) < len(terms)) or not live_terms:
-        return []
     deleted = frozenset(store.deleted_ids())
 
-    hits: list[tuple[int, float]] = []
-    for s in (x["name"] for x in store.manifest["segments"]):
-        tab = store.dataset(s).to_table(
-            columns=["term", "doc_blob", "tf_blob", "dl_blob",
+    names = [x["name"] for x in store.manifest["segments"]]
+    for s in names:  # warm the memoized dataset handles (not thread-safe)
+        store.dataset(s)
+
+    def _read(s):
+        return store.dataset(s).to_table(
+            columns=["term", "df", "doc_blob", "tf_blob", "dl_blob",
                      "blk_max_doc", "blk_max_tf", "blk_min_dl"],
-            filter=pa_ds.field("term").isin(live_terms),
+            filter=pa_ds.field("term").isin(terms),
         )
+
+    if len(names) > 1:
+        # one pool per store handle, reused across queries — creating a
+        # fresh executor per query cost more than the reads it parallelized
+        # (~60ms of thread spawning per head query, r4 profile)
+        pool = getattr(store, "_serve_pool", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(
+                max_workers=min(len(names), os.cpu_count() or 8),
+                thread_name_prefix="clucene-serve",
+            )
+            store._serve_pool = pool
+        tabs = list(pool.map(_read, names))
+    else:
+        tabs = [_read(s) for s in names]
+
+    dfs: dict[str, int] = {}
+    for tab in tabs:
+        for t, df in zip(tab["term"].to_pylist(), tab["df"].to_pylist()):
+            dfs[t] = dfs.get(t, 0) + int(df)
+    idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
+    if (mode == "AND" and len(idf_by_term) < len(terms)) or not idf_by_term:
+        return []
+
+    hits: list[tuple[int, float]] = []
+    for tab in tabs:
         cursors = []
         for i in range(tab.num_rows):
             docs, tfs = decode_postings(
