@@ -867,22 +867,58 @@ class SegmentStore:
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global df per term, memoized per store (the hot-term dictionary
-        cache; one small aggregation per cold term batch)."""
+        cache). Cold terms resolve via a direct pyarrow read of the
+        (term, df) columns across segments — term-filtered, row-group
+        pruned, parallel over the store's serving pool — so no Spark job
+        sits on the query path; the Spark aggregation remains as the
+        fallback for filesystems pyarrow can't reach."""
         if not hasattr(self, "_df_cache"):
             self._df_cache: dict[str, int] = {}
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:
-            rows = (
-                self.postings()
-                .filter(F.col("term").isin(missing))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            try:
+                found = self._doc_freqs_arrow(missing)
+            except Exception:
+                rows = (
+                    self.postings()
+                    .filter(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .collect()
+                )
+                found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
+
+    def _doc_freqs_arrow(self, terms: list[str]) -> dict[str, int]:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.dataset as pa_ds
+
+        names = [x["name"] for x in self.manifest["segments"]]
+        for s in names:  # warm memoized handles before threading
+            self.dataset(s)
+
+        def _read(s):
+            return self.dataset(s).to_table(
+                columns=["term", "df"], filter=pa_ds.field("term").isin(terms)
+            )
+
+        pool = getattr(self, "_serve_pool", None)
+        if pool is None and len(names) > 1:
+            pool = ThreadPoolExecutor(
+                max_workers=min(len(names), _os.cpu_count() or 8),
+                thread_name_prefix="clucene-serve",
+            )
+            self._serve_pool = pool
+        tabs = pool.map(_read, names) if pool else map(_read, names)
+        out: dict[str, int] = {}
+        for tab in tabs:
+            for t, df in zip(tab["term"].to_pylist(), tab["df"].to_pylist()):
+                out[t] = out.get(t, 0) + int(df)
+        return out
 
     def term_dict(self) -> DataFrame:
         """Global (term, df, cf) — sums the per-segment dictionaries."""
