@@ -307,7 +307,9 @@ def encode_postings_frame(
     tfs = np.asarray(tfs, dtype=np.int64)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
     term_starts = np.flatnonzero(term_change)
-    term_ends = np.concatenate([term_starts[1:], [n]])
+    term_ends = (
+        np.concatenate([term_starts[1:], [n]]) if len(term_starts) else term_starts
+    )
     df = term_ends - term_starts
 
     def _slice_all(big: bytes, nbytes: np.ndarray) -> list[bytes]:
@@ -380,6 +382,122 @@ def encode_postings_frame(
     out["blk_max_tf"] = _split_blocks(blk_max_tf)
     out["blk_min_dl"] = _split_blocks(blk_min_dl)
     return out
+
+
+def encode_postings_table(
+    terms_per_run: np.ndarray,
+    term_change: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions_flat: np.ndarray | None = None,
+):
+    """Arrow-native twin of :func:`encode_postings_frame`: encode ALL terms
+    of a segment and return a ``pyarrow.Table`` in the postings schema
+    (term, df, cf, doc_blob, tf_blob, dl_blob, pos_blob, blk_*) with ZERO
+    per-term Python objects.
+
+    The concatenated vbyte streams plus their cumulative byte offsets at
+    term-run boundaries ARE Arrow's variable-binary layout (one data buffer
+    + an int32 offsets buffer), and the flat block-stat arrays plus the
+    per-term block counts ARE Arrow's list layout — so the per-term
+    `bytes` slicing and `.tolist()` materialization that
+    encode_postings_frame pays for a pandas DataFrame disappear entirely
+    (measured ~35% of the invert+encode kernel at 4k docs/segment).
+    Property-tested equal to encode_postings_frame in tests/test_codec.py.
+
+    terms_per_run: per-posting term array (sorted runs); only rows where
+    ``term_change`` is True are emitted as the term column.
+    """
+    import pyarrow as pa
+
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    term_starts = np.flatnonzero(term_change)
+    n_terms = len(term_starts)
+    term_ends = np.concatenate([term_starts[1:], [n]]) if n_terms else term_starts
+    df = term_ends - term_starts
+    bounds = np.append(term_starts, n)  # n_terms+1 run boundaries
+
+    def _binary_col(big: bytes, nb: np.ndarray) -> pa.Array:
+        # offsets[k] = byte offset of term k's first value in the stream
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        offs = cum[bounds].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(big)],
+        )
+
+    gaps = doc_ids.copy()
+    if n:
+        gaps[1:] -= doc_ids[:-1]
+        gaps[term_starts] = doc_ids[term_starts]
+    doc_big, doc_nb = vbyte_encode_with_lengths(gaps.astype(np.uint64))
+    tf_big, tf_nb = vbyte_encode_with_lengths(tfs.astype(np.uint64))
+    dl_big, dl_nb = vbyte_encode_with_lengths(doc_lens.astype(np.uint64))
+
+    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+    cf = tf_cum[term_ends] - tf_cum[term_starts]
+
+    if positions_flat is not None:
+        flat = np.asarray(positions_flat, dtype=np.int64)
+        row_starts = tf_cum[:-1]
+        fd = flat.copy()
+        if flat.size:
+            fd[1:] -= flat[:-1]
+            fd[row_starts] = flat[row_starts]
+        pos_big, pos_nb = vbyte_encode_with_lengths(fd.astype(np.uint64))
+        bcum = np.concatenate(([0], np.cumsum(pos_nb)))
+        pos_offs = bcum[tf_cum[bounds]].astype(np.int32)
+        pos_col = pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(pos_offs.tobytes()), pa.py_buffer(pos_big)],
+        )
+    else:
+        pos_col = pa.nulls(n_terms, pa.binary())
+
+    # 16-doc block stats, flat across all terms + per-term list offsets
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_cum = np.concatenate(([0], np.cumsum(n_blocks)))
+    total_blocks = int(blk_cum[-1])
+    rep_start = np.repeat(term_starts, n_blocks)
+    within = (np.arange(total_blocks) - np.repeat(blk_cum[:-1], n_blocks)) * BLOCK_SIZE
+    bstarts = rep_start + within
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(term_ends, n_blocks))
+    if total_blocks:
+        blk_min_doc = doc_ids[bstarts]
+        blk_max_doc = doc_ids[bends - 1]
+        blk_max_tf = np.maximum.reduceat(tfs, bstarts)
+        blk_min_dl = np.minimum.reduceat(doc_lens, bstarts)
+    else:
+        blk_min_doc = blk_max_doc = blk_max_tf = blk_min_dl = np.zeros(0, np.int64)
+    blk_offs = pa.array(blk_cum.astype(np.int32))
+
+    def _list_col(vals: np.ndarray) -> pa.Array:
+        return pa.ListArray.from_arrays(blk_offs, pa.array(vals, pa.int64()))
+
+    terms_out = (
+        np.asarray(terms_per_run, dtype=object)[term_starts]
+        if n_terms
+        else np.zeros(0, dtype=object)
+    )
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "df": pa.array(df, pa.int64()),
+            "cf": pa.array(cf, pa.int64()),
+            "doc_blob": _binary_col(doc_big, doc_nb),
+            "tf_blob": _binary_col(tf_big, tf_nb),
+            "dl_blob": _binary_col(dl_big, dl_nb),
+            "pos_blob": pos_col,
+            "blk_min_doc": _list_col(blk_min_doc),
+            "blk_max_doc": _list_col(blk_max_doc),
+            "blk_max_tf": _list_col(blk_max_tf),
+            "blk_min_dl": _list_col(blk_min_dl),
+        }
+    )
 
 
 def build_term_index(terms: list[str]) -> list[tuple[str, int]]:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from clucene_spark.index.codec import (
     TERM_INDEX_INTERVAL,
-    encode_postings_frame,
+    encode_postings_table,
     encode_term_block,
 )
 
@@ -58,7 +58,10 @@ def _write_term_index(dir_path: str, terms, part_file: str | None = None) -> Non
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    terms = list(terms)
+    if hasattr(terms, "to_pylist"):  # pyarrow (Chunked)Array from the
+        terms = terms.to_pylist()    # arrow-native encode path
+    else:
+        terms = list(terms)
     rows = []
     for b in range(0, len(terms), TERM_INDEX_INTERVAL):
         chunk = terms[b : b + TERM_INDEX_INTERVAL]
@@ -146,7 +149,7 @@ def _analyze_docs(texts, analyzer: str, langs=None):
 def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
                    term_prefix: str = "", build_tv: bool = False):
     """Sort-invert-encode one token stream (numpy, no python per token).
-    Returns (seg_pdf, uniq_docs, dl_counts, n_tok, n_postings[, tv_pdf]).
+    Returns (seg_tab: pa.Table, uniq_docs, dl_counts, n_tok, n_postings[, tv_pdf]).
 
     build_tv additionally materializes the FORWARD index — one row per
     (doc, term) with tf + positions, the TermPositionVector
@@ -185,26 +188,14 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     dl_counts = counts[counts > 0]
     dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
 
-    enc = encode_postings_frame(
-        term_change, docs_p, tfs, dls_p, positions_flat=p if wp else None
-    )
-    seg_pdf = pd.DataFrame(
-        {
-            "term": terms_p[term_change].astype(str),
-            "df": enc["df"],
-            "cf": enc["cf"],
-            "doc_blob": enc["doc_blob"],
-            "tf_blob": enc["tf_blob"],
-            "dl_blob": enc["dl_blob"],
-            "pos_blob": enc["pos_blob"],
-            "blk_min_doc": enc["blk_min_doc"],
-            "blk_max_doc": enc["blk_max_doc"],
-            "blk_max_tf": enc["blk_max_tf"],
-            "blk_min_dl": enc["blk_min_dl"],
-        }
+    # arrow-native encode: the vbyte streams/offsets map straight onto
+    # Arrow binary+list buffers — no per-term bytes slices or .tolist()
+    seg_tab = encode_postings_table(
+        terms_p, term_change, docs_p, tfs, dls_p,
+        positions_flat=p if wp else None,
     )
     if not build_tv:
-        return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx))
+        return seg_tab, uniq_docs, dl_counts, n_tok, int(len(post_idx))
     pos_runs = np.split(p, post_idx[1:]) if n_tok else []
     tv_pdf = pd.DataFrame(
         {
@@ -214,7 +205,7 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
             "positions": [r.tolist() for r in pos_runs],
         }
     ).sort_values(["doc_id", "term"], kind="mergesort")
-    return seg_pdf, uniq_docs, dl_counts, n_tok, int(len(post_idx)), tv_pdf
+    return seg_tab, uniq_docs, dl_counts, n_tok, int(len(post_idx)), tv_pdf
 
 
 SEGMENT_SCHEMA = T.StructType(
@@ -485,39 +476,21 @@ def build_segments(
         uniq_docs, dl_counts = np.unique(d, return_counts=True)
         dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
 
-        enc = encode_postings_frame(
-            term_change, docs_p, tfs, dls_p,
+        seg_tab = encode_postings_table(
+            terms_p, term_change, docs_p, tfs, dls_p,
             positions_flat=p if wp else None,
-        )
-        seg_pdf = pd.DataFrame(
-            {
-                "term": terms_p[term_change],
-                "df": enc["df"],
-                "cf": enc["cf"],
-                "doc_blob": enc["doc_blob"],
-                "tf_blob": enc["tf_blob"],
-                "dl_blob": enc["dl_blob"],
-                "pos_blob": enc["pos_blob"],
-                "blk_min_doc": enc["blk_min_doc"],
-                "blk_max_doc": enc["blk_max_doc"],
-                "blk_max_tf": enc["blk_max_tf"],
-                "blk_min_dl": enc["blk_min_dl"],
-            }
         )
         dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pq.write_table(
-            pa.Table.from_pandas(seg_pdf, preserve_index=False),
-            os.path.join(tmp_path, "postings.parquet"),
-        )
+        pq.write_table(seg_tab, os.path.join(tmp_path, "postings.parquet"))
         pq.write_table(
             pa.Table.from_pandas(dl_pdf, preserve_index=False),
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
-        if len(seg_pdf):
-            _write_term_index(tmp_path, seg_pdf["term"])
+        if seg_tab.num_rows:
+            _write_term_index(tmp_path, seg_tab.column("term"))
         os.rename(tmp_path, seg_path)  # atomic publish of the segment dir
 
         ck = {
@@ -528,7 +501,7 @@ def build_segments(
             "n_docs": int(len(uniq_docs)),
             "n_tokens": int(n_tok),
             "n_postings": int(len(post_idx)),
-            "n_terms": int(seg_pdf.shape[0]),
+            "n_terms": int(seg_tab.num_rows),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
         _write_checkpoint(idx_dir, name, ck)
@@ -672,7 +645,9 @@ def build_segments_fused(
                 n_tok += nt
                 n_post += npst
                 uniq_union.update(uq.tolist())
-            seg_pdf = pd.concat(frames, ignore_index=True)
+            import pyarrow as _pa2
+
+            seg_tab = _pa2.concat_tables(frames)
             dl_pdf = pd.concat(dl_frames, ignore_index=True)
             uniq_docs = np.array(sorted(uniq_union), dtype=np.int64)
         else:
@@ -682,7 +657,7 @@ def build_segments_fused(
             res = _invert_encode(
                 doc_ids_in, per_doc, p, counts, wp, build_tv=tv
             )
-            seg_pdf, uniq_docs, dl_counts, n_tok, n_post = res[:5]
+            seg_tab, uniq_docs, dl_counts, n_tok, n_post = res[:5]
             if tv:
                 tv_frames.append(res[5])
             dl_pdf = pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts})
@@ -690,10 +665,7 @@ def build_segments_fused(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pq.write_table(
-            pa.Table.from_pandas(seg_pdf, preserve_index=False),
-            os.path.join(tmp_path, "postings.parquet"),
-        )
+        pq.write_table(seg_tab, os.path.join(tmp_path, "postings.parquet"))
         pq.write_table(
             pa.Table.from_pandas(dl_pdf, preserve_index=False),
             os.path.join(tmp_path, "doc_lens.parquet"),
@@ -706,8 +678,8 @@ def build_segments_fused(
                 pa.Table.from_pandas(tv_all, preserve_index=False),
                 os.path.join(tmp_path, "term_vectors.parquet"),
             )
-        if len(seg_pdf):
-            _write_term_index(tmp_path, seg_pdf["term"])
+        if seg_tab.num_rows:
+            _write_term_index(tmp_path, seg_tab.column("term"))
         os.rename(tmp_path, seg_path)
 
         ck = {
@@ -718,7 +690,7 @@ def build_segments_fused(
             "n_docs": int(len(uniq_docs)),
             "n_tokens": int(n_tok),
             "n_postings": int(n_post),
-            "n_terms": int(seg_pdf.shape[0]),
+            "n_terms": int(seg_tab.num_rows),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
         _write_checkpoint(idx_dir, name, ck)
@@ -1068,7 +1040,7 @@ def build_segments_aligned(
         )
         doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
         per_doc, p, counts = _analyze_docs(pdf["text"].to_numpy(), an)
-        seg_pdf, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
+        seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
             doc_ids_in, per_doc, p, counts, wp
         )
         lo, hi = int(doc_ids_in[0]), int(doc_ids_in[-1])
@@ -1079,10 +1051,7 @@ def build_segments_aligned(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pq.write_table(
-            pa.Table.from_pandas(seg_pdf, preserve_index=False),
-            os.path.join(tmp_path, "postings.parquet"),
-        )
+        pq.write_table(seg_tab, os.path.join(tmp_path, "postings.parquet"))
         pq.write_table(
             pa.Table.from_pandas(
                 pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts}),
@@ -1090,8 +1059,8 @@ def build_segments_aligned(
             ),
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
-        if len(seg_pdf):
-            _write_term_index(tmp_path, seg_pdf["term"])
+        if seg_tab.num_rows:
+            _write_term_index(tmp_path, seg_tab.column("term"))
         os.rename(tmp_path, seg_path)
         ck = {
             "segment": name,
@@ -1101,7 +1070,7 @@ def build_segments_aligned(
             "n_docs": int(len(uniq_docs)),
             "n_tokens": int(n_tok),
             "n_postings": int(n_post),
-            "n_terms": int(seg_pdf.shape[0]),
+            "n_terms": int(seg_tab.num_rows),
             "build_sec": round(time.perf_counter() - t0, 4),
         }
         _write_checkpoint(idx_dir, name, ck)

@@ -179,3 +179,49 @@ def test_frame_encoder_matches_per_term(rows):
         assert got["blk_max_doc"][i] == want["blk_max_doc"].tolist()
         assert got["blk_max_tf"][i] == want["blk_max_tf"].tolist()
         assert got["blk_min_dl"][i] == want["blk_min_dl"].tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),      # term code
+            st.integers(min_value=0, max_value=10**6),   # doc_id
+            st.integers(min_value=1, max_value=40),      # tf
+            st.integers(min_value=1, max_value=500),     # dl
+        ),
+        min_size=0,
+        max_size=400,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_arrow_encoder_matches_frame_encoder(rows, with_pos):
+    """encode_postings_table (zero-copy Arrow buffers) must be value-
+    identical to encode_postings_frame on every column, with and without
+    positions, including the empty segment."""
+    from clucene_spark.index.codec import (
+        encode_postings_frame,
+        encode_postings_table,
+    )
+
+    rows.sort()
+    n = len(rows)
+    terms = np.array([f"term{r[0]:03d}" for r in rows], dtype=object)
+    term_change = np.ones(n, dtype=bool)
+    if n > 1:
+        term_change[1:] = terms[1:] != terms[:-1]
+    docs = np.array([r[1] for r in rows], dtype=np.int64)
+    tfs = np.array([r[2] for r in rows], dtype=np.int64)
+    dls = np.array([r[3] for r in rows], dtype=np.int64)
+    total = int(tfs.sum())
+    pos = (np.arange(total, dtype=np.int64) * 13) % 997 if with_pos else None
+
+    ref = encode_postings_frame(term_change, docs, tfs, dls, positions_flat=pos)
+    tab = encode_postings_table(terms, term_change, docs, tfs, dls,
+                                positions_flat=pos)
+    got = tab.to_pydict()
+    assert got["term"] == [str(t) for t in terms[term_change]]
+    for k in ("df", "cf", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+              "blk_min_doc", "blk_max_doc", "blk_max_tf", "blk_min_dl"):
+        assert got[k] == ref[k], k

@@ -71,7 +71,7 @@ def main() -> None:
     def _warm(batches):
         import numpy, pandas, pyarrow, pyarrow.parquet  # noqa: F401
         from clucene_spark.analysis.standard import standard_analyze_terms
-        from clucene_spark.index.codec import encode_postings_frame  # noqa: F401
+        from clucene_spark.index.codec import encode_postings_table  # noqa: F401
 
         standard_analyze_terms("warm up text tokens")
         for pdf in batches:
