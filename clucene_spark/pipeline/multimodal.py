@@ -59,16 +59,19 @@ def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
 
 def _decode_real(payload: bytes, kind: str):
     """Real decoder for the formats the Python stdlib can parse — WAV
-    (PCM, via `wave`) and uncompressed BMP (struct header parse). Formats
-    that need external codec libraries (JPEG/PNG/MP3/MP4 — none ship in
-    this container) still raise NotImplementedError; plug Pillow /
-    torchaudio / pyav into the dispatch below to widen it.
+    (PCM, via `wave`), uncompressed BMP (struct header parse), and PNG
+    (zlib inflate + filter arithmetic, _decode_png). Formats that need
+    external codec libraries (JPEG/MP3/MP4 — none ship in this container)
+    still raise NotImplementedError; plug Pillow / torchaudio / pyav into
+    the dispatch below to widen it.
 
     Returns a dict:
       WAV -> {kind: 'audio', sample_rate, n_channels, sample_width,
               n_frames, samples: np.int16/int32 array (interleaved)}
       BMP -> {kind: 'image', width, height, bpp,
               pixels: np.uint8 array (h, w, 3) BGR, 24-bit only}
+      PNG -> {kind: 'image', width, height, channels,
+              pixels: np.uint8 array (h, w, c)}
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io

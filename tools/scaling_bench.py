@@ -207,10 +207,10 @@ def work(task_id):
     ids = np.arange(base, base + N, dtype=np.int64)
     t0 = time.perf_counter()
     per_doc, p, counts = _analyze_docs(texts, "standard")
-    seg = _invert_encode(ids, per_doc, p, counts, True)[0]
+    seg = _invert_encode(ids, per_doc, p, counts, True)[0]  # pa.Table
     path = "/dev/shm/cal_%%d.parquet" %% task_id if os.path.isdir("/dev/shm") \\
         else "/tmp/cal_%%d.parquet" %% task_id
-    pq.write_table(pa.Table.from_pandas(seg, preserve_index=False), path)
+    pq.write_table(seg, path)
     os.remove(path)
     return N / (time.perf_counter() - t0)
 if __name__ == "__main__":
@@ -236,6 +236,8 @@ def calibrate_percore(cpus: int) -> float:
          _CALIBRATE_SRC, str(cpus)],
         capture_output=True, text=True,
     )
+    if not out.stdout.strip():
+        raise RuntimeError(f"calibration subprocess failed:\n{out.stderr[-2000:]}")
     return float(out.stdout.strip().splitlines()[-1])
 
 
