@@ -194,9 +194,14 @@ _GATE_WINDOW: tuple = (
     "fielded_tf_topk", "parsed_fielded_tf_topk", "date_range_topk",
     "wand_and_topk", "wand_merged_topk", "wand_delete_topk",
     "term_dict", "term_dict_salted", "doc_lens",
+    # --- new in-session: UTF-16 code-unit term order (index sort paths
+    # rewritten to the reference's TermInfosWriter order — must be checked) ---
+    "term_dict_utf16", "range_utf16_topk",
     # --- high-value r3 pins (r3-green, kept in-window anyway) ---
     "multi_phrase_sloppy_topk",     # multi-phrase code changed post-r3
-    "phrase_sloppy_repeat_topk",    # once-green r3; strongest sloppy variant
+    # (phrase_sloppy_repeat_topk yielded its slot to term_dict_utf16 —
+    # r3-green, sloppy kernel unchanged since, and multi_phrase_sloppy_topk
+    # in-window drives the same SloppyPhraseScorer walk incl. repeats)
     # (term_topk_bm25 yielded its pin to stream_window_stats — green in
     # r1/r2/r3, and the BM25 scorer is exercised by every in-window topk
     # gate in the stale-rotation block)
@@ -205,7 +210,9 @@ _GATE_WINDOW: tuple = (
     # r1/r3, unchanged code, and its aggregation is exercised by every
     # relational gate's avgdl anyway)
     "pipeline_clean_corpus",        # composes quality+exact+minhash (r4 state API)
-    "dedup_cluster_canonical",      # once-green r3; CC graph op
+    # (dedup_cluster_canonical yielded its slot to range_utf16_topk —
+    # r3-green, graph.py unchanged since; re-verified locally via
+    # tools/check_oracle.py like every demoted gate)
     # --- demoted to out-of-window this round (all r3-green, code unchanged):
     # top_df_terms, dedup_exact, dedup_chunk, pipeline_decontaminate,
     # dedup_ngram_jaccard, dedup_simhash, dedup_embedding_cosine,
@@ -435,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_std": _q_phrase_topk_std,
         # --- SnowballAnalyzer(french) end-to-end ---
         "snowball_fr_topk": _q_snowball_fr,
+        "term_dict_utf16": _q_term_dict_utf16,
+        "range_utf16_topk": _q_range_utf16,
         # --- persistent segment store + block-max WAND (SURVEY §2b/2c/2d,
         #     north-star: varbyte segments, LSM merge, BMW top-k) ---
         # serving path default: wand_query_direct (shuffle-free fan-out;
@@ -771,6 +780,68 @@ def _q_snowball_fr(spark, sf):
     idx = InvertedIndex(corpus, analyzer="snowball:french")
     return Searcher(idx, similarity="bm25").topk(
         TermQuery(term="national"), 10, round_to=4
+    )
+
+
+# UTF-16 term-order gates: vocab straddling every divergent region —
+# supplementary plane (U+1D54A, U+1F600, U+10FFFF) vs U+E000..U+FFFF
+# (private-use, ligature FB00, fullwidth FF21, replacement FFFD). The
+# reference's Term order is UTF-16 code units (index/TermInfosWriter.cpp:
+# 108-140); code-point engines (Spark/DuckDB/Python) sort supplementary
+# ABOVE U+E000.., so these gates fail unless the index applies the
+# utf16.py order key on the divergent region.
+_U16_VOCAB = [
+    "apple", "a\U0001f600", "a", "aﬀ", "a�", "ab",
+    "zeta", "m\U0010ffff", "中文", "Ａz", "\U0001d54ax", "box",
+]
+
+
+def _u16_corpus(spark, sf):
+    """Deterministic 5-token docs over _U16_VOCAB, replayed 1:1 in SQL."""
+    docs = _docs(spark, sf).select("doc_id")
+    vocab_arr = F.array(*[F.lit(v) for v in _U16_VOCAB])
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.element_at(
+                vocab_arr, ((F.col("doc_id") * 5 + i * 3) % 12 + 1).cast("int")
+            ),
+        ),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_term_dict_utf16(spark, sf):
+    """Term dictionary enumerated in the reference's UTF-16 code-unit
+    order (TermInfosWriter.cpp:108-140 / Term.cpp compareTo): rank over
+    encode(term,'UTF-16BE') — binary comparison is unsigned lexicographic
+    == code-unit order. The planted vocab makes this order provably
+    different from Spark's native code-point string order."""
+    from pyspark.sql import Window
+
+    from clucene_spark.index.utf16 import spark_utf16_key
+
+    idx = InvertedIndex(_u16_corpus(spark, sf), analyzer="whitespace")
+    w = Window.orderBy(spark_utf16_key(F.col("term")))
+    return (
+        idx.term_dict.withColumn("rank", F.row_number().over(w))
+        .select("rank", "term", "df")
+        .orderBy("rank")
+    )
+
+
+def _q_range_utf16(spark, sf):
+    """RangeQuery whose bounds reach the divergent region: [a\U0001f600 TO
+    aﬀ] — empty under code-point comparison (0x1F600 > 0xFB00) but
+    matching the supplementary and private-use terms under UTF-16 units
+    (lead surrogate 0xD83D < 0xE000 < 0xFB00). Exercises the conditional
+    encoded-key comparison in Searcher._expand_terms."""
+    idx = InvertedIndex(_u16_corpus(spark, sf), analyzer="whitespace")
+    return Searcher(idx, similarity="bm25").topk(
+        RangeQuery(lower="a\U0001f600", upper="aﬀ", inclusive=True),
+        10,
+        round_to=4,
     )
 
 
@@ -3065,6 +3136,52 @@ FROM bm25
 WHERE (field = 'title' AND term = 'join') OR (field = 'text' AND term = 'spark')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # UTF-16 term-order gates: replay the planted vocab corpus, then order /
+    # compare terms by the flattened UTF-16 code-unit list (DuckDB has no
+    # UTF-16 codec; surrogate pairs are computed arithmetically — the list
+    # comparison replicates Spark's encode(term,'UTF-16BE') binary order)
+    from clucene_spark.index.utf16 import duckdb_utf16_key_sql as _u16k
+
+    _u16_case = " ".join(
+        f"WHEN {j} THEN '{s}'" for j, s in enumerate(_U16_VOCAB)
+    )
+    _u16_corpus_sql = f"""
+WITH base AS (
+  SELECT doc_id, unnest(generate_series(0, 4)) AS i FROM documents
+),
+tok AS (
+  SELECT doc_id, CASE ((doc_id * 5 + i * 3) % 12) {_u16_case} END AS term
+  FROM base
+),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+doc_lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+term_dict AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens)
+"""
+    d["term_dict_utf16"] = (
+        _u16_corpus_sql
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY {_u16k('term')}) AS INT) AS rank,
+       term, df
+FROM term_dict ORDER BY rank
+"""
+    )
+    _u16_term_k = _u16k("p.term")
+    _u16_lo_k = _u16k("'a" + "\U0001f600" + "'")
+    _u16_hi_k = _u16k("'a" + "ﬀ" + "'")
+    d["range_utf16_topk"] = (
+        _u16_corpus_sql
+        + f"""
+SELECT p.doc_id,
+       ROUND(SUM(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d2.dl / s.avgdl))), 4) AS score
+FROM postings p
+JOIN term_dict t USING (term) JOIN doc_lens d2 USING (doc_id) CROSS JOIN stats s
+WHERE {_u16_term_k} >= {_u16_lo_k}
+  AND NOT ({_u16_term_k} > {_u16_hi_k})
+GROUP BY p.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    )
     # SnowballAnalyzer(french): replay the deterministic vocab corpus with
     # the PRE-STEMMED constants (stems pinned to the reference C stemmer by
     # tests/test_snowball_langs.py), then plain BM25 — the gate checks the

@@ -118,8 +118,16 @@ def merge_segments(
     # contiguous run and never holds more than one term's postings (plus a
     # small output buffer) in memory — the same bound the reference's
     # priority-queue merge has (SegmentMerger::mergeTermInfos). A dict of
-    # the whole term-range partition would OOM at a 100x index.
-    ranged = posts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+    # the whole term-range partition would OOM at a 100x index. The range
+    # key is encode(term,'UTF-16BE') so the merged dictionary comes out in
+    # the reference's UTF-16 code-unit order (TermInfosWriter.cpp:108-140;
+    # binary comparison is unsigned lexicographic == code-unit order).
+    ranged = (
+        posts.withColumn("__u16", F.encode("term", "UTF-16BE"))
+        .repartitionByRange(n_part, "__u16")
+        .sortWithinPartitions("__u16")
+        .drop("__u16")
+    )
 
     stat_schema = T.StructType(
         [
@@ -276,9 +284,11 @@ def merge_segments(
                 [(int(x),) for x in deleted], "doc_id long"
             )
             tv_all = tv_all.join(F.broadcast(del_df2), "doc_id", "left_anti")
-        tv_all.repartitionByRange(max(1, n_part // 4), "doc_id").sortWithinPartitions(
-            "doc_id", "term"
-        ).write.mode("overwrite").parquet(
+        tv_all.withColumn("__u16", F.encode("term", "UTF-16BE")).repartitionByRange(
+            max(1, n_part // 4), "doc_id"
+        ).sortWithinPartitions("doc_id", "__u16").drop("__u16").write.mode(
+            "overwrite"
+        ).parquet(
             os.path.join(tmp_root, "term_vectors.parquet")
         )
 

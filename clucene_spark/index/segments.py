@@ -47,6 +47,12 @@ from clucene_spark.index.codec import (
     encode_postings_table,
     encode_term_block,
 )
+from clucene_spark.index.utf16 import (
+    sort_terms_pdf,
+    utf16_argsort,
+    utf16_key,
+    any_needs_utf16,
+)
 
 
 def _write_term_index(dir_path: str, terms, part_file: str | None = None) -> None:
@@ -166,10 +172,12 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     d = np.repeat(doc_ids_in, counts)
     # stable sort by term keeps (doc asc, pos asc) inside each term run.
     # factorize (C hash) + rank of the ~small unique-term set avoids a
-    # python-compare sort over every token.
+    # python-compare sort over every token. Term rank uses UTF-16
+    # code-unit order (reference TermInfosWriter.cpp:108-140 parity;
+    # plain argsort unless a term contains a char >= U+E000).
     codes, uniques = pd.factorize(t_arr)
     rank_of_code = np.empty(len(uniques), dtype=np.int64)
-    rank_of_code[np.argsort(uniques)] = np.arange(len(uniques))
+    rank_of_code[utf16_argsort(uniques)] = np.arange(len(uniques))
     order = np.argsort(rank_of_code[codes], kind="stable")
     t_arr, d, p = t_arr[order], d[order], p[order]
 
@@ -197,14 +205,17 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     if not build_tv:
         return seg_tab, uniq_docs, dl_counts, n_tok, int(len(post_idx))
     pos_runs = np.split(p, post_idx[1:]) if n_tok else []
-    tv_pdf = pd.DataFrame(
-        {
-            "doc_id": docs_p,
-            "term": terms_p.astype(str),
-            "tf": tfs,
-            "positions": [r.tolist() for r in pos_runs],
-        }
-    ).sort_values(["doc_id", "term"], kind="mergesort")
+    tv_pdf = sort_terms_pdf(
+        pd.DataFrame(
+            {
+                "doc_id": docs_p,
+                "term": terms_p.astype(str),
+                "tf": tfs,
+                "positions": [r.tolist() for r in pos_runs],
+            }
+        ),
+        ["doc_id", "term"],
+    )
     return seg_tab, uniq_docs, dl_counts, n_tok, int(len(post_idx)), tv_pdf
 
 
@@ -457,7 +468,8 @@ def build_segments(
         os.makedirs(tmp_path, exist_ok=True)
 
         # numpy invert: sort tokens by (term, doc, pos), find posting runs
-        pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
+        # (term compares in UTF-16 code-unit order, reference parity)
+        pdf = sort_terms_pdf(pdf, ["term", "doc_id", "pos"])
         t = pdf["term"].to_numpy()
         d = pdf["doc_id"].to_numpy(np.int64)
         p = pdf["pos"].to_numpy(np.int64)
@@ -671,8 +683,8 @@ def build_segments_fused(
             os.path.join(tmp_path, "doc_lens.parquet"),
         )
         if tv and tv_frames:
-            tv_all = pd.concat(tv_frames, ignore_index=True).sort_values(
-                ["doc_id", "term"], kind="mergesort"
+            tv_all = sort_terms_pdf(
+                pd.concat(tv_frames, ignore_index=True), ["doc_id", "term"]
             )
             pq.write_table(
                 pa.Table.from_pandas(tv_all, preserve_index=False),
@@ -1182,7 +1194,9 @@ def build_term_vectors_offsets(
         tv = pd.DataFrame(
             [
                 (d, t, len(pos), pos, ss, ee)
-                for (d, t), (pos, ss, ee) in sorted(acc.items())
+                for (d, t), (pos, ss, ee) in sorted(
+                    acc.items(), key=lambda kv: (kv[0][0], utf16_key(kv[0][1]))
+                )
             ],
             columns=["doc_id", "term", "tf", "positions", "starts", "ends"],
         )
@@ -1238,9 +1252,12 @@ def read_term_index(index_dir: str, segment: str) -> list[str]:
     from clucene_spark.index.codec import decode_term_block
 
     tab = pq.read_table(os.path.join(index_dir, "segments", segment, "term_index.parquet"))
-    out: list[str] = []
     # first_term order is the global block order (block_id restarts per
-    # reducer part in merged segments; term ranges across parts are disjoint)
-    for blob in tab.sort_by("first_term")["blob"].to_pylist():
-        out.extend(decode_term_block(bytes(blob)))
+    # reducer part in merged segments; term ranges across parts are
+    # disjoint). Blocks order by UTF-16 code units like the terms inside.
+    firsts = tab.column("first_term").to_pylist()
+    blobs = tab.column("blob").to_pylist()
+    out: list[str] = []
+    for i in utf16_argsort(firsts):
+        out.extend(decode_term_block(bytes(blobs[i])))
     return out

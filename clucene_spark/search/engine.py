@@ -471,12 +471,25 @@ class Searcher:
         if isinstance(query, WildcardQuery):
             return td.filter(F.col("term").rlike(_wildcard_to_regex(query.pattern)))
         if isinstance(query, RangeQuery):
-            c = F.col("term")
+            from clucene_spark.index.utf16 import needs_utf16, utf16_key
+
+            # term ranges compare in UTF-16 code-unit order like the
+            # reference's term enum walk (Term.cpp compareTo over TCHARs).
+            # Only switch to the encoded key when a bound actually reaches
+            # the divergent region (char >= U+E000) — the plain string
+            # predicate pushes down to the dictionary scan, encode() does
+            # not, and the two orders agree everywhere below U+E000.
+            if needs_utf16(query.lower) or needs_utf16(query.upper):
+                c = F.encode(F.col("term"), "UTF-16BE")
+                lo = F.lit(utf16_key(query.lower)) if query.lower is not None else None
+                hi = F.lit(utf16_key(query.upper)) if query.upper is not None else None
+            else:
+                c, lo, hi = F.col("term"), query.lower, query.upper
             cond = F.lit(True)
-            if query.lower is not None:
-                cond = cond & (c >= query.lower if query.inclusive else c > query.lower)
-            if query.upper is not None:
-                cond = cond & (c <= query.upper if query.inclusive else c < query.upper)
+            if lo is not None:
+                cond = cond & (c >= lo if query.inclusive else c > lo)
+            if hi is not None:
+                cond = cond & (c <= hi if query.inclusive else c < hi)
             return td.filter(cond)
         raise TypeError(f"not a multi-term query: {query}")
 

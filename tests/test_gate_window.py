@@ -23,6 +23,8 @@ MUST_BE_IN_WINDOW = [
     "multi_phrase_overlap_topk", "multi_phrase_overlap_repeat_topk",
     "ann_ivf_trained_topk", "stream_dedup_state", "stream_window_stats",
     "dedup_minhash_lsh",
+    # in-session rewrite: index term order -> UTF-16 code units
+    "term_dict_utf16", "range_utf16_topk",
     # last driver-green in round 2 — rotate back through
     "bool_or_topk", "bool_not_topk", "bool_minshould_topk",
     "phrase_exact_topk", "prefix_topk", "wildcard_topk",
