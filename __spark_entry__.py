@@ -178,6 +178,7 @@ _GATE_WINDOW: tuple = (
     "multi_phrase_overlap_topk",    # new post-r3: overlapping-slot slop
     "multi_phrase_overlap_repeat_topk",  # new post-r3 (colliding first doc)
     "ann_ivf_trained_topk",         # first FULL oracle (frozen k-means)
+    "ann_ivfpq_topk",               # new r4: IVF-PQ ADC + rerank
     "stream_dedup_state",           # sink rewritten: keyed merge-on-read
     "stream_window_stats",          # new r4: watermarked windowed agg
     "dedup_minhash_lsh",            # state-lifecycle API added r4
@@ -209,7 +210,9 @@ _GATE_WINDOW: tuple = (
     # (corpus_stats yielded its pin to dedup_window_stats — thrice-green
     # r1/r3, unchanged code, and its aggregation is exercised by every
     # relational gate's avgdl anyway)
-    "pipeline_clean_corpus",        # composes quality+exact+minhash (r4 state API)
+    # (pipeline_clean_corpus yielded its slot to ann_ivfpq_topk — r3-green,
+    # and its r4 state-API change is driven in-window by dedup_minhash_lsh;
+    # re-verified locally via tools/check_oracle.py like every demoted gate)
     # (dedup_cluster_canonical yielded its slot to range_utf16_topk —
     # r3-green, graph.py unchanged since; re-verified locally via
     # tools/check_oracle.py like every demoted gate)
@@ -487,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_stored_topk": _q_ann_ivf_stored,
         "ann_ivf_trained_topk": _q_ann_ivf_trained,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         # --- multimodal plumbing (decode stubbed; schema/batching real) ---
         "multimodal_features": _q_mm_features,
         "multimodal_frame_sample": _q_mm_frames,
@@ -1437,6 +1441,46 @@ def _q_ann_ivf_trained(spark, sf):
     return ivf_topk_stored(spark, path, cents, q, k=10, n_probe=3)
 
 
+_IVFPQ_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _q_ann_ivfpq(spark, sf):
+    """IVF-PQ (Jegou et al. 2011 / FAISS IVFPQ layout): coarse k-means
+    partitions + per-subspace product-quantization codes + two-stage query
+    (partition-pruned ADC scan over the 8-byte codes column -> shortlist ->
+    exact-cosine rerank reading original vectors for the shortlist alone).
+    Both trainers are the deterministic seeded Lloyd's core, so the DuckDB
+    oracle replays training on the same sample rows and freezes coarse
+    centroids, codebooks AND the query's ADC lookup table as SQL constants
+    (`_ivfpq_sql`) — the frozen-constant pattern of `ann_ivf_trained_topk`.
+    Recall vs brute force is additionally pytest-gated."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.pipeline.ann import (
+        ivfpq_topk_stored,
+        ivfpq_write,
+        kmeans_train,
+        pq_train,
+    )
+
+    if sf not in _IVFPQ_STORE_CACHE:
+        vecs = _vecs(spark, sf)
+        cents = kmeans_train(vecs, k=8, n_iter=8, seed=42)
+        books = pq_train(vecs, n_sub=8, n_codes=16, n_iter=8, seed=7)
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/clucene_ivfpq_{tag}"
+        if not os.path.isdir(path):
+            ivfpq_write(vecs.select("vec_id", "embedding"), cents, books, path)
+        _IVFPQ_STORE_CACHE[sf] = (path, cents, books)
+    path, cents, books = _IVFPQ_STORE_CACHE[sf]
+    q = _query_vec(spark, sf, vec_id=11)
+    return ivfpq_topk_stored(
+        spark, path, cents, books, q, k=10, n_probe=3, shortlist=50
+    )
+
+
 def _q_mm_features(spark, sf):
     from clucene_spark.pipeline.multimodal import attach_media, extract_features
 
@@ -1915,6 +1959,115 @@ SELECT a.vec_id, ROUND({_COS_SQL.format(a='a.e', b='qe')}, 4) AS cosine
 FROM assign a JOIN probe p ON a.cluster = p.cid, q
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+def _ivfpq_sql(qid: int = 11, k_coarse: int = 8, n_iter: int = 8,
+               seed: int = 42, pq_seed: int = 7, n_sub: int = 8,
+               n_codes: int = 16, sample: int = 4096, n_probe: int = 3,
+               shortlist: int = 50, k: int = 10) -> str:
+    """Oracle for IVF-PQ (`ann_ivfpq_topk`).
+
+    Replays BOTH deterministic trainers (coarse `kmeans_fit`, subspace
+    `pq_fit`) on the same sample rows read straight from the oracle parquet
+    and freezes three constant sets into the SQL: coarse centroids, the
+    n_sub x n_codes codebooks, and the query's ADC lookup table
+    (`adc_lut` on the identical float64 inputs -> bit-identical literals on
+    both engines). The SQL then recomputes, per probed vector, the PQ code
+    per subspace (argmin of ROUND(d2, 9), ties to the lowest code — the
+    `pq_encode` contract), sums the LUT entries in the same left-associative
+    m=0..n_sub-1 order as `adc_score_col`, takes the `shortlist` by
+    (adc DESC, vec_id ASC) and reranks by exact cosine — mirroring
+    `ivfpq_topk_stored` end to end."""
+    import os
+
+    import duckdb
+
+    from clucene_spark.pipeline.ann import adc_lut, kmeans_fit, pq_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    qrow = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id = {qid}"
+    ).fetchone()
+    con.close()
+    X = [list(r[0]) for r in rows]
+    C = kmeans_fit(X, k=k_coarse, n_iter=n_iter, seed=seed)
+    books = pq_fit(X, n_sub=n_sub, n_codes=n_codes, n_iter=n_iter, seed=pq_seed)
+    lut = adc_lut(books, [float(x) for x in qrow[0]])
+    dsub = len(books[0][0])
+
+    cvals = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(C)
+    )
+    cbvals = ",\n  ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            m, j, ", ".join(repr(float(x)) for x in books[m][j])
+        )
+        for m in range(n_sub)
+        for j in range(n_codes)
+    )
+    # left-associative ADC sum in the exact adc_score_col order m=0..n_sub-1
+    adc_expr = " + ".join(
+        "list_extract([{}]::DOUBLE[], c{} + 1)".format(
+            ", ".join(repr(float(x)) for x in lut[m]), m
+        )
+        for m in range(n_sub)
+    )
+    code_cols = ",\n    ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(n_sub)
+    )
+    sub_slice = f"list_slice(pv.e, cb.m*{dsub}+1, cb.m*{dsub}+{dsub})"
+    return f"""
+WITH c AS (SELECT * FROM (VALUES
+  {cvals}) AS t(cid, ce)),
+cb AS (SELECT * FROM (VALUES
+  {cbvals}) AS t(m, code, ce)),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {qid}),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY ROUND({_D2_SQL.format(a='qe', b='ce')}, 9) ASC, cid ASC
+  LIMIT {n_probe}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+assign AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c.cid AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({_D2_SQL.format(a='v.e', b='c.ce')}, 9) ASC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN c) t
+  WHERE rn = 1
+),
+pv AS (SELECT a.vec_id, a.e FROM assign a JOIN probe p ON a.cluster = p.cid),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT pv.vec_id, cb.m, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY pv.vec_id, cb.m
+             ORDER BY ROUND({_D2_SQL.format(a=sub_slice, b='cb.ce')}, 9) ASC,
+                      cb.code ASC
+           ) AS rn
+    FROM pv CROSS JOIN cb) t
+  WHERE rn = 1
+),
+cw AS (
+  SELECT vec_id,
+    {code_cols}
+  FROM codes GROUP BY vec_id
+),
+adc AS (SELECT vec_id, ROUND({adc_expr}, 9) AS adc FROM cw),
+short AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT {shortlist})
+SELECT pv.vec_id, ROUND({_COS_SQL.format(a='pv.e', b='qe')}, 4) AS cosine
+FROM pv JOIN short USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
 
 # StandardAnalyzer prelude: split-minus-stopwords with DENSE post-stop
 # positions (the DFA chain's output on this clean lowercase corpus)
@@ -2872,6 +3025,7 @@ GROUP BY doc_id ORDER BY doc_id
         # trained variant: centroids frozen by replaying the deterministic
         # seeded trainer on the oracle parquet (see _ivf_trained_sql)
         "ann_ivf_trained_topk": _ivf_trained_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
         "lang_dispatch_topk": _lang_dispatch_sql(),
         "stream_ingest_topk": _bm25_topk_sql(["spark", "window"]),
         "stream_window_stats": _STREAM_WINDOW_SQL,

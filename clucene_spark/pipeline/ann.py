@@ -245,3 +245,187 @@ def cosine_topk_pandas(
 
     parts = vecs.select(id_col, vec_col).mapInPandas(_batch, schema)
     return parts.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"; the FAISS IVFPQ layout). The 100-TB ANN path:
+# vectors compress to M uint8 codes (64 float32 = 256 B -> 8 B at M=8), the
+# ADC scan reads ONLY the codes column (parquet column pruning), and the
+# exact-cosine rerank touches original embeddings for the shortlist alone.
+# Combined with the IVF coarse partitioning above, a query reads
+# n_probe/n_clusters of an 8-byte-per-vector column — four orders of
+# magnitude less IO than a brute-force float scan.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vecs: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 8,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split the dimension into `n_sub`
+    contiguous subspaces and run the shared deterministic Lloyd's core
+    (``kmeans_fit``, seed+m per subspace) on a bounded driver-side sample —
+    the same bounded-trainer practice as ``kmeans_train`` (FAISS trains PQ
+    codebooks on ~10^5 vectors for 10^9-vector indexes). Returns
+    codebooks[m][k] = centroid (len dim/n_sub); deterministic given (input
+    order, seed), so a DuckDB oracle can replay it and freeze constants."""
+    rows = vecs.orderBy(id_col).limit(sample).select(vec_col).collect()
+    return pq_fit([list(r[0]) for r in rows], n_sub, n_codes, n_iter, seed)
+
+
+def pq_fit(
+    X, n_sub: int = 8, n_codes: int = 16, n_iter: int = 8, seed: int = 42
+) -> list[list[list[float]]]:
+    """Pure-numpy PQ trainer core (shared with the DuckDB oracle replay,
+    the ``kmeans_fit`` pattern): codebooks[m] = Lloyd's over subspace m with
+    seed+m. Deterministic given (X row order, seed)."""
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    return [
+        [c.tolist() for c in kmeans_fit(X[:, m * dsub:(m + 1) * dsub],
+                                        n_codes, n_iter, seed + m)]
+        for m in range(n_sub)
+    ]
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = True,
+) -> DataFrame:
+    """Distributed PQ encoder: per subspace, the code is the argmin-distance
+    codebook entry. Arrow-batched numpy kernel (one (B, M, K) distance
+    tensor per batch — no per-row python). Distances round to 9 dp before
+    argmin and ties take the LOWEST code, the same cross-engine contract as
+    ``ivf_assign``, so a SQL oracle reproduces codes bit-for-bit. Output:
+    (id, codes array<int>[, vec]) — at scale the codes column is what the
+    ADC scan reads; parquet prunes the embedding column away."""
+    import pyspark.sql.types as T
+
+    CB = np.asarray(codebooks, dtype=np.float64)        # (M, K, dsub)
+    n_sub, n_codes, dsub = CB.shape
+
+    fields = [
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+    ]
+    if keep_vec:
+        fields.append(T.StructField(vec_col, T.ArrayType(T.FloatType()), True))
+    schema = T.StructType(fields)
+
+    def _batch(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = m.reshape(len(m), n_sub, 1, dsub)     # (B, M, 1, dsub)
+            d2 = ((sub - CB[None]) ** 2).sum(axis=3)    # (B, M, K)
+            codes = np.round(d2, 9).argmin(axis=2)      # first-min tie
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes.astype(np.int32)),
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return vecs.select(id_col, vec_col).mapInPandas(_batch, schema)
+
+
+def ivfpq_write(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: coarse-assign each vector to its
+    cluster (partition dir), PQ-encode, store (id, codes, vec) partitioned
+    by cluster. The original vector rides along in its own parquet column
+    purely for the rerank stage — the ADC scan never reads it."""
+    assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+    coded = pq_encode(assigned.drop("cluster"), codebooks, id_col, vec_col)
+    coded.join(assigned.select(id_col, "cluster"), id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def adc_lut(
+    codebooks: list[list[list[float]]], query: list[float]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: lut[m][k] = <query_sub_m, cb[m][k]>.
+    Driver-side float64 constants — both the Spark plan and the SQL oracle
+    embed these exact values, so ADC scores compare bit-for-bit."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    n_sub, _, dsub = CB.shape
+    q = np.asarray(query, dtype=np.float64).reshape(n_sub, dsub)
+    return [(CB[m] @ q[m]).tolist() for m in range(n_sub)]
+
+
+def adc_score_col(codes_col, lut: list[list[float]]):
+    """ADC approximate inner product as a Catalyst expression: a left-
+    associative sum of element_at(literal lut_m, code_m + 1) — whole-stage
+    codegen over the 8-byte codes column, no UDF, no shuffle."""
+    total = None
+    for m, row in enumerate(lut):
+        lm = F.array(*[F.lit(float(x)) for x in row])
+        term = F.element_at(lm, codes_col[m] + F.lit(1))
+        total = term if total is None else total + term
+    return total
+
+
+def ivfpq_topk_stored(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-stage IVF-PQ query (FAISS IVFPQ + refine):
+
+      1. probe the n_probe nearest coarse clusters (driver-side constants
+         -> partition pruning at the parquet scan);
+      2. ADC scan over the CODES column only (column pruning keeps the
+         embedding bytes on disk) -> `shortlist` candidates by approximate
+         inner product (rounded 9 dp, ties by id — cross-engine stable);
+      3. exact-cosine rerank of the shortlist, reading original vectors
+         for those ids alone (broadcast semi-join into the probed
+         partitions) -> top-k.
+
+    Recall is governed by (n_probe, shortlist); correctness of the
+    plumbing is oracle-gated end-to-end with frozen codebook constants."""
+    qa = np.asarray(query, dtype=np.float64)
+    cd = [(float(((np.asarray(c) - qa) ** 2).sum()), i)
+          for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(cd)[:n_probe]]
+    lut = adc_lut(codebooks, query)
+
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    adc = idx.select(
+        F.col(id_col),
+        F.round(adc_score_col(F.col("codes"), lut), 9).alias("adc"),
+    )
+    short = (
+        adc.orderBy(F.col("adc").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    cand = idx.join(F.broadcast(short), id_col).select(id_col, vec_col)
+    return cosine_topk(cand, query, k, id_col, vec_col, round_to)

@@ -336,6 +336,66 @@ def test_ivf_trained_store_prunes_and_recalls(spark, vecs, tmp_path):
     assert probed <= all_cos
 
 
+def test_ivfpq_encode_matches_numpy_oracle(vecs):
+    """The distributed PQ encoder (Arrow-batched argmin over codebook
+    distances) must reproduce a row-at-a-time numpy replay bit-for-bit —
+    the same round(d2, 9)/lowest-code contract the SQL oracle replays."""
+    import numpy as np
+
+    from clucene_spark.pipeline.ann import pq_encode, pq_train
+
+    books = pq_train(vecs, n_sub=8, n_codes=16, n_iter=8, seed=7)
+    assert books == pq_train(vecs, n_sub=8, n_codes=16, n_iter=8, seed=7)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    sample = vecs.orderBy("vec_id").limit(32)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(sample, books).collect()}
+    CB = np.asarray(books, dtype=np.float64)            # (M, K, dsub)
+    for r in sample.collect():
+        v = np.asarray(list(r["embedding"]), dtype=np.float64).reshape(8, 1, 8)
+        want = np.round(((v - CB) ** 2).sum(axis=2), 9).argmin(axis=1).tolist()
+        assert got[r["vec_id"]] == want
+
+
+def test_ivfpq_store_prunes_shortlists_reranks(spark, vecs, tmp_path):
+    """IVF-PQ end to end: partition-pruned probe, ADC shortlist over the
+    codes column, exact rerank. With every cluster probed and the shortlist
+    = corpus the result IS brute force (plumbing recall 1.0); with a 100-of-
+    500 shortlist the ADC ranking must beat chance (uniform random corpus —
+    chance recall would be ~0.2)."""
+    from clucene_spark.pipeline.ann import (
+        cosine_topk,
+        ivfpq_topk_stored,
+        ivfpq_write,
+        kmeans_train,
+        pq_train,
+    )
+
+    cents = kmeans_train(vecs, k=8, n_iter=8, seed=42)
+    books = pq_train(vecs, n_sub=8, n_codes=16, n_iter=8, seed=7)
+    path = str(tmp_path / "ivfpq_store")
+    ivfpq_write(vecs.select("vec_id", "embedding"), cents, books, path)
+
+    qv = [float(x) for x in vecs.filter(F.col("vec_id") == 11).first()["embedding"]]
+    n = vecs.count()
+    brute = [(r["vec_id"], r["cosine"]) for r in cosine_topk(vecs, qv, k=10).collect()]
+
+    full = ivfpq_topk_stored(spark, path, cents, books, qv, k=10,
+                             n_probe=len(cents), shortlist=n)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert [(r["vec_id"], r["cosine"]) for r in full.collect()] == brute
+
+    short = ivfpq_topk_stored(spark, path, cents, books, qv, k=10,
+                              n_probe=len(cents), shortlist=100)
+    got = {r["vec_id"] for r in short.collect()}
+    assert len(got & {v for v, _ in brute}) / 10 >= 0.5
+    # rerank scores are honest exact cosines (subset of the global scoring)
+    all_cos = {(r["vec_id"], r["cosine"]) for r in
+               cosine_topk(vecs, qv, k=n).collect()}
+    assert {(r["vec_id"], r["cosine"]) for r in short.collect()} <= all_cos
+
+
 def test_clean_corpus_fates(spark, docs):
     """Curation pass: planted exact twins drop as exact_dup, truncated
     twins as near_dup (or low_quality when truncation guts them), originals
