@@ -306,16 +306,19 @@ def pq_encode(
     keep_vec: bool = True,
 ) -> DataFrame:
     """Distributed PQ encoder: per subspace, the code is the argmin-distance
-    codebook entry. Arrow-batched numpy kernel (one (B, M, K) distance
-    tensor per batch — no per-row python). Distances round to 9 dp before
-    argmin and ties take the LOWEST code, the same cross-engine contract as
-    ``ivf_assign``, so a SQL oracle reproduces codes bit-for-bit. Output:
-    (id, codes array<int>[, vec]) — at scale the codes column is what the
-    ADC scan reads; parquet prunes the embedding column away."""
+    codebook entry. Arrow-batched numpy kernel (a (rows, M, K, dsub)
+    distance tensor, row-chunked to a ~32 MB ceiling so production code
+    sizes like K=256 stay in bounded memory — chunking never changes a
+    per-row result). Distances round to 9 dp before argmin and ties take
+    the LOWEST code, the same cross-engine contract as ``ivf_assign``, so
+    a SQL oracle reproduces codes bit-for-bit. Output: (id, codes
+    array<int>[, vec]) — at scale the codes column is what the ADC scan
+    reads; parquet prunes the embedding column away."""
     import pyspark.sql.types as T
 
     CB = np.asarray(codebooks, dtype=np.float64)        # (M, K, dsub)
     n_sub, n_codes, dsub = CB.shape
+    chunk = max(1, (1 << 22) // (n_sub * n_codes * dsub))
 
     fields = [
         T.StructField(id_col, T.LongType(), False),
@@ -328,9 +331,12 @@ def pq_encode(
     def _batch(batches):
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sub = m.reshape(len(m), n_sub, 1, dsub)     # (B, M, 1, dsub)
-            d2 = ((sub - CB[None]) ** 2).sum(axis=3)    # (B, M, K)
-            codes = np.round(d2, 9).argmin(axis=2)      # first-min tie
+            parts = []
+            for lo in range(0, len(m), chunk):
+                sub = m[lo:lo + chunk].reshape(-1, n_sub, 1, dsub)
+                d2 = ((sub - CB[None]) ** 2).sum(axis=3)   # (rows, M, K)
+                parts.append(np.round(d2, 9).argmin(axis=2))  # first-min tie
+            codes = np.concatenate(parts) if parts else np.empty((0, n_sub), int)
             out = {
                 id_col: pdf[id_col].to_numpy(),
                 "codes": list(codes.astype(np.int32)),
@@ -342,6 +348,62 @@ def pq_encode(
     return vecs.select(id_col, vec_col).mapInPandas(_batch, schema)
 
 
+def ivfpq_encode(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused single-pass coarse-assign + PQ-encode kernel: ONE Arrow batch
+    scan yields (id, cluster, codes, vec) — no second corpus pass, no
+    corpus-sized join (the r1 minhash lesson applied here from the start).
+    Both argmins share the round-9/lowest-index contract of ``ivf_assign``
+    and ``pq_encode``, so the same SQL oracle replays them."""
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)         # (Kc, dim)
+    CB = np.asarray(codebooks, dtype=np.float64)        # (M, K, dsub)
+    n_sub, n_codes, dsub = CB.shape
+    chunk = max(
+        1,
+        (1 << 22) // max(n_sub * n_codes * dsub, C.shape[0] * C.shape[1]),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField(vec_col, T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def _batch(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cls, cds = [], []
+            for lo in range(0, len(m), chunk):
+                mm = m[lo:lo + chunk]
+                d2c = ((mm[:, None, :] - C[None]) ** 2).sum(axis=2)
+                cls.append(np.round(d2c, 9).argmin(axis=1))
+                sub = mm.reshape(-1, n_sub, 1, dsub)
+                d2 = ((sub - CB[None]) ** 2).sum(axis=3)
+                cds.append(np.round(d2, 9).argmin(axis=2))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": np.concatenate(cls).astype(np.int32)
+                    if cls else np.empty(0, np.int32),
+                    "codes": list(np.concatenate(cds).astype(np.int32))
+                    if cds else [],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(_batch, schema)
+
+
 def ivfpq_write(
     vecs: DataFrame,
     centroids: list[list[float]],
@@ -349,16 +411,19 @@ def ivfpq_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coalesce_clusters: bool = True,
 ) -> None:
-    """Materialize the IVF-PQ index: coarse-assign each vector to its
-    cluster (partition dir), PQ-encode, store (id, codes, vec) partitioned
-    by cluster. The original vector rides along in its own parquet column
-    purely for the rerank stage — the ADC scan never reads it."""
-    assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-    coded = pq_encode(assigned.drop("cluster"), codebooks, id_col, vec_col)
-    coded.join(assigned.select(id_col, "cluster"), id_col).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(path)
+    """Materialize the IVF-PQ index: one fused encode pass, stored
+    (id, codes, vec) PARTITIONED BY cluster. The original vector rides
+    along in its own parquet column purely for the rerank stage — the ADC
+    scan never reads it (parquet column pruning). `coalesce_clusters`
+    shuffles once on cluster before the write so each cluster lands in one
+    file instead of (tasks x clusters) shards; at true 100-TB scale flip
+    it off (or pre-bucket) when clusters are larger than a task anyway."""
+    coded = ivfpq_encode(vecs, centroids, codebooks, id_col, vec_col)
+    if coalesce_clusters:
+        coded = coded.repartition("cluster")
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
 def adc_lut(
@@ -385,6 +450,37 @@ def adc_score_col(codes_col, lut: list[list[float]]):
     return total
 
 
+def adc_scores(
+    coded: DataFrame, lut: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """ADC approximate inner product over the codes column as an Arrow
+    kernel: per batch, one numpy gather per subspace and a left-associative
+    m=0..M-1 sum — the SAME float64 additions, in the same order, as
+    ``adc_score_col``/the SQL oracle (bit-identical scores), but one table
+    lookup per (row, m) instead of a 2048-literal Catalyst expression."""
+    import pyspark.sql.types as T
+
+    L = np.asarray(lut, dtype=np.float64)               # (M, K)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("adc", T.DoubleType(), False),
+        ]
+    )
+
+    def _batch(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())   # (B, M)
+            tot = L[0][codes[:, 0]]
+            for m in range(1, L.shape[0]):
+                tot = tot + L[m][codes[:, m]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "adc": np.round(tot, 9)}
+            )
+
+    return coded.select(id_col, "codes").mapInPandas(_batch, schema)
+
+
 def ivfpq_topk_stored(
     spark,
     path: str,
@@ -397,6 +493,7 @@ def ivfpq_topk_stored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    store: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage IVF-PQ query (FAISS IVFPQ + refine):
 
@@ -406,26 +503,31 @@ def ivfpq_topk_stored(
          embedding bytes on disk) -> `shortlist` candidates by approximate
          inner product (rounded 9 dp, ties by id — cross-engine stable);
       3. exact-cosine rerank of the shortlist, reading original vectors
-         for those ids alone (broadcast semi-join into the probed
+         for those ids alone (bounded-id In filter pushed into the probed
          partitions) -> top-k.
 
     Recall is governed by (n_probe, shortlist); correctness of the
-    plumbing is oracle-gated end-to-end with frozen codebook constants."""
+    plumbing is oracle-gated end-to-end with frozen codebook constants.
+    Pass `store` (the pre-loaded parquet DataFrame) to amortize file
+    listing across queries — the query-server form, same as the serving
+    path's reused SegmentStore handles."""
     qa = np.asarray(query, dtype=np.float64)
     cd = [(float(((np.asarray(c) - qa) ** 2).sum()), i)
           for i, c in enumerate(centroids)]
     probe = [i for _, i in sorted(cd)[:n_probe]]
     lut = adc_lut(codebooks, query)
 
-    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
-    adc = idx.select(
-        F.col(id_col),
-        F.round(adc_score_col(F.col("codes"), lut), 9).alias("adc"),
-    )
+    base = store if store is not None else spark.read.parquet(path)
+    idx = base.filter(F.col("cluster").isin(probe))
     short = (
-        adc.orderBy(F.col("adc").desc(), F.col(id_col).asc())
+        adc_scores(idx, lut, id_col)
+        .orderBy(F.col("adc").desc(), F.col(id_col).asc())
         .limit(shortlist)
         .select(id_col)
     )
-    cand = idx.join(F.broadcast(short), id_col).select(id_col, vec_col)
+    # the shortlist is bounded (<= `shortlist` ids), so collect it and push
+    # it into the rerank scan as an In filter — one job fewer than a
+    # broadcast join, and the id set reaches the parquet row-group stats
+    ids = [r[id_col] for r in short.collect()]
+    cand = idx.filter(F.col(id_col).isin(ids)).select(id_col, vec_col)
     return cosine_topk(cand, query, k, id_col, vec_col, round_to)
