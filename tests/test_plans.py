@@ -149,6 +149,35 @@ def test_window_dedup_flag_join_not_broadcast(spark):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_ivfpq_adc_scan_prunes_columns_and_partitions(spark, tmp_path_factory):
+    """The IVF-PQ ADC stage is the 100-TB read path: its scan must read
+    ONLY (vec_id, codes) — the embedding column stays on disk (30.8x more
+    bytes at the 1M audit) — and the cluster probe must reach the scan as
+    a partition filter."""
+    from clucene_spark.data.vectors import vectors_df
+    from clucene_spark.pipeline.ann import (
+        adc_lut,
+        adc_scores,
+        ivfpq_write,
+        kmeans_train,
+        pq_train,
+    )
+
+    vecs = vectors_df(spark, 2000, 64)
+    cents = kmeans_train(vecs, k=4, n_iter=4, seed=42)
+    books = pq_train(vecs, n_sub=8, n_codes=8, n_iter=4, seed=7)
+    path = str(tmp_path_factory.mktemp("ivfpq_plan") / "store")
+    ivfpq_write(vecs, cents, books, path)
+
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin([0, 1]))
+    qv = [0.1] * 64
+    plan = _plan(adc_scores(idx, adc_lut(books, qv)))
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "codes" in read_schema and "embedding" not in read_schema, plan
+    assert "PartitionFilters" in scan and "cluster" in scan, plan
+
+
 def test_lm_score_join_not_broadcast(spark):
     """The corpus-derived bigram LM join must stay a shuffled hash join:
     AQE's compressed-size estimate once broadcast it and aborted on

@@ -164,6 +164,38 @@ def main() -> None:
         _tree(p),
     ))
 
+    # 5b. IVF-PQ ADC scan: partition-pruned, codes-only read
+    from clucene_spark.data.vectors import vectors_df
+    from clucene_spark.pipeline.ann import (
+        adc_lut,
+        adc_scores,
+        ivfpq_write,
+        kmeans_train,
+        pq_train,
+    )
+
+    vecs = vectors_df(spark, 2000, 64)
+    cents = kmeans_train(vecs, k=4, n_iter=4, seed=42)
+    books = pq_train(vecs, n_sub=8, n_codes=8, n_iter=4, seed=7)
+    ivfpq_path = tempfile.mkdtemp(prefix="plan_ivfpq_")
+    ivfpq_write(vecs, cents, books, ivfpq_path)
+    idx = spark.read.parquet(ivfpq_path).filter(F.col("cluster").isin([0, 1]))
+    p = _plan(adc_scores(idx, adc_lut(books, [0.1] * 64)))
+    scan = p[p.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "codes" in rs and "embedding" not in rs
+    assert "PartitionFilters" in scan and "cluster" in scan
+    sections.append((
+        "IVF-PQ ADC scan (ANN read path)",
+        "The asymmetric-distance stage reads ONLY (vec_id, codes) — "
+        "`ReadSchema` omits the embedding column (30.8x more bytes at the "
+        "1M-vector audit), and the coarse probe arrives as a partition "
+        "filter, so a query touches n_probe/n_clusters of an 8-byte-per-"
+        "vector column. The exact-cosine rerank then reads original "
+        "vectors for the bounded shortlist alone (In-filter pushdown).",
+        _tree(p, 12),
+    ))
+
     # 6. PII redaction: pure map stage
     from clucene_spark.pipeline.textstats import pii_stats
 
