@@ -46,6 +46,50 @@ _SPECIALS = set('+-!():^[]"{}~*?\\&|')
 CONJ_NONE, CONJ_AND, CONJ_OR = 0, 1, 2
 MOD_NONE, MOD_REQ, MOD_NOT = 0, 1, 2
 
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _unescape(s: str) -> str:
+    """discardEscapeChar (reference QueryParser.cpp:552-615): drop the
+    backslash before an escaped char; `\\uXXXX` decodes a unicode escape
+    (truncated sequences are a parse error, as in the reference)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u":
+                hexs = s[i + 2:i + 6]
+                if len(hexs) < 4 or any(h not in _HEX for h in hexs):
+                    raise QueryParserError(
+                        f"truncated unicode escape sequence in {s!r}"
+                    )
+                out.append(chr(int(hexs, 16)))
+                i += 6
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _unescaped_positions(s: str, chars: str) -> list[int]:
+    """Positions of unescaped occurrences of `chars` (escape-aware scan —
+    structural decisions look at the RAW text, exactly like the JavaCC
+    lexer's _ESCAPED_CHAR vs wildcard-marker distinction)."""
+    pos, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if s[i] in chars:
+            pos.append(i)
+        i += 1
+    return pos
+
 
 @dataclass
 class _Tok:
@@ -83,12 +127,20 @@ class QueryParser:
     def __init__(self, default_field: str = "text", analyzer=None,
                  default_operator: str = "OR",
                  indexed_fields=None, keyword_fields=None,
-                 date_fields: dict | None = None):
+                 date_fields: dict | None = None,
+                 lowercase_expanded_terms: bool = True,
+                 allow_leading_wildcard: bool = False):
         self.default_field = default_field
         self.analyze = analyzer or (lambda t: [x[0] for x in standard_analyze(t)])
         self.default_operator = default_operator
         self.indexed_fields = set(indexed_fields or ()) | {default_field}
         self.keyword_fields = set(keyword_fields or ())
+        # setLowercaseExpandedTerms / setAllowLeadingWildcard (reference
+        # QueryParser.h; wildcard/prefix/fuzzy/range terms bypass the
+        # analyzer, so case folding is the parser's job, and a leading
+        # wildcard is rejected by default exactly as getWildcardQuery does)
+        self.lowercase_expanded_terms = lowercase_expanded_terms
+        self.allow_leading_wildcard = allow_leading_wildcard
         # setDateResolution analogue (reference QueryParser.cpp:229-256):
         # field -> DateTools resolution; range bounds that parse as dates on
         # these fields are encoded to sortable DateTools term strings
@@ -167,14 +219,15 @@ class QueryParser:
                 buf = []
                 while j < n and s[j] != '"':
                     if s[j] == "\\" and j + 1 < n:
-                        buf.append(s[j + 1])
+                        buf.append(s[j])      # keep raw; _unescape resolves
+                        buf.append(s[j + 1])  # (incl. \uXXXX) after lexing
                         j += 2
                     else:
                         buf.append(s[j])
                         j += 1
                 if j >= n:
                     raise QueryParserError(f"unterminated phrase in {s!r}")
-                tok = _Tok("QUOTED", "".join(buf))
+                tok = _Tok("QUOTED", _unescape("".join(buf)))
                 i = j + 1
                 i = self._suffix(s, i, tok, phrase=True)
                 toks.append(tok)
@@ -184,12 +237,26 @@ class QueryParser:
                 if j < 0:
                     raise QueryParserError(f"unterminated range in {s!r}")
                 body = s[i + 1 : j]
-                m = re.match(r"\s*(\S+)\s+TO\s+(\S+)\s*$", body)
+                # bound ::= "quoted goop" | bare goop; TO is optional
+                # ("[a z]" == "[a TO z]", reference RangeQuery grammar)
+                bound = r'"(?:\\.|[^"])*"|\S+'
+                m = re.match(rf"\s*({bound})\s+TO\s+({bound})\s*$", body)
+                if m is None:
+                    m = re.match(rf"\s*({bound})\s+({bound})\s*$", body)
+                    if m is not None and m.group(2) == "TO":
+                        m = None  # "[a TO]" — missing upper goop
                 if not m:
                     raise QueryParserError(f"bad range {body!r}")
-                lo = None if m.group(1) == "*" else m.group(1)
-                hi = None if m.group(2) == "*" else m.group(2)
-                tok = _Tok("RANGE", lower=lo, upper=hi, inclusive=inclusive)
+
+                def _bound(g: str):
+                    if g == "*":
+                        return None
+                    if len(g) >= 2 and g[0] == '"' and g[-1] == '"':
+                        g = g[1:-1]
+                    return _unescape(g)
+
+                tok = _Tok("RANGE", lower=_bound(m.group(1)),
+                           upper=_bound(m.group(2)), inclusive=inclusive)
                 i = j + 1
                 i = self._suffix(s, i, tok)
                 toks.append(tok)
@@ -200,7 +267,8 @@ class QueryParser:
                 while j < n:
                     cj = s[j]
                     if cj == "\\" and j + 1 < n:
-                        buf.append(s[j + 1])
+                        buf.append(cj)        # keep RAW — structural
+                        buf.append(s[j + 1])  # decisions are escape-aware
                         j += 2
                         continue
                     if cj.isspace() or cj in '+()"[]{}^~!':
@@ -220,12 +288,15 @@ class QueryParser:
                 if word == "NOT":
                     toks.append(_Tok("NOT"))
                     continue
+                # split field on the first UNESCAPED colon (escaped colons
+                # belong to the field name / term: a\:b:c -> field "a:b")
                 field = None
-                if ":" in word:
-                    f, _, rest = word.partition(":")
+                colons = _unescaped_positions(word, ":")
+                if colons:
+                    f, rest = word[: colons[0]], word[colons[0] + 1:]
                     if f:
-                        field = f
-                        word = rest
+                        field = _unescape(f)
+                    word = rest
                 if word == "" and field is not None:
                     # field applies to a following group/phrase/range
                     toks.append(_Tok("FIELD", field=field))
@@ -266,6 +337,15 @@ class QueryParser:
                 tok.boost = float(m.group(0))
                 i += len(m.group(0))
         return i
+
+    @staticmethod
+    def escape(s: str) -> str:
+        """Backslash-escape every query-syntax character (reference
+        QueryParser::escape, QueryParser.cpp:642-660) so arbitrary user
+        text round-trips through parse() as literal terms."""
+        return "".join(
+            ("\\" + c) if c in _SPECIALS else c for c in s
+        )
 
     # -- parser --------------------------------------------------------------
 
@@ -383,7 +463,8 @@ class QueryParser:
                 from clucene_spark.search.engine import KeywordQuery
 
                 if t.kind == "TERM":
-                    return KeywordQuery(boost=boost, field=field, value=t.text)
+                    return KeywordQuery(boost=boost, field=field,
+                                        value=_unescape(t.text))
                 if t.kind == "QUOTED":  # keyword fields are untokenized
                     return KeywordQuery(boost=boost, field=field, value=t.text)
                 if t.kind == "RANGE":
@@ -414,8 +495,9 @@ class QueryParser:
             else:
                 return self._match_nothing(boost)
         if t.kind == "RANGE":
-            lo = t.lower.lower() if t.lower else None
-            hi = t.upper.lower() if t.upper else None
+            fold = str.lower if self.lowercase_expanded_terms else str
+            lo = fold(t.lower) if t.lower else None
+            hi = fold(t.upper) if t.upper else None
             dated = self._maybe_date_bounds(field or self.default_field,
                                             lo, hi, t.inclusive)
             if dated is not None:
@@ -430,22 +512,32 @@ class QueryParser:
                 return TermQuery(boost=boost, term=terms[0], field=qfield)
             return PhraseQuery(boost=boost, terms=terms, slop=t.slop, field=qfield)
         if t.kind == "TERM":
-            word = t.text
+            word = t.text  # RAW — escapes still present; structure first
+            fold = str.lower if self.lowercase_expanded_terms else str
             if word == "*" and t.field in (None, "*"):
                 return MatchAllQuery(boost=boost)
             if t.fuzzy is not None:
                 return FuzzyQuery(
-                    boost=boost, term=word.lower(),
+                    boost=boost, term=fold(_unescape(word)),
                     min_similarity=t.fuzzy if t.fuzzy > 0 else 0.5,
                     field=qfield,
                 )
-            has_wild = "*" in word or "?" in word
-            if has_wild:
-                w = word.lower()
-                if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-                    return PrefixQuery(boost=boost, prefix=w[:-1], field=qfield)
-                return WildcardQuery(boost=boost, pattern=w, field=qfield)
-            terms = self.analyze(word)
+            wild = _unescaped_positions(word, "*?")
+            if wild:
+                if wild[0] == 0 and not self.allow_leading_wildcard:
+                    # getWildcardQuery: '*' or '?' not allowed as first
+                    # character unless setAllowLeadingWildcard(true)
+                    raise QueryParserError(
+                        f"leading wildcard not allowed: {word!r}"
+                    )
+                if (len(wild) == 1 and wild[0] == len(word) - 1
+                        and word[-1] == "*"):
+                    return PrefixQuery(boost=boost,
+                                       prefix=fold(_unescape(word[:-1])),
+                                       field=qfield)
+                return WildcardQuery(boost=boost, pattern=fold(_unescape(word)),
+                                     field=qfield)
+            terms = self.analyze(_unescape(word))
             if not terms:
                 return None
             if len(terms) == 1:

@@ -216,6 +216,105 @@ def test_parser_reference_parity(qs, want):
     assert str(parse(qs)) == want
 
 
+# Escape / unicode-escape / TO-less-range parity (reference
+# src/test/queryParser/TestQueryParser.cpp testEscaped:634-693 and
+# testRange 495-508; whitespace-lowercase analyzer like the reference's,
+# because escapes must reach the analyzer as literal chars)
+_WS = lambda t: [w.lower() for w in t.split()]  # noqa: E731
+
+ESCAPE_GOLDENS = [
+    (r"\*", "*"),                   # escaped star is a literal TERM
+    ("\\\\", "\\"),                 # escaped backslash
+    (r"a\-b", "a-b"),
+    (r"a\+b", "a+b"),
+    (r"a\:b", "a:b"),               # escaped colon never splits a field
+    (r"a\\b", "a\\b"),
+    (r"a\u0062c", "abc"),           # \uXXXX unicode escapes
+    (r"XY\u005a", "xyz"),
+    (r"XY\u005A", "xyz"),
+    (r"te\?m", "te?m"),             # escaped ? -> literal term, not wildcard
+    (r"term\~", "term~"),
+    (r"a\-b\:c", "a-b:c"),
+    (r"c\:\\temp\\\~foo.txt", "c:\\temp\\~foo.txt"),
+    (r"a \"b c\" d", 'a "b c" d'),
+    ('"a \\"b c\\" d"', '"a "b c" d"'),
+    (r'"a \+b c d"', '"a +b c d"'),
+    ("[ a z ]", "[a TO z]"),        # TO is optional in range syntax
+    ("{ a z }", "{a TO z}"),
+    ("{ a z }^2.0", "{a TO z}^2"),
+    ("[050 -070]", "[050 TO -070]"),
+    (r"[ a\- TO a\+ ]", "[a- TO a+]"),
+    (r"[ a\: TO a\~ ]", "[a: TO a~]"),
+    (r"[ a\\ TO a\* ]", "[a\\ TO a*]"),
+]
+
+
+@pytest.mark.parametrize("qs,want", ESCAPE_GOLDENS,
+                         ids=[g[0][:30] for g in ESCAPE_GOLDENS])
+def test_parser_escape_parity(qs, want):
+    assert str(parse(qs, analyzer=_WS)) == want
+
+
+def test_escaped_wildcards_are_literal_terms():
+    assert isinstance(parse(r"te\?m", analyzer=_WS), TermQuery)
+    assert isinstance(parse(r"te\*m", analyzer=_WS), TermQuery)
+    assert isinstance(parse(r"\*", analyzer=_WS), TermQuery)  # not MatchAll
+    assert isinstance(parse("te?m"), WildcardQuery)
+    assert isinstance(parse("te*m"), WildcardQuery)
+
+
+def test_escaped_colon_in_field_name():
+    from clucene_spark.queryparser.parser import QueryParser
+
+    p = QueryParser(default_field="text", indexed_fields={"a:b"},
+                    analyzer=_WS)
+    q = p.parse(r"a\:b:c")
+    assert isinstance(q, TermQuery) and q.field == "a:b" and q.term == "c"
+
+
+def test_escape_static_roundtrip():
+    # reference assertEscapedQueryEquals (TestQueryParser.cpp:701-708)
+    from clucene_spark.queryparser.parser import QueryParser
+
+    assert QueryParser.escape("a-b:c") == r"a\-b\:c"
+    assert QueryParser.escape("a+b:c") == r"a\+b\:c"
+    assert QueryParser.escape("a:b:c") == r"a\:b\:c"
+    assert QueryParser.escape("a\\b:c") == "a\\\\b\\:c"
+    # escape -> parse yields the original text as a literal term
+    for raw in ["a-b:c", "a+*?b", "x~y^z", '["\\]']:
+        q = parse(QueryParser.escape(raw), analyzer=lambda t: t.split())
+        assert isinstance(q, TermQuery) and q.term == raw
+
+
+def test_leading_wildcard_guard():
+    # getWildcardQuery rejects a leading * / ? unless
+    # setAllowLeadingWildcard(true) (TestQueryParser.cpp:425-426)
+    with pytest.raises(QueryParserError):
+        parse("*term")
+    with pytest.raises(QueryParserError):
+        parse("?term")
+    q = parse("*term", allow_leading_wildcard=True)
+    assert isinstance(q, WildcardQuery) and q.pattern == "*term"
+    assert parse("*:*").__class__ is MatchAllQuery  # still MatchAll
+
+
+def test_lowercase_expanded_terms_off():
+    # setLowercaseExpandedTerms(false): Term* keeps case
+    # (assertWildcardQueryEquals lowercase=false block)
+    assert parse("Term*", lowercase_expanded_terms=False).prefix == "Term"
+    assert parse("Te?m*gerM", lowercase_expanded_terms=False).pattern == "Te?m*gerM"
+    assert parse("Term~", lowercase_expanded_terms=False).term == "Term"
+    r = parse("[A TO C]", lowercase_expanded_terms=False)
+    assert r.lower == "A" and r.upper == "C"
+
+
+def test_truncated_unicode_escape_is_parse_error():
+    with pytest.raises(QueryParserError):
+        parse(r"ab\u00")
+    with pytest.raises(QueryParserError):
+        parse(r"ab\u00zz")
+
+
 def test_fuzzy_min_sim_ge_one_rejected():
     # reference: assertParseException("term~1.1") — FuzzyTermEnum requires
     # minSim < 1
