@@ -308,6 +308,44 @@ def test_lowercase_expanded_terms_off():
     assert r.lower == "A" and r.upper == "C"
 
 
+# Default-operator-AND parity (reference assertQueryEqualsDOA,
+# TestQueryParser.cpp:764-777) and stopword-group cases (444-467)
+DOA_GOLDENS = [
+    ("term term term", "+term +term +term"),
+    ("term +term term", "+term +term +term"),
+    ("term term +term", "+term +term +term"),
+    ("term +term +term", "+term +term +term"),
+    ("-term term term", "-term +term +term"),
+    ("+weltbank\t+worlbank", "+weltbank +worlbank"),
+    ("weltbank \t+worlbank", "+weltbank +worlbank"),
+    ("weltbank \t +worlbank", "+weltbank +worlbank"),
+]
+
+
+@pytest.mark.parametrize("qs,want", DOA_GOLDENS,
+                         ids=[g[0][:30] for g in DOA_GOLDENS])
+def test_parser_default_operator_and(qs, want):
+    assert str(parse(qs, analyzer=_WS, default_operator="AND")) == want
+
+
+STOPGROUP_GOLDENS = [
+    ("term +(the) term", "term term"),
+    ("term -(the) term", "term term"),
+    ("x AND (the) AND y", "+x +y"),
+    ("(the)^3", None),
+    ("((the))^3", None),
+    ("(the)", None),
+    ("((the))", None),
+]
+
+
+@pytest.mark.parametrize("qs,want", STOPGROUP_GOLDENS,
+                         ids=[g[0][:30] for g in STOPGROUP_GOLDENS])
+def test_parser_stopword_groups(qs, want):
+    q = parse(qs)
+    assert (None if q is None else str(q)) == want
+
+
 def test_truncated_unicode_escape_is_parse_error():
     with pytest.raises(QueryParserError):
         parse(r"ab\u00")
