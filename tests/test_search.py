@@ -159,6 +159,49 @@ def test_multiterm_expansion_counts(index, py_index):
     assert got == want_docs
 
 
+def test_wildcard_reference_fixture(spark):
+    """TestWildcard.cpp testAsterisk (35-73) / testQuestionmark (75-112)
+    hit counts over the reference's own fixture corpus — SimpleAnalyzer
+    lowercases, so mXtals indexes as mxtals exactly as there."""
+    from clucene_spark.index.build import InvertedIndex
+
+    # testAsterisk corpus: {metal, metals}
+    docs = spark.createDataFrame([(0, "metal"), (1, "metals")],
+                                 "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+
+    def n(q):
+        return s.score(q).count()
+
+    assert n(WildcardQuery(pattern="metal*")) == 2
+    assert n(WildcardQuery(pattern="m*tal")) == 1
+    assert n(WildcardQuery(pattern="m*tal*")) == 2
+    assert n(TermQuery(term="metal")) == 1
+
+    # testQuestionmark corpus: {metal, metals, mXtals, mXtXls}
+    docs = spark.createDataFrame(
+        [(0, "metal"), (1, "metals"), (2, "mxtals"), (3, "mxtxls")],
+        "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+    assert n(WildcardQuery(pattern="m?tal")) == 1
+    assert n(WildcardQuery(pattern="metal?")) == 1
+    assert n(WildcardQuery(pattern="metal??")) == 0
+    assert n(WildcardQuery(pattern="meta??")) == 1
+    assert n(WildcardQuery(pattern="metals?")) == 0
+    assert n(WildcardQuery(pattern="m?t?ls")) == 3
+
+
+def test_prefix_reference_fixture(spark):
+    """TestQueries.cpp testPrefixQuery (12-43): category-path prefixes."""
+    from clucene_spark.index.build import InvertedIndex
+
+    rows = [(0, "/computers"), (1, "/computers/mac"), (2, "/computers/windows")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+    assert s.score(PrefixQuery(prefix="/computers")).count() == 3
+    assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
+
+
 def test_term_dict_matches_oracle(index, py_index):
     got = [
         (r["term"], r["df"], r["cf"])
