@@ -206,7 +206,10 @@ _GATE_WINDOW: tuple = (
     # (term_topk_bm25 yielded its pin to stream_window_stats — green in
     # r1/r2/r3, and the BM25 scorer is exercised by every in-window topk
     # gate in the stale-rotation block)
-    "wand_or_topk",                 # north-star block-max WAND path
+    # (wand_or_topk yielded its pin to sort_multi_topk — green in r1/r2/r3,
+    # and the r4 serving-path changes are driven in-window by the four
+    # other wand gates in the stale-rotation block)
+    "sort_multi_topk",              # new r4: multi-key Sort w/ FIELD_SCORE
     # (corpus_stats yielded its pin to dedup_window_stats — thrice-green
     # r1/r3, unchanged code, and its aggregation is exercised by every
     # relational gate's avgdl anyway)
@@ -386,6 +389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sort_by_field": lambda spark, sf: _searcher(spark, sf).topk_sorted(
             TermQuery(term="spark"), "n_chars", ascending=False, k=10
+        ),
+        # multi-key Sort (reference TestSort testSortCombos/testMultiSort):
+        # stored field ASC, then relevance as a sort component
+        # (SortField::FIELD_SCORE), then the doc-order tail
+        "sort_multi_topk": lambda spark, sf: _searcher(spark, sf).topk_sorted(
+            TermQuery(term="spark"), k=10,
+            sort_fields=[("lang", True), ("score", False)],
         ),
         "numeric_range_encoded": _q_numeric_range_encoded,
         "span_near_topk": _q_span_near,
@@ -2735,6 +2745,16 @@ SELECT d.doc_id, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
+        "sort_multi_topk": _PRELUDE
+        + """
+, hits AS (
+  SELECT doc_id, ROUND(SUM(sc), 4) AS score
+  FROM bm25 WHERE term IN ('spark') GROUP BY doc_id
+)
+SELECT h.doc_id, d.lang, h.score
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY d.lang ASC, h.score DESC, h.doc_id ASC LIMIT 10
 """,
         "numeric_range_encoded": """
 SELECT doc_id, n_chars FROM documents

@@ -904,19 +904,49 @@ class Searcher:
     def topk_sorted(
         self,
         query: Query,
-        sort_col: str,
+        sort_col: str | None = None,
         ascending: bool = False,
         k: int = 10,
+        sort_fields: list[tuple[str, bool]] | None = None,
+        round_to: int = 4,
     ) -> DataFrame:
-        """Top-k by a stored-field sort instead of relevance — the
+        """Top-k by stored-field sort instead of relevance — the
         IndexSearcher::_search(..., Sort) path (reference
-        IndexSearcher.cpp:267-310, FieldSortedHitQueue). The sort key comes
+        IndexSearcher.cpp:267-310, FieldSortedHitQueue). Sort keys come
         straight from the docs table (the FieldCache un-inversion is free:
-        we kept the forward data as columns); tiebreak doc_id ASC."""
-        matched = self.score(query).select("doc_id")
-        rows = matched.join(self.index.docs, "doc_id").select("doc_id", sort_col)
-        order = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
-        return rows.orderBy(order, F.col("doc_id").asc()).limit(k)
+        we kept the forward data as columns); typed sorts are free too
+        (column types order natively, TestSort testTypedSort/testAutoSort);
+        final tiebreak doc_id ASC, as FieldSortedHitQueue's doc-order tail.
+
+        `sort_fields` is the multi-key Sort form (TestSort testSortCombos/
+        testMultiSort): ordered (field, ascending) pairs where field may be
+        "score" (SortField::FIELD_SCORE — relevance as a sort component) or
+        "doc_id" (FIELD_DOC). Single-key `sort_col`/`ascending` is the
+        back-compat form."""
+        if sort_fields is None:
+            sort_fields = [(sort_col, ascending)]
+        doc_cols, out_cols = [], ["doc_id"]
+        for f, _ in sort_fields:
+            if f not in ("score", "doc_id") and f not in doc_cols:
+                doc_cols.append(f)
+        rows = self.score(query)
+        rows = rows.select("doc_id", F.round("score", round_to).alias("score"))
+        if doc_cols:
+            rows = rows.join(
+                self.index.docs.select("doc_id", *doc_cols), "doc_id"
+            )
+        out_cols += doc_cols
+        if any(f == "score" for f, _ in sort_fields):
+            out_cols.append("score")
+        order = [
+            (F.col(f).asc() if asc else F.col(f).desc())
+            for f, asc in sort_fields
+        ]
+        return (
+            rows.select(*out_cols)
+            .orderBy(*order, F.col("doc_id").asc())
+            .limit(k)
+        )
 
     def _score_boolean(self, query: BooleanQuery, query_norm: float = 1.0) -> DataFrame:
         """Union + groupBy plan: one shuffle for the whole boolean level.

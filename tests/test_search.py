@@ -202,6 +202,36 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_topk_sorted_multi_key(index, sf_dir):
+    """Multi-key Sort (TestSort testSortCombos/testMultiSort): stored
+    field ASC then n_chars DESC, verified against a python sort of the
+    same match set; a pure-score sort must equal relevance top-k."""
+    import duckdb
+
+    s = Searcher(index)
+    q = TermQuery(term="spark")
+    matched = {r["doc_id"] for r in s.score(q).select("doc_id").collect()}
+    meta = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    want = sorted(
+        (r for r in meta if r[0] in matched),
+        key=lambda r: (r[1], -r[2], r[0]),
+    )[:10]
+    got = s.topk_sorted(q, k=10,
+                        sort_fields=[("lang", True), ("n_chars", False)])
+    assert [r["doc_id"] for r in got.collect()] == [r[0] for r in want]
+    assert got.columns == ["doc_id", "lang", "n_chars"]
+
+    # FIELD_SCORE as the only key == relevance ranking
+    got = s.topk_sorted(q, k=10, sort_fields=[("score", False)])
+    rel = s.topk(q, 10, round_to=4)
+    assert [r["doc_id"] for r in got.collect()] == [
+        r["doc_id"] for r in rel.collect()
+    ]
+
+
 def test_term_dict_matches_oracle(index, py_index):
     got = [
         (r["term"], r["df"], r["cf"])
