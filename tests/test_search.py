@@ -202,6 +202,41 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_fuzzy_reference_fixture(spark):
+    """TestQueries.cpp testFuzziness (83-200): hit counts AND ranked order
+    over the reference's aaaaa..ddddd corpus, across prefixLength 0-6 —
+    the prefix gate, the two-edit default budget, and the length-scaled
+    similarity floor all behave exactly as FuzzyTermEnum does."""
+    from clucene_spark.index.build import InvertedIndex
+
+    words = ["aaaaa", "aaaab", "aaabb", "aabbb", "abbbb", "bbbbb", "ddddd"]
+    docs = spark.createDataFrame(list(enumerate(words)),
+                                 "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+
+    def hits(term, prefix=0):
+        q = FuzzyQuery(term=term, prefix_length=prefix)
+        return [words[r["doc_id"]] for r in s.topk(q, 10).collect()]
+
+    assert hits("aaaaa") == ["aaaaa", "aaaab", "aaabb"]
+    for p in (1, 2, 3):
+        assert len(hits("aaaaa", p)) == 3
+    assert len(hits("aaaaa", 4)) == 2
+    assert len(hits("aaaaa", 5)) == 1
+    assert len(hits("aaaaa", 6)) == 1
+    assert hits("xxxxx") == []
+    assert hits("aaccc") == []          # edit distance 3 to aaaaa
+    assert hits("aaaac") == ["aaaaa", "aaaab", "aaabb"]
+    for p in (1, 2, 3):
+        assert hits("aaaac", p) == ["aaaaa", "aaaab", "aaabb"]
+    assert hits("aaaac", 4) == ["aaaaa", "aaaab"]
+    assert hits("aaaac", 5) == []
+    assert hits("ddddx") == ["ddddd"]
+    for p in (1, 2, 3, 4):
+        assert hits("ddddx", p) == ["ddddd"]
+    assert hits("ddddx", 5) == []
+
+
 def test_topk_sorted_multi_key(index, sf_dir):
     """Multi-key Sort (TestSort testSortCombos/testMultiSort): stored
     field ASC then n_chars DESC, verified against a python sort of the
