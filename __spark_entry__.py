@@ -322,6 +322,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"),
         )
         .orderBy("doc_id"),
+        # BooleanWeight::explain composition: per-doc clause sums + coord
+        # (components gate; the classic-coord identity is pytest-gated in
+        # tests/test_search.py::test_explain_boolean_invariant)
+        "explain_bool_topk": lambda spark, sf: _searcher(spark, sf)
+        .explain_boolean(
+            BooleanQuery()
+            .add(TermQuery(term="spark"), MUST)
+            .add(TermQuery(term="vector"), SHOULD)
+        )
+        .select(
+            "doc_id",
+            F.round("must_sum", 4).alias("must_sum"),
+            F.round("should_sum", 4).alias("should_sum"),
+            "overlap", "max_overlap",
+            F.round("coord", 4).alias("coord"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10),
         "explain_term_classic": lambda spark, sf: _searcher(spark, sf, "classic")
         .explain(TermQuery(term="spark"))
         .select(
@@ -2795,6 +2814,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # classic Explanation: single-term query => queryNorm = 1/sqrt(idf^2),
         # weight = idf^2 * qn; float ops mirrored in the Spark order
+        "explain_bool_topk": _PRELUDE
+        + """
+, m AS (
+  SELECT doc_id, SUM(sc) AS must_sum FROM bm25
+  WHERE term = 'spark' GROUP BY doc_id)
+, sh AS (
+  SELECT doc_id, SUM(sc) AS should_sum FROM bm25
+  WHERE term = 'vector' GROUP BY doc_id)
+SELECT m.doc_id,
+       ROUND(m.must_sum, 4) AS must_sum,
+       ROUND(COALESCE(sh.should_sum, 0.0), 4) AS should_sum,
+       CAST(1 + CASE WHEN sh.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS overlap,
+       CAST(2 AS BIGINT) AS max_overlap,
+       1.0 AS coord,
+       ROUND(m.must_sum + COALESCE(sh.should_sum, 0.0), 4) AS score
+FROM m LEFT JOIN sh USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "explain_term_classic": _PRELUDE
         + """
 , cidf AS (

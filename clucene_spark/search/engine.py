@@ -901,6 +901,71 @@ class Searcher:
             (F.sqrt("tf") * F.lit(idf * idf * qn * query.boost) * lnorm).alias("score"),
         )
 
+    def explain_boolean(self, query: BooleanQuery) -> DataFrame:
+        """Component breakdown for a BooleanQuery — BooleanWeight::explain
+        (reference BooleanQuery.cpp / BooleanScorer2, coord at
+        Similarity.cpp:231-235) as columns:
+
+          (doc_id, must_sum, should_sum, overlap, max_overlap, coord, score)
+
+        Invariant (the TestExplanations contract): for every surviving doc,
+        (must_sum + should_sum) * coord * boost == score(query). Classic
+        applies coord = overlap/maxOverlap; BM25 disables coord exactly as
+        score() does."""
+        must = [c.query for c in query.clauses if c.occur == MUST]
+        should = [c.query for c in query.clauses if c.occur == SHOULD]
+        must_not = [c.query for c in query.clauses if c.occur == MUST_NOT]
+        if not must and not should:
+            raise ValueError("explain_boolean needs a positive clause")
+        qn = self.query_norm_for(query)
+        parts = [
+            self.score(q, qn).select(
+                "doc_id", "score", F.lit(1).alias("is_must")
+            )
+            for q in must
+        ] + [
+            self.score(q, qn).select(
+                "doc_id", "score", F.lit(0).alias("is_must")
+            )
+            for q in should
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        agg = union.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("is_must") == 1, F.col("score"))
+                  .otherwise(0.0)).alias("must_sum"),
+            F.sum(F.when(F.col("is_must") == 0, F.col("score"))
+                  .otherwise(0.0)).alias("should_sum"),
+            F.sum("is_must").alias("must_matched"),
+            F.count("*").alias("overlap"),
+        )
+        if must:
+            agg = agg.filter(F.col("must_matched") == len(must))
+        if query.min_should_match > 0 and should:
+            agg = agg.filter(
+                (F.col("overlap") - F.col("must_matched"))
+                >= query.min_should_match
+            )
+        max_overlap = len(must) + len(should)
+        if self.similarity == "classic" and max_overlap > 1:
+            coord = F.col("overlap") / F.lit(float(max_overlap))
+        else:
+            coord = F.lit(1.0)
+        out = agg.select(
+            "doc_id",
+            "must_sum",
+            "should_sum",
+            F.col("overlap").cast("long").alias("overlap"),
+            F.lit(max_overlap).cast("long").alias("max_overlap"),
+            coord.alias("coord"),
+            ((F.col("must_sum") + F.col("should_sum")) * coord
+             * F.lit(query.boost)).alias("score"),
+        )
+        for q in must_not:
+            out = out.join(self.score(q).select("doc_id"), "doc_id", "left_anti")
+        return out
+
     def topk_sorted(
         self,
         query: Query,

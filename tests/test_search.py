@@ -202,6 +202,56 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_explain_boolean_invariant(index):
+    """TestExplanations contract for BooleanWeight::explain: the component
+    identity (must_sum + should_sum) * coord * boost == score(query) holds
+    for every matched doc, across both similarities and boolean shapes
+    (AND / OR / NOT / minShouldMatch / boosted / nested / phrase clause)."""
+    shapes = [
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join"), MUST),
+        BooleanQuery()
+        .add(TermQuery(term="spark"), SHOULD)
+        .add(TermQuery(term="vector"), SHOULD),
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="vector"), SHOULD)
+        .add(TermQuery(term="window"), MUST_NOT),
+        BooleanQuery(min_should_match=2)
+        .add(TermQuery(term="spark"), SHOULD)
+        .add(TermQuery(term="vector"), SHOULD)
+        .add(TermQuery(term="join"), SHOULD),
+        BooleanQuery(boost=2.5)
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join"), SHOULD),
+        BooleanQuery()
+        .add(
+            BooleanQuery()
+            .add(TermQuery(term="spark"), SHOULD)
+            .add(TermQuery(term="join"), SHOULD),
+            MUST,
+        )
+        .add(TermQuery(term="vector"), SHOULD),
+        BooleanQuery()
+        .add(PhraseQuery(terms=["data", "stream"]), SHOULD)
+        .add(TermQuery(term="spark"), SHOULD),
+    ]
+    for sim in ("bm25", "classic"):
+        s = Searcher(index, similarity=sim)
+        for q in shapes:
+            exp = {r["doc_id"]: r for r in s.explain_boolean(q).collect()}
+            want = {r["doc_id"]: r["score"]
+                    for r in s.score(q, s.query_norm_for(q)).collect()}
+            assert set(exp) == set(want), (sim, str(q))
+            for d, r in exp.items():
+                rebuilt = (r["must_sum"] + r["should_sum"]) * r["coord"] * q.boost
+                assert math.isclose(rebuilt, r["score"], rel_tol=1e-9), (sim, str(q))
+                assert math.isclose(r["score"], want[d],
+                                    rel_tol=1e-6, abs_tol=1e-9), (sim, str(q))
+                assert r["overlap"] <= r["max_overlap"]
+
+
 def test_fuzzy_reference_fixture(spark):
     """TestQueries.cpp testFuzziness (83-200): hit counts AND ranked order
     over the reference's aaaaa..ddddd corpus, across prefixLength 0-6 —
