@@ -120,9 +120,23 @@ class RangeQuery(Query):
     upper: Optional[str] = None
     inclusive: bool = True
     field: Optional[str] = None
+    # per-bound overrides — the reference RangeFilter/ConstantScoreRange
+    # grid takes includeLower/includeUpper SEPARATELY (RangeFilter.cpp
+    # constructor); None falls back to `inclusive` for the symmetric form
+    include_lower: Optional[bool] = None
+    include_upper: Optional[bool] = None
+
+    @property
+    def inc_lower(self) -> bool:
+        return self.inclusive if self.include_lower is None else self.include_lower
+
+    @property
+    def inc_upper(self) -> bool:
+        return self.inclusive if self.include_upper is None else self.include_upper
 
     def __str__(self) -> str:
-        o, c = ("[", "]") if self.inclusive else ("{", "}")
+        o = "[" if self.inc_lower else "{"
+        c = "]" if self.inc_upper else "}"
         return _boosted(
             f"{_fpfx(self.field)}{o}{self.lower or '*'} TO {self.upper or '*'}{c}",
             self.boost,
@@ -487,9 +501,9 @@ class Searcher:
                 c, lo, hi = F.col("term"), query.lower, query.upper
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (c >= lo if query.inclusive else c > lo)
+                cond = cond & (c >= lo if query.inc_lower else c > lo)
             if hi is not None:
-                cond = cond & (c <= hi if query.inclusive else c < hi)
+                cond = cond & (c <= hi if query.inc_upper else c < hi)
             return td.filter(cond)
         raise TypeError(f"not a multi-term query: {query}")
 

@@ -202,6 +202,44 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_range_filter_inclusivity_grid(spark):
+    """TestRangeFilter.cpp testRangeFilterId: the includeLower x
+    includeUpper grid over padded sortable ids — bounded both ends,
+    half-bounded, and unbounded, with exact hit counts."""
+    from clucene_spark.index.build import InvertedIndex
+
+    N = 200
+
+    def pad(n):
+        return f"{n:05d}"
+
+    docs = spark.createDataFrame([(i, pad(i)) for i in range(N + 1)],
+                                 "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs))
+
+    def n(lo, hi, il, iu):
+        q = RangeQuery(lower=lo, upper=hi, include_lower=il, include_upper=iu)
+        return s.score(q).count()
+
+    lo, hi, med = pad(0), pad(N), pad(N // 2)
+    num = N + 1
+    assert n(lo, hi, True, True) == num            # find all
+    assert n(lo, hi, True, False) == num - 1       # all but last
+    assert n(lo, hi, False, True) == num - 1       # all but first
+    assert n(lo, hi, False, False) == num - 2      # all but ends
+    assert n(med, hi, True, True) == 1 + N - N // 2   # med and up
+    assert n(lo, med, True, True) == 1 + N // 2       # up to med
+    assert n(lo, None, True, False) == num         # min and up
+    assert n(None, hi, False, True) == num         # max and down
+    assert n(lo, None, False, False) == num - 1    # not min, but up
+    assert n(None, hi, False, False) == num - 1    # not max, but down
+    assert n(med, hi, True, False) == N - N // 2
+    assert n(med, hi, False, True) == N - N // 2
+    assert n(med, hi, False, False) == N - N // 2 - 1
+    # mixed inclusivity prints mixed brackets, like ConstantScoreRange
+    assert str(RangeQuery(lower="a", upper="b", include_upper=False)) == "[a TO b}"
+
+
 def test_explain_boolean_invariant(index):
     """TestExplanations contract for BooleanWeight::explain: the component
     identity (must_sum + should_sum) * coord * boost == score(query) holds
