@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratum_cap": _q_sample_cap,
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
+        "shard_assign": _q_shard_assign,
         "stream_dedup_state": _q_stream_dedup,
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
@@ -1601,6 +1602,20 @@ def _q_pii(spark, sf):
         ).otherwise(F.col("text")),
     )
     return pii_stats(planted).orderBy("doc_id")
+
+
+def _q_shard_assign(spark, sf):
+    """Deterministic training-shard assignment (pipeline/shards.py):
+    shard = portable md5-60 of '{seed}:{doc_id}' mod n — stable under any
+    reordering/repartitioning; the oracle recomputes it from the same
+    md5 bytes."""
+    from clucene_spark.pipeline.shards import shard_assign
+
+    return (
+        shard_assign(_docs(spark, sf), n_shards=8)
+        .select("doc_id", "shard")
+        .orderBy("doc_id")
+    )
 
 
 def _q_pack_sequences(spark, sf):
@@ -3227,6 +3242,12 @@ SELECT doc_id, n_tokens, start_tok,
                  - CAST(floor(start_tok / 512.0) AS BIGINT) + 1
             ELSE 0 END AS n_packs
 FROM c ORDER BY doc_id
+""",
+        "shard_assign": """
+SELECT doc_id,
+       CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 8 AS INT) AS shard
+FROM documents ORDER BY doc_id
 """,
         "stream_dedup_state": _dup_corpus_sql(1.0) + """
 SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS h,

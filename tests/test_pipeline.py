@@ -396,6 +396,37 @@ def test_ivfpq_store_prunes_shortlists_reranks(spark, vecs, tmp_path):
     assert {(r["vec_id"], r["cosine"]) for r in short.collect()} <= all_cos
 
 
+def test_write_shards_partitions_and_manifest(spark, docs, tmp_path):
+    """Training-shard export: hash assignment is stable under reorder, the
+    shard dirs form a disjoint cover of the corpus, and the manifest's
+    per-shard rows/bytes reconcile with what is on disk."""
+    from clucene_spark.pipeline.shards import shard_assign, write_shards
+
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = write_shards(docs, path, n_shards=8)
+    assert manifest["total_rows"] == n
+    assert len(manifest["shards"]) == 8
+    assert all(s["bytes"] > 0 for s in manifest["shards"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n  # disjoint cover
+    # on-disk shard == recomputed assignment (stability under reorder)
+    want = {r["doc_id"]: r["shard"]
+            for r in shard_assign(docs.orderBy(F.col("doc_id").desc()), 8)
+            .select("doc_id", "shard").collect()}
+    got = {r["doc_id"]: r["shard"]
+           for r in back.select("doc_id", "shard").collect()}
+    assert got == want
+    # manifest counts match per-shard reality
+    disk = {int(r["shard"]): r["n"] for r in
+            back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert {s["shard"]: s["rows"] for s in manifest["shards"]} == {
+        k: disk.get(k, 0) for k in range(8)
+    }
+
+
 def test_clean_corpus_fates(spark, docs):
     """Curation pass: planted exact twins drop as exact_dup, truncated
     twins as near_dup (or low_quality when truncation guts them), originals
