@@ -202,6 +202,25 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_typed_sort_reference_semantics(spark):
+    """TestSort testTypedSort/testReverseSort essence: an int-typed field
+    sorts numerically (10 > 9) where a string field would sort
+    lexicographically ("10" < "9") — column types carry the SortField
+    type; reverse=false/true are both exact."""
+    from clucene_spark.index.build import InvertedIndex
+
+    rows = [(0, "common", 9, "9"), (1, "common", 10, "10"), (2, "common", 2, "2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, i long, s string")
+    s = Searcher(InvertedIndex(docs))
+    q = TermQuery(term="common")
+    by_int = [r["doc_id"] for r in s.topk_sorted(q, "i", ascending=False).collect()]
+    assert by_int == [1, 0, 2]          # numeric: 10, 9, 2
+    by_str = [r["doc_id"] for r in s.topk_sorted(q, "s", ascending=False).collect()]
+    assert by_str == [0, 2, 1]          # lexicographic: "9", "2", "10"
+    rev = [r["doc_id"] for r in s.topk_sorted(q, "i", ascending=True).collect()]
+    assert rev == list(reversed(by_int))
+
+
 def test_range_filter_inclusivity_grid(spark):
     """TestRangeFilter.cpp testRangeFilterId: the includeLower x
     includeUpper grid over padded sortable ids — bounded both ends,
