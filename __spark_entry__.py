@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
         "shard_assign": _q_shard_assign,
+        "embed_quantize_int8": _q_quantize_int8,
         "stream_dedup_state": _q_stream_dedup,
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
@@ -1602,6 +1603,29 @@ def _q_pii(spark, sf):
         ).otherwise(F.col("text")),
     )
     return pii_stats(planted).orderBy("doc_id")
+
+
+def _q_quantize_int8(spark, sf):
+    """Symmetric per-vector int8 quantization (ann.quantize_int8): gate
+    digests the code vector as scalar reductions (sum, abs-sum, saturation
+    count) plus the dequantized-vs-original cosine — the oracle evaluates
+    the identical Catalyst arithmetic as SQL lambdas."""
+    from clucene_spark.pipeline.ann import _dot, _norm, dequantize_col, quantize_int8
+
+    qz = quantize_int8(_vecs(spark, sf))
+    e = F.col("embedding").cast("array<double>")
+    dq = dequantize_col(F.col("q"), F.col("scale"))
+    return qz.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("sum_q"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
+        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127))
+        .cast("int").alias("n_sat"),
+        F.round(_dot(e, dq) / (_norm(e) * _norm(dq)), 4).alias("cos_dq"),
+    ).orderBy("vec_id")
 
 
 def _q_shard_assign(spark, sf):
@@ -3242,6 +3266,28 @@ SELECT doc_id, n_tokens, start_tok,
                  - CAST(floor(start_tok / 512.0) AS BIGINT) + 1
             ELSE 0 END AS n_packs
 FROM c ORDER BY doc_id
+""",
+        "embed_quantize_int8": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS m FROM v)),
+qz AS (SELECT vec_id, e, scale,
+              list_transform(e, x -> CAST(ROUND(x / scale, 0) AS INT)) AS q
+       FROM s),
+dq AS (SELECT vec_id, e, scale, q,
+              list_transform(q, c -> CAST(c AS DOUBLE) * scale) AS d
+       FROM qz)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale_r,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat,
+       ROUND(list_inner_product(e, d)
+             / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(d, d))),
+             4) AS cos_dq
+FROM dq ORDER BY vec_id
 """,
         "shard_assign": """
 SELECT doc_id,

@@ -426,6 +426,37 @@ def ivfpq_write(
     coded.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
+def quantize_int8(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4x
+    embedding compression (scale = max|x|/127, q_i = round(x_i/scale)).
+    Pure Catalyst expression tree (aggregate fold for max-abs, transform
+    for the codes — 1-arg lambdas only), so a DuckDB oracle evaluates the
+    identical arithmetic: same max (exact), same division, same
+    round-half-away. Output: (id, scale, q array<int>, vec). Use
+    `dequantize_col` to reconstruct q_i * scale for scoring."""
+    e = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    q = F.transform(e, lambda x: F.round(x / scale, 0).cast("int"))
+    return vecs.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.col(vec_col),
+    )
+
+
+def dequantize_col(q_col, scale_col):
+    """Reconstructed vector: q_i * scale (array<double>)."""
+    return F.transform(q_col, lambda c: c.cast("double") * scale_col)
+
+
 def adc_lut(
     codebooks: list[list[list[float]]], query: list[float]
 ) -> list[list[float]]:

@@ -396,6 +396,28 @@ def test_ivfpq_store_prunes_shortlists_reranks(spark, vecs, tmp_path):
     assert {(r["vec_id"], r["cosine"]) for r in short.collect()} <= all_cos
 
 
+def test_quantize_int8_roundtrip(vecs):
+    """Symmetric int8 quantization: codes bounded, the max element
+    saturates to ±127 by construction, reconstruction error per element
+    is bounded by scale/2, and the dequantized cosine is 1.0 at 4 dp on
+    64-dim vectors (the 4x compression is effectively lossless for
+    similarity search)."""
+    import numpy as np
+
+    from clucene_spark.pipeline.ann import quantize_int8
+
+    rows = quantize_int8(vecs.limit(64)).collect()
+    for r in rows:
+        e = np.asarray(list(r["embedding"]), dtype=np.float64)
+        q = np.asarray(list(r["q"]), dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        assert (np.abs(q) == 127).sum() >= 1          # max element saturates
+        dq = q * r["scale"]
+        assert np.abs(dq - e).max() <= r["scale"] / 2 + 1e-12
+        cos = (e @ dq) / (np.linalg.norm(e) * np.linalg.norm(dq))
+        assert round(cos, 4) == 1.0
+
+
 def test_write_shards_partitions_and_manifest(spark, docs, tmp_path):
     """Training-shard export: hash assignment is stable under reorder, the
     shard dirs form a disjoint cover of the corpus, and the manifest's
