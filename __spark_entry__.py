@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "shard_assign": _q_shard_assign,
         "embed_quantize_int8": _q_quantize_int8,
+        "ann_cosine_int8_topk": _q_ann_int8,
         "stream_dedup_state": _q_stream_dedup,
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
@@ -1626,6 +1627,17 @@ def _q_quantize_int8(spark, sf):
         .cast("int").alias("n_sat"),
         F.round(_dot(e, dq) / (_norm(e) * _norm(dq)), 4).alias("cos_dq"),
     ).orderBy("vec_id")
+
+
+def _q_ann_int8(spark, sf):
+    """Cosine top-k over the int8-quantized corpus (4x scan compression;
+    codes+scale reconstruct the vector in-plan). Oracle replays the
+    quantization arithmetic in SQL lambdas and scores the dequantized
+    vectors with the shared cosine template."""
+    from clucene_spark.pipeline.ann import cosine_topk_quantized, quantize_int8
+
+    qz = quantize_int8(_vecs(spark, sf))
+    return cosine_topk_quantized(qz, _query_vec(spark, sf, vec_id=5), k=10)
 
 
 def _q_shard_assign(spark, sf):
@@ -3288,6 +3300,22 @@ SELECT vec_id,
              / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(d, d))),
              4) AS cos_dq
 FROM dq ORDER BY vec_id
+""",
+        "ann_cosine_int8_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
+s AS (SELECT vec_id, e,
+             CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS m FROM v)),
+dq AS (SELECT vec_id,
+              list_transform(
+                list_transform(e, x -> CAST(ROUND(x / scale, 0) AS INT)),
+                c -> CAST(c AS DOUBLE) * scale) AS d
+       FROM s)
+SELECT vec_id, ROUND({_COS_SQL.format(a='d', b='qe')}, 4) AS cosine
+FROM dq, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "shard_assign": """
 SELECT doc_id,

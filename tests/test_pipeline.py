@@ -418,6 +418,30 @@ def test_quantize_int8_roundtrip(vecs):
         assert round(cos, 4) == 1.0
 
 
+def test_int8_packed_scoring_equals_array_form(vecs):
+    """The BINARY-packed int8 store (1 byte/dim — the real 4x) must score
+    identically to the array form, and the quantized ranking must agree
+    with exact float cosine on this corpus (quantization is lossless at
+    4 dp here)."""
+    from clucene_spark.pipeline.ann import (
+        cosine_topk,
+        cosine_topk_int8_packed,
+        cosine_topk_quantized,
+        quantize_int8,
+        quantized_pack,
+    )
+
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 5).first()["embedding"]]
+    qz = quantize_int8(vecs)
+    a = [(r["vec_id"], r["cosine"])
+         for r in cosine_topk_quantized(qz, q, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"])
+         for r in cosine_topk_int8_packed(quantized_pack(qz), q, k=10).collect()]
+    assert a == b
+    exact = [r["vec_id"] for r in cosine_topk(vecs, q, k=10).collect()]
+    assert [v for v, _ in a] == exact
+
+
 def test_write_shards_partitions_and_manifest(spark, docs, tmp_path):
     """Training-shard export: hash assignment is stable under reorder, the
     shard dirs form a disjoint cover of the corpus, and the manifest's
