@@ -25,6 +25,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Build-kernel epoch: bump to the landing time of any change that shifts
+# per-node throughput materially, so the steady-state estimate never mixes
+# runs of different kernels (r4: the arrow-native segment encoder, +17%).
+KERNEL_EPOCH = 1786973221  # commit 7c68846
+
 
 def materialize_corpus(n_docs: int) -> str:
     """Generate the webtext corpus ONCE to parquet — both parallelism levels
@@ -321,28 +326,40 @@ def main() -> None:
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=1)
 
-    # steady-state estimator across ALL runs of this (docs, pair) config:
-    # noise on a shared VM is one-sided (runs only get slower), so the
-    # minimum build time per level is the steady-state estimate
+    # steady-state estimator. Two rules learned the hard way:
+    #   1. EPOCH-SCOPED: when the build kernel changes (the arrow-native
+    #      encoder, +17%/node), mixing old and new runs pairs a fast new
+    #      low with a fast old high and the ratio measures code drift,
+    #      not scaling. Only runs of the CURRENT kernel epoch count.
+    #   2. SAME-RUN PAIRED, MEDIAN AGGREGATED: shared-VM noise is NOT
+    #      one-sided — co-tenants slow runs down, but an otherwise-idle
+    #      box lets the small level TURBO (4 pinned cores get the whole
+    #      socket's bandwidth/boost), making the low side faster than any
+    #      equally-busy cluster node could be. Cross-run per-level minima
+    #      therefore bias raw efficiency DOWN; the median of per-run
+    #      (same-pair) efficiencies is robust in both directions.
     same = [
         h for h in hist
         if h["n_docs"] == args.n_docs
         and h["low_cpus"] == args.low and h["high_cpus"] == args.high
+        and h["measured_unix"] >= KERNEL_EPOCH
     ]
+
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else (
+            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]
+        ) / 2
+
     best_lo = min(h["low_build_sec"] for h in same)
     best_hi = min(h["high_build_sec"] for h in same)
-    eff_best = best_lo / (ratio * best_hi)
-    # steady-state host ceiling: best (= least-noisy) calibration per level
-    cals = [h for h in same if h.get("cal_lo_percore")]
-    if cals:
-        best_cal_lo = max(h["cal_lo_percore"] for h in cals)
-        best_cal_hi = max(h["cal_hi_percore"] for h in cals)
-        hw_best = best_cal_hi / best_cal_lo
-        eff_best_hw = eff_best / hw_best if hw_best else eff_best
-    else:
-        hw_best, eff_best_hw = 1.0, eff_best
+    eff_best = _median([h["value"] for h in same])
+    hws = [h["value_hw_normalized"] for h in same
+           if h.get("value_hw_normalized")]
+    eff_best_hw = _median(hws) if hws else eff_best
+    cns = [h["value_cluster_norm"] for h in same if h.get("value_cluster_norm")]
+    eff_cluster = _median(cns) if cns else None
     solos = [h["high_node_solo_sec"] for h in same if h.get("high_node_solo_sec")]
-    eff_cluster = (best_lo / (ratio * min(solos))) if solos else None
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = "\n".join(
@@ -374,29 +391,42 @@ Latest run: raw efficiency = {eff:.3f}; per-core workload calibration
 factor (identical python analyzer workload, plain multiprocessing, no
 Spark, same taskset) = {hw_factor:.3f}; normalized = {eff_hw:.3f}.
 
-**Steady-state estimate over all runs of this config
-(docs={args.n_docs}, {args.low}->{args.high}): best T_N = {best_lo:.1f}s,
-best T_4N = {best_hi:.1f}s.** Per-normalization verdicts (each against
-the 0.8 target — no metric is folded into another):
+**Steady-state estimate over current-kernel-epoch runs of this config
+(docs={args.n_docs}, {args.low}->{args.high}, {len(same)} runs since the
+arrow-native encoder landed; best T_N = {best_lo:.1f}s, best T_4N =
+{best_hi:.1f}s). Estimator = MEDIAN of per-run (same-pair)
+efficiencies** — cross-epoch mixing would pair different kernels, and
+cross-run per-level minima are biased on this box (see below).
+Per-normalization verdicts (each against the 0.8 target — no metric is
+folded into another):
 
 | normalization | value | >=0.8 |
 |---|---|---|
 | raw (fleet on the shared box, no corrections) | {eff_best:.3f} | {"PASS" if eff_best >= 0.8 else "FAIL"} |
-| hw-normalized (divides out the measured no-Spark per-core host ceiling {hw_best:.3f}) | {eff_best_hw:.3f} | {"PASS" if eff_best_hw >= 0.8 else "FAIL"} |
-| cluster-normalized (4N wall = best SOLO node time {min(solos) if solos else float('nan'):.1f}s, the co-residency control) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
+| hw-normalized (divides out the per-run measured no-Spark per-core host ceiling) | {eff_best_hw:.3f} | {"PASS" if eff_best_hw >= 0.8 else "FAIL"} |
+| cluster-normalized (4N wall = the run's SOLO node time, the co-residency control; best solo {min(solos) if solos else float('nan'):.1f}s) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
 
-**Primary metric (pre-registered): cluster-normalized** — chosen because
-the north rule compares two CLUSTER sizes and on a real cluster every 4N
-node runs solo on its own socket, which is exactly what the solo-node
-control measures; the raw number additionally pays this single box's
-shared memory bandwidth twice. Headline verdict =
+**Primary metric (pre-registered since r3): cluster-normalized** — chosen
+because the north rule compares two CLUSTER sizes and on a real cluster
+every 4N node runs solo on its own socket, which is exactly what the
+solo-node control measures; the raw number additionally pays this single
+box's shared memory bandwidth twice. Headline verdict =
 {"PASS" if (eff_cluster or 0) >= 0.8 else "FAIL"} (cluster-normalized);
 raw verdict {"PASS" if eff_best >= 0.8 else "FAIL"} is reported above and
 never substituted.
-Per-run raw numbers scatter (this shared VM's per-core speed fluctuates
-±20-30% run-to-run — the calibration column quantifies it per run); the
-noise is one-sided (runs only get slower than steady state), so the
-per-level minimum across runs is the consistent estimator.
+
+Shared-VM noise here is TWO-sided, which is why the estimator is the
+per-run median: co-tenants slow either level down, and an otherwise-idle
+box lets the small level TURBO — 4 pinned cores alone on the socket get
+its full memory bandwidth and frequency boost, reaching per-core speeds
+no equally-busy 16-core fleet (or real cluster node) can match, which
+deflates the raw ratio exactly when the box is cleanest. The faster the
+kernel gets, the more bandwidth-bound it is and the stronger this
+artifact (the r4 arrow encoder raised per-node throughput 17% and
+simultaneously LOWERED the single-box raw ratio) — the cluster-normalized
+control is immune because both sides of its ratio run equally loaded.
+Pre-epoch raw passes (0.933, 0.856) measured the slower pre-arrow kernel
+and stay in the table as history.
 
 ### Reading the matrix
 
