@@ -346,6 +346,20 @@ def test_parser_stopword_groups(qs, want):
     assert (None if q is None else str(q)) == want
 
 
+def test_wildcard_rewrite_types():
+    # assertWildcardQueryEquals (TestQueryParser.cpp:357-426): trailing-*
+    # only -> PrefixQuery; interior wildcards -> WildcardQuery; suffixes
+    # compose with boosts
+    assert isinstance(parse("term*"), PrefixQuery)
+    assert isinstance(parse("term*germ"), WildcardQuery)
+    q = parse("term*^2")
+    assert isinstance(q, PrefixQuery) and q.boost == 2.0
+    q = parse("term*germ^3")
+    assert isinstance(q, WildcardQuery) and q.boost == 3.0
+    q = parse("sp?rk*")
+    assert isinstance(q, WildcardQuery) and q.pattern == "sp?rk*"
+
+
 def test_truncated_unicode_escape_is_parse_error():
     with pytest.raises(QueryParserError):
         parse(r"ab\u00")
