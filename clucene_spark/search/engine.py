@@ -980,6 +980,68 @@ class Searcher:
             out = out.join(self.score(q).select("doc_id"), "doc_id", "left_anti")
         return out
 
+    def extract_terms(
+        self, query: Query, include_prohibited: bool = False,
+        max_expansion: int = 1024,
+    ) -> list[tuple[str, float]]:
+        """QueryTermExtractor::getTerms (reference contribs highlighter
+        QueryTermExtractor.cpp:30-90): flatten a query tree into
+        (term, weight) pairs for highlighting — recursing through
+        boolean/filtered/span nodes, REWRITING multi-term nodes against
+        the live term dictionary (Prefix/Wildcard/Range expand to their
+        dictionary matches, Fuzzy to its similarity-weighted expansion),
+        skipping prohibited clauses unless asked (getTerms' prohibited
+        flag). Weights are boost products; duplicates keep the max.
+        Expansions cap at `max_expansion` terms — the reference's
+        BooleanQuery::rewrite 1024-clause ceiling."""
+        from clucene_spark.search import spans as sp
+
+        out: dict[str, float] = {}
+
+        def add(t: str, w: float) -> None:
+            out[t] = max(out.get(t, 0.0), w)
+
+        def walk(q, boost: float) -> None:
+            b = boost * getattr(q, "boost", 1.0)
+            if isinstance(q, TermQuery):
+                add(q.term, b)
+            elif isinstance(q, PhraseQuery):
+                for t in q.terms:
+                    add(t, b)
+            elif isinstance(q, MultiPhraseQuery):
+                for slot in q.slots:
+                    for t in slot:
+                        add(t, b)
+            elif isinstance(q, BooleanQuery):
+                for c in q.clauses:
+                    if c.occur != MUST_NOT or include_prohibited:
+                        walk(c.query, b)
+            elif isinstance(q, FilteredQuery):
+                walk(q.query, b)
+            elif isinstance(q, FuzzyQuery):
+                rows = self._fuzzy_matches(q).select("term", "rw_boost") \
+                    .limit(max_expansion).collect()
+                for r in rows:
+                    add(r["term"], b * r["rw_boost"])
+            elif isinstance(q, (PrefixQuery, WildcardQuery, RangeQuery)):
+                rows = self._expand_terms(q).select("term") \
+                    .limit(max_expansion).collect()
+                for r in rows:
+                    add(r["term"], b)
+            elif isinstance(q, sp.SpanTerm):
+                add(q.term, b)
+            elif isinstance(q, sp.SpanFirst):
+                walk(q.query, b)
+            elif isinstance(q, (sp.SpanNear, sp.SpanOr)):
+                for c in q.clauses:
+                    walk(c, b)
+            elif isinstance(q, sp.SpanNot):
+                walk(q.include, b)  # exclude side never highlights
+            # MatchAll / ConstantScore / Keyword carry no index terms
+
+        walk(query, 1.0)
+        return sorted(out.items())
+
     def topk_sorted(
         self,
         query: Query,

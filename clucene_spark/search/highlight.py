@@ -92,6 +92,26 @@ HL_SCHEMA = T.StructType(
 )
 
 
+def highlight_query(
+    docs: DataFrame,
+    query,
+    searcher,
+    fragment_size: int = 100,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Highlight straight from a Query tree: extract (term, weight) pairs
+    via Searcher.extract_terms (the QueryScorer(query) constructor path —
+    reference QueryScorer.cpp:37-49 builds its WeightedTerm map exactly
+    this way) and run the fragment pipeline with those weights."""
+    pairs = searcher.extract_terms(query)
+    return highlight(
+        docs, [t for t, _ in pairs], fragment_size, text_col, doc_id_col,
+        analyzer,
+    )
+
+
 def highlight(
     docs: DataFrame,
     query_terms: list[str],

@@ -202,6 +202,62 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_extract_terms_reference_shapes(index):
+    """TestExtractTerms.cpp: extraction from Term/Phrase/Boolean/Wildcard/
+    Fuzzy/Span queries — boost products as weights, prohibited clauses
+    skipped unless asked, multi-term nodes rewritten against the live
+    term dictionary."""
+    s = Searcher(index)
+    assert s.extract_terms(TermQuery(term="spark")) == [("spark", 1.0)]
+    got = dict(s.extract_terms(PhraseQuery(terms=["data", "stream"], boost=2.0)))
+    assert got == {"data": 2.0, "stream": 2.0}
+    bq = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join", boost=3.0), SHOULD)
+        .add(TermQuery(term="window"), MUST_NOT)
+    )
+    assert dict(s.extract_terms(bq)) == {"spark": 1.0, "join": 3.0}
+    assert "window" in dict(s.extract_terms(bq, include_prohibited=True))
+    # prefix rewrite == the dictionary's matching terms
+    exp = [t for t, _ in s.extract_terms(PrefixQuery(prefix="s"))]
+    want = sorted(r["term"] for r in
+                  index.term_dict.filter("term LIKE 's%'").collect())
+    assert exp == want
+    # fuzzy expansion carries rewrite boosts in (0, 1] and the exact term
+    pairs = dict(s.extract_terms(FuzzyQuery(term="spark")))
+    assert "spark" in pairs
+    assert all(0.0 < w <= 1.0 for w in pairs.values())
+    # span tree recursion
+    from clucene_spark.search.spans import SpanNear, SpanNot, SpanTerm
+
+    got = dict(s.extract_terms(
+        SpanNear(clauses=[SpanTerm(term="data"), SpanTerm(term="stream")])
+    ))
+    assert got == {"data": 1.0, "stream": 1.0}
+    got = dict(s.extract_terms(
+        SpanNot(include=SpanTerm(term="data"), exclude=SpanTerm(term="junk"))
+    ))
+    assert got == {"data": 1.0}  # exclude side never highlights
+
+
+def test_highlight_query_end_to_end(index, spark):
+    """QueryScorer(query) path: highlight a page straight from a Query
+    tree — extracted terms drive the fragmenter."""
+    from clucene_spark.search.highlight import highlight_query
+
+    s = Searcher(index)
+    q = (
+        BooleanQuery()
+        .add(TermQuery(term="spark"), MUST)
+        .add(TermQuery(term="join"), SHOULD)
+    )
+    page = s.topk(q, 3).select("doc_id").join(index.docs, "doc_id")
+    frags = highlight_query(page, q, s).collect()
+    assert len(frags) == 3
+    assert all("<b>" in r["fragment"] for r in frags)
+
+
 def test_typed_sort_reference_semantics(spark):
     """TestSort testTypedSort/testReverseSort essence: an int-typed field
     sorts numerically (10 > 9) where a string field would sort
