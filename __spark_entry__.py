@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": _q_shard_assign,
         "embed_quantize_int8": _q_quantize_int8,
         "ann_cosine_int8_topk": _q_ann_int8,
+        "batch_term_topk": _q_batch_topk,
         "stream_dedup_state": _q_stream_dedup,
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
@@ -1604,6 +1605,22 @@ def _q_pii(spark, sf):
         ).otherwise(F.col("text")),
     )
     return pii_stats(planted).orderBy("doc_id")
+
+
+_BATCH_QUERIES = {
+    "q1": ["spark"],
+    "q2": ["spark", "join"],
+    "q3": ["vector"],
+    "q4": ["data", "stream", "window"],
+}
+
+
+def _q_batch_topk(spark, sf):
+    """Batch query execution: the whole query set scored in ONE job (one
+    postings scan amortized across queries, per-query rank window). Scores
+    are the same BM25 sums as the single-query gates; the oracle joins the
+    same VALUES query set against the shared bm25 prelude."""
+    return _searcher(spark, sf).batch_topk(_BATCH_QUERIES, k=5)
 
 
 def _q_quantize_int8(spark, sf):
@@ -3300,6 +3317,23 @@ SELECT vec_id,
              / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(d, d))),
              4) AS cos_dq
 FROM dq ORDER BY vec_id
+""",
+        "batch_term_topk": _PRELUDE
+        + """
+, qset AS (SELECT * FROM (VALUES
+    ('q1','spark'),('q2','spark'),('q2','join'),('q3','vector'),
+    ('q4','data'),('q4','stream'),('q4','window')) AS t(query_id, term)),
+scores AS (
+  SELECT q.query_id, b.doc_id, ROUND(SUM(b.sc), 4) AS score
+  FROM bm25 b JOIN qset q USING (term)
+  GROUP BY q.query_id, b.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scores)
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= 5
+ORDER BY query_id, score DESC, doc_id ASC
 """,
         "ann_cosine_int8_topk": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

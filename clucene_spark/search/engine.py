@@ -980,6 +980,68 @@ class Searcher:
             out = out.join(self.score(q).select("doc_id"), "doc_id", "left_anti")
         return out
 
+    def batch_topk(
+        self,
+        queries,
+        k: int = 10,
+        field: Optional[str] = None,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """Score an entire query SET in ONE job — the offline-eval /
+        relevance-mining pattern a per-query engine can't amortize:
+        thousands of term queries share a single postings scan instead of
+        a scan each (at 100 TB the scan dominates, so batch cost is
+        ~one query's IO plus a bounded aggregate).
+
+        `queries`: {query_id: [terms]} dict or a (query_id, term)
+        DataFrame. Plan: the tiny query table broadcast-joins into the
+        postings scan (pushing an In(term) filter), per-(query, doc)
+        scores fold through ONE map-side-combined aggregate, and the
+        per-query top-k is a rank window partitioned by query_id — each
+        window partition holds one query's candidate set, never the
+        corpus. Scores match the single-query TermQuery/SHOULD path
+        exactly (BM25; classic runs with queryNorm=1, the batch has no
+        per-query two-pass norm). Returns (query_id, doc_id, score),
+        top-k per query, ordered (query_id, score DESC, doc_id ASC)."""
+        from pyspark.sql import Window
+
+        p0 = self._postings(field)
+        spark = p0.sparkSession
+        if isinstance(queries, dict):
+            rows = [(qid, t) for qid, ts in queries.items() for t in ts]
+            qdf = spark.createDataFrame(rows, "query_id string, term string")
+        else:
+            qdf = queries
+        p = (
+            p0.join(F.broadcast(qdf), "term")
+            .join(F.broadcast(self._tdict(field).select("term", "df")), "term")
+            .join(self._doclens(field), "doc_id")
+        )
+        if self.similarity == "bm25":
+            per_term = sim.bm25_score(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                F.lit(float(self.n_docs)), F.lit(self._avgdl(field)),
+            )
+        else:
+            idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
+            per_term = (
+                sim.classic_tf(F.col("tf")) * idf * idf
+                * (1.0 / F.sqrt(F.col("dl")))
+            )
+        agg = (
+            p.groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(per_term), round_to).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "doc_id", "score")
+            .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+        )
+
     def extract_terms(
         self, query: Query, include_prohibited: bool = False,
         max_expansion: int = 1024,

@@ -202,6 +202,29 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_batch_topk_matches_per_query(index):
+    """Batch query execution (one shared postings scan + per-query rank
+    window) must reproduce the per-query SHOULD-boolean top-k exactly —
+    same docs, same 4-dp scores — and the tiny query table must broadcast
+    (the scan amortization is the whole point)."""
+    s = Searcher(index)
+    qs = {"a": ["spark"], "b": ["spark", "join"], "c": ["data", "stream"]}
+    batch = s.batch_topk(qs, k=5)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in qs.items():
+        bq = BooleanQuery()
+        for t in terms:
+            bq.add(TermQuery(term=t), SHOULD)
+        want = [(r["doc_id"], r["score"])
+                for r in s.topk(bq, 5, round_to=4).collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
 def test_extract_terms_reference_shapes(index):
     """TestExtractTerms.cpp: extraction from Term/Phrase/Boolean/Wildcard/
     Fuzzy/Span queries — boost products as weights, prohibited clauses
