@@ -3563,26 +3563,17 @@ FROM bm25
 WHERE term IN ('spark', 'join') AND field IN ('title', 'text')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
     )
-    # date terms: strftime == DateTools day resolution; every doc has one
-    # term, dl=1, avgdl=1 — bm25 reduces to idf (formula kept in full for
-    # float identity with the Spark plan)
+    # date terms: strftime == DateTools day resolution. The parsed range is
+    # the reference-default ConstantScoreRangeQuery (constant boost per
+    # matching doc; tie order = doc_id ASC)
     d["date_range_topk"] = """
 WITH tok AS (
   SELECT o_orderkey AS doc_id, strftime(o_orderdate, '%Y%m%d') AS term
   FROM orders
-),
-postings AS (SELECT term, doc_id, CAST(1 AS BIGINT) AS tf FROM tok),
-doc_lens AS (SELECT doc_id, CAST(1 AS BIGINT) AS dl FROM tok),
-term_dict AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM doc_lens),
-bm25 AS (
-  SELECT p.doc_id, p.term,
-         ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
-           * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / s.avgdl)) AS sc
-  FROM postings p JOIN term_dict t USING (term) CROSS JOIN stats s
 )
-SELECT doc_id, ROUND(sc, 4) AS score FROM bm25
-WHERE term >= '19960301' AND term <= '19960630'
+SELECT doc_id, 1.0 AS score
+FROM (SELECT DISTINCT doc_id FROM tok
+      WHERE term >= '19960301' AND term <= '19960630')
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     d["term_topk_bm25_std"] = _prelude_std() + """
@@ -3616,7 +3607,15 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     # twins — same oracle SQL
     d["parsed_sloppy_phrase_topk"] = d["phrase_sloppy_topk"]
     d["parsed_boost_topk"] = d["boosted_or_topk"]
-    d["parsed_range_topk"] = d["range_topk"]
+    # the parsed range is the reference's DEFAULT ConstantScoreRangeQuery
+    # form (useOldRangeQuery=false, QueryParser.cpp:465-481): every doc
+    # with a dictionary term in range scores the constant boost
+    d["parsed_range_topk"] = _PRELUDE + """
+SELECT doc_id, 1.0 AS score
+FROM (SELECT DISTINCT doc_id FROM postings
+      WHERE term >= 'sm' AND term <= 'st')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # the exact two-level salted aggregation must equal the plain term dict
     d["term_dict_salted"] = d["term_dict"]
     return d

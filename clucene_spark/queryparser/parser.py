@@ -31,6 +31,7 @@ from clucene_spark.search.engine import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstantScoreRangeQuery,
     FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
@@ -129,7 +130,8 @@ class QueryParser:
                  indexed_fields=None, keyword_fields=None,
                  date_fields: dict | None = None,
                  lowercase_expanded_terms: bool = True,
-                 allow_leading_wildcard: bool = False):
+                 allow_leading_wildcard: bool = False,
+                 use_old_range_query: bool = False):
         self.default_field = default_field
         self.analyze = analyzer or (lambda t: [x[0] for x in standard_analyze(t)])
         self.default_operator = default_operator
@@ -141,6 +143,10 @@ class QueryParser:
         # wildcard is rejected by default exactly as getWildcardQuery does)
         self.lowercase_expanded_terms = lowercase_expanded_terms
         self.allow_leading_wildcard = allow_leading_wildcard
+        # setUseOldRangeQuery (QueryParser.cpp:223-227; default false since
+        # Lucene 2.x): ranges parse to ConstantScoreRangeQuery unless the
+        # old scored RangeQuery form is requested
+        self.use_old_range_query = use_old_range_query
         # setDateResolution analogue (reference QueryParser.cpp:229-256):
         # field -> DateTools resolution; range bounds that parse as dates on
         # these fields are encoded to sortable DateTools term strings
@@ -502,8 +508,9 @@ class QueryParser:
                                             lo, hi, t.inclusive)
             if dated is not None:
                 lo, hi = dated
-            return RangeQuery(boost=boost, lower=lo, upper=hi,
-                              inclusive=t.inclusive, field=qfield)
+            cls = RangeQuery if self.use_old_range_query else ConstantScoreRangeQuery
+            return cls(boost=boost, lower=lo, upper=hi,
+                       inclusive=t.inclusive, field=qfield)
         if t.kind == "QUOTED":
             terms = self.analyze(t.text)
             if not terms:

@@ -144,6 +144,16 @@ class RangeQuery(Query):
 
 
 @dataclass
+class ConstantScoreRangeQuery(RangeQuery):
+    """Every doc containing ANY dictionary term in the range scores a
+    CONSTANT boost — no tf/idf, no per-term clause expansion (reference
+    search/ConstantScoreQuery.h:79-120; since Lucene 2.x this is the
+    QueryParser's DEFAULT range form, `useOldRangeQuery=false`,
+    QueryParser.cpp:465-481). The scored old-form RangeQuery remains
+    available via `use_old_range_query=True`."""
+
+
+@dataclass
 class MultiPhraseQuery(Query):
     """Phrase with term ALTERNATIVES per slot (reference
     search/MultiPhraseQuery.cpp, MultipleTermPositions.cpp: per-slot
@@ -814,6 +824,22 @@ class Searcher:
             return self._score_multi_phrase(query)
         if isinstance(query, FuzzyQuery):
             return self._score_fuzzy(query)
+        if isinstance(query, ConstantScoreRangeQuery):
+            terms = self._expand_terms(
+                RangeQuery(lower=query.lower, upper=query.upper,
+                           inclusive=query.inclusive,
+                           include_lower=query.include_lower,
+                           include_upper=query.include_upper,
+                           field=query.field)
+            ).select("term")
+            matched = (
+                self._postings(query.field)
+                .join(F.broadcast(terms), "term")
+                .select("doc_id").distinct()
+            )
+            return matched.select(
+                "doc_id", F.lit(float(query.boost)).alias("score")
+            )
         if isinstance(query, (PrefixQuery, WildcardQuery, RangeQuery)):
             return self._score_multiterm(query)
         if isinstance(query, MatchAllQuery):

@@ -346,6 +346,20 @@ def test_parser_stopword_groups(qs, want):
     assert (None if q is None else str(q)) == want
 
 
+def test_range_parses_to_constant_score_by_default():
+    # reference default useOldRangeQuery=false (QueryParser.cpp:97,465-481):
+    # ranges parse to ConstantScoreRangeQuery; the old scored form is the
+    # opt-in
+    from clucene_spark.search.engine import ConstantScoreRangeQuery
+
+    q = parse("[aaa TO mmm]")
+    assert type(q) is ConstantScoreRangeQuery
+    assert q.lower == "aaa" and q.upper == "mmm" and q.inclusive
+    assert str(q) == "[aaa TO mmm]"
+    q = parse("[aaa TO mmm]", use_old_range_query=True)
+    assert type(q) is RangeQuery
+
+
 def test_wildcard_rewrite_types():
     # assertWildcardQueryEquals (TestQueryParser.cpp:357-426): trailing-*
     # only -> PrefixQuery; interior wildcards -> WildcardQuery; suffixes

@@ -202,6 +202,22 @@ def test_prefix_reference_fixture(spark):
     assert s.score(PrefixQuery(prefix="/computers/mac")).count() == 1
 
 
+def test_constant_score_range_semantics(index):
+    """ConstantScoreRangeQuery: same match set as the scored RangeQuery,
+    every doc at exactly the constant boost (TestConstantScoreRangeQuery
+    csrq semantics)."""
+    from clucene_spark.search.engine import ConstantScoreRangeQuery
+
+    s = Searcher(index)
+    scored = {r["doc_id"] for r in
+              s.score(RangeQuery(lower="sm", upper="st")).collect()}
+    rows = s.score(
+        ConstantScoreRangeQuery(lower="sm", upper="st", boost=2.5)
+    ).collect()
+    assert {r["doc_id"] for r in rows} == scored
+    assert all(r["score"] == 2.5 for r in rows)
+
+
 def test_batch_topk_matches_per_query(index):
     """Batch query execution (one shared postings scan + per-query rank
     window) must reproduce the per-query SHOULD-boolean top-k exactly —
