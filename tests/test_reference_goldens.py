@@ -1,0 +1,505 @@
+"""Golden-corpus ports of the reference's span/boolean/duplicates suites.
+
+The reference drives its span and scorer tests over two tiny fixed corpora
+with hand-checked expected docID lists:
+
+- `src/test/search/spans/TestBasics.cpp` — 1000 docs of
+  English::IntToEnglish(i) (src/test/util/English.cpp) under SimpleAnalyzer;
+  term/phrase/boolean/span-near/span-not/span-first/span-or golden doc lists.
+- `src/test/search/spans/TestSpans.cpp` — a 12-doc w/u/t fixture exercising
+  ordered-near slop grids, repeated equal clauses, and exact span tuples.
+- `src/test/search/spans/TestNearSpansOrdered.cpp` — a 4-doc fixture with
+  exact NearSpansOrdered (doc, start, end) enumeration.
+- `src/test/search/TestForDuplicates.cpp` — result streams must never
+  repeat a docID.
+- `src/test/search/TestBoolean.cpp` — query equality, nested MUST/MUST_NOT
+  hit counts, prefix-inside-boolean rewrite equivalence.
+
+Every expected list below is transcribed verbatim from the reference test
+source (golden data, not derived by our own code).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clucene_spark.index.build import InvertedIndex
+from clucene_spark.search.engine import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Searcher,
+    TermQuery,
+)
+from clucene_spark.search.spans import (
+    SpanFirst,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanSearcher,
+    SpanTerm,
+)
+
+
+# ---------------------------------------------------------------------------
+# English::IntToEnglish (src/test/util/English.cpp:10-120), exact mirror.
+# SimpleAnalyzer splits on non-letters and lowercases; the generator only
+# emits lowercase words joined by space/hyphen/comma, so tokenization
+# reduces to splitting on those separators.
+# ---------------------------------------------------------------------------
+
+_TENS = {9: "ninety", 8: "eighty", 7: "seventy", 6: "sixty", 5: "fifty",
+         4: "forty", 3: "thirty", 2: "twenty"}
+_ONES = {19: "nineteen", 18: "eighteen", 17: "seventeen", 16: "sixteen",
+         15: "fifteen", 14: "fourteen", 13: "thirteen", 12: "twelve",
+         11: "eleven", 10: "ten", 9: "nine", 8: "eight", 7: "seven",
+         6: "six", 5: "five", 4: "four", 3: "three", 2: "two", 1: "one"}
+
+
+def int_to_english(i: int) -> str:
+    if i == 0:
+        return "zero"
+    out = []
+    if i < 0:
+        out.append("minus ")
+        i = -i
+    if i >= 1_000_000_000:
+        out.append(int_to_english(i // 1_000_000_000))
+        out.append("billion, ")
+        i %= 1_000_000_000
+    if i >= 1_000_000:
+        out.append(int_to_english(i // 1_000_000))
+        out.append("million, ")
+        i %= 1_000_000
+    if i >= 1000:
+        out.append(int_to_english(i // 1000))
+        out.append("thousand, ")
+        i %= 1000
+    if i >= 100:
+        out.append(int_to_english(i // 100))
+        out.append("hundred ")
+        i %= 100
+    if i >= 20:
+        out.append(_TENS[i // 10])
+        i %= 10
+        out.append(" " if i == 0 else "-")
+    if i > 0:
+        out.append(_ONES[i] + " ")
+    return "".join(out)
+
+
+def eng_tokens(i: int) -> list[str]:
+    return int_to_english(i).replace(",", " ").replace("-", " ").split()
+
+
+def test_int_to_english_golden():
+    # spot goldens from the English.cpp recursion
+    assert eng_tokens(0) == ["zero"]
+    assert eng_tokens(77) == ["seventy", "seven"]
+    assert eng_tokens(605) == ["six", "hundred", "five"]
+    assert eng_tokens(333) == ["three", "hundred", "thirty", "three"]
+    assert eng_tokens(996) == ["nine", "hundred", "ninety", "six"]
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def eng_index(spark):
+    rows = [(i, " ".join(eng_tokens(i))) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return InvertedIndex(df).cache()
+
+
+@pytest.fixture(scope="module")
+def eng_search(eng_index):
+    return Searcher(eng_index)
+
+
+@pytest.fixture(scope="module")
+def eng_spans(eng_index):
+    return SpanSearcher(eng_index)
+
+
+def _docs(df) -> list[int]:
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _span_tuples(searcher, q) -> list[tuple[int, int, int]]:
+    return sorted(
+        (r["doc_id"], r["s"], r["e"]) for r in searcher.spans(q).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# TestBasics.cpp golden doc lists (verbatim)
+# ---------------------------------------------------------------------------
+
+SEVENTY_DOCS = sorted(
+    d for base in range(0, 1000, 100) for d in range(base + 70, base + 80)
+)  # TestBasics.cpp:65-74 writes these 100 ids out longhand
+
+SEVENTY_SEVEN = [77, 177, 277, 377, 477, 577, 677, 777, 877, 977]
+
+
+def test_basics_term(eng_search):
+    """testTerm/testTerm2 (TestBasics.cpp:63-92)."""
+    assert _docs(eng_search.score(TermQuery(term="seventy"))) == SEVENTY_DOCS
+    assert _docs(eng_search.score(TermQuery(term="seventish"))) == []
+
+
+def test_basics_phrase(eng_search):
+    """testPhrase/testPhrase2 (TestBasics.cpp:94-125)."""
+    q = PhraseQuery(terms=["seventy", "seven"])
+    assert _docs(eng_search.score(q)) == SEVENTY_SEVEN
+    q = PhraseQuery(terms=["seventish", "sevenon"])
+    assert _docs(eng_search.score(q)) == []
+
+
+def test_basics_boolean(eng_search):
+    """testBoolean/testBoolean2 (TestBasics.cpp:128-159)."""
+    want = sorted([77, 777, 177, 277, 377, 477, 577, 677, 770, 771, 772,
+                   773, 774, 775, 776, 778, 779, 877, 977])
+    q = (BooleanQuery()
+         .add(TermQuery(term="seventy"), MUST)
+         .add(TermQuery(term="seven"), MUST))
+    assert _docs(eng_search.score(q)) == want
+    q = (BooleanQuery()
+         .add(TermQuery(term="sevento"), MUST)
+         .add(TermQuery(term="sevenly"), MUST))
+    assert _docs(eng_search.score(q)) == []
+
+
+def test_basics_span_near_exact(eng_spans):
+    """testSpanNearExact (TestBasics.cpp:162-173)."""
+    q = SpanNear(clauses=[SpanTerm(term="seventy"), SpanTerm(term="seven")],
+                 slop=0, in_order=True)
+    assert _docs(eng_spans.score(q)) == SEVENTY_SEVEN
+
+
+def test_basics_span_near_unordered(eng_spans):
+    """testSpanNearUnordered (TestBasics.cpp:192-208)."""
+    want = sorted([609, 629, 639, 649, 659, 669, 679, 689, 699,
+                   906, 926, 936, 946, 956, 966, 976, 986, 996])
+    q = SpanNear(clauses=[SpanTerm(term="nine"), SpanTerm(term="six")],
+                 slop=4, in_order=False)
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_near_ordered(eng_spans):
+    """testSpanNearOrdered (TestBasics.cpp:211-227)."""
+    want = [906, 926, 936, 946, 956, 966, 976, 986, 996]
+    q = SpanNear(clauses=[SpanTerm(term="nine"), SpanTerm(term="six")],
+                 slop=4, in_order=True)
+    assert _docs(eng_spans.score(q)) == want
+
+
+NEAR_EIGHT_ONE = SpanNear(
+    clauses=[SpanTerm(term="eight"), SpanTerm(term="one")],
+    slop=4, in_order=True,
+)
+
+
+def test_basics_span_not(eng_spans):
+    """testSpanNot (TestBasics.cpp:230-260): near(eight,one)~4 not forty."""
+    want = [801, 821, 831, 851, 861, 871, 881, 891]
+    q = SpanNot(include=NEAR_EIGHT_ONE, exclude=SpanTerm(term="forty"))
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_not_or_single(eng_spans):
+    """testSpanWithMultipleNotSingle (TestBasics.cpp:263-295)."""
+    want = [801, 821, 831, 851, 861, 871, 881, 891]
+    q = SpanNot(include=NEAR_EIGHT_ONE,
+                exclude=SpanOr(clauses=[SpanTerm(term="forty")]))
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_not_or_many(eng_spans):
+    """testSpanWithMultipleNotMany (TestBasics.cpp:298-337)."""
+    want = [801, 821, 831, 851, 871, 891]
+    q = SpanNot(
+        include=NEAR_EIGHT_ONE,
+        exclude=SpanOr(clauses=[SpanTerm(term="forty"),
+                                SpanTerm(term="sixty"),
+                                SpanTerm(term="eighty")]),
+    )
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_not_with_near_exclude(eng_spans):
+    """testNpeInSpanNearWithSpanNot (TestBasics.cpp:340-375)."""
+    want = [801, 821, 831, 851, 861, 871, 881, 891]
+    exclude = SpanNear(
+        clauses=[SpanTerm(term="hundred"), SpanTerm(term="forty")],
+        slop=1, in_order=True,
+    )
+    q = SpanNot(include=NEAR_EIGHT_ONE, exclude=exclude)
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_first_nested_not(eng_spans):
+    """testNpeInSpanNearInSpanFirstInSpanNot (TestBasics.cpp:378-400)."""
+    want = list(range(40, 50))
+    include = SpanFirst(query=SpanTerm(term="forty"), end=5)
+    near = SpanNear(
+        clauses=[SpanTerm(term="hundred"), SpanTerm(term="forty")],
+        slop=4, in_order=True,
+    )
+    exclude = SpanFirst(query=near, end=4)
+    q = SpanNot(include=include, exclude=exclude)
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_first(eng_spans):
+    """testSpanFirst (TestBasics.cpp:403-431): "five" at position 0."""
+    want = sorted([5] + list(range(500, 600)))
+    q = SpanFirst(query=SpanTerm(term="five"), end=1)
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_or_of_nears(eng_spans):
+    """testSpanOr (TestBasics.cpp:434-472)."""
+    want = sorted([33, 47, 133, 147, 233, 247, 333, 347, 433, 447,
+                   533, 547, 633, 647, 733, 747, 833, 847, 933, 947])
+    near1 = SpanNear(clauses=[SpanTerm(term="thirty"), SpanTerm(term="three")],
+                     slop=0, in_order=True)
+    near2 = SpanNear(clauses=[SpanTerm(term="forty"), SpanTerm(term="seven")],
+                     slop=0, in_order=True)
+    q = SpanOr(clauses=[near1, near2])
+    assert _docs(eng_spans.score(q)) == want
+
+
+def test_basics_span_exact_nested(eng_spans):
+    """testSpanExactNested (TestBasics.cpp:475-509): near of nears."""
+    near1 = SpanNear(clauses=[SpanTerm(term="three"), SpanTerm(term="hundred")],
+                     slop=0, in_order=True)
+    near2 = SpanNear(clauses=[SpanTerm(term="thirty"), SpanTerm(term="three")],
+                     slop=0, in_order=True)
+    q = SpanNear(clauses=[near1, near2], slop=0, in_order=True)
+    assert _docs(eng_spans.score(q)) == [333]
+
+
+SIX_SEVEN_DOCS = sorted(
+    [606, 607, 626, 627, 636, 637, 646, 647,
+     656, 657, 666, 667, 676, 677, 686, 687, 696, 697,
+     706, 707, 726, 727, 736, 737, 746, 747,
+     756, 757, 766, 767, 776, 777, 786, 787, 796, 797]
+)
+
+
+def test_basics_span_near_or(eng_spans):
+    """testSpanNearOr (TestBasics.cpp:512-547)."""
+    to1 = SpanOr(clauses=[SpanTerm(term="six"), SpanTerm(term="seven")])
+    to2 = SpanOr(clauses=[SpanTerm(term="seven"), SpanTerm(term="six")])
+    q = SpanNear(clauses=[to1, to2], slop=10, in_order=True)
+    assert _docs(eng_spans.score(q)) == SIX_SEVEN_DOCS
+
+
+def test_basics_span_complex1(eng_spans):
+    """testSpanComplex1 (TestBasics.cpp:550-583)."""
+    tt1 = SpanNear(clauses=[SpanTerm(term="six"), SpanTerm(term="hundred")],
+                   slop=0, in_order=True)
+    tt2 = SpanNear(clauses=[SpanTerm(term="seven"), SpanTerm(term="hundred")],
+                   slop=0, in_order=True)
+    to1 = SpanOr(clauses=[tt1, tt2])
+    to2 = SpanOr(clauses=[SpanTerm(term="seven"), SpanTerm(term="six")])
+    q = SpanNear(clauses=[to1, to2], slop=100, in_order=True)
+    assert _docs(eng_spans.score(q)) == SIX_SEVEN_DOCS
+
+
+# ---------------------------------------------------------------------------
+# TestSpans.cpp 12-doc fixture (docFields at TestSpans.cpp:14-28)
+# ---------------------------------------------------------------------------
+
+SPANS_DOCS = [
+    (0, "w1 w2 w3 w4 w5"),
+    (1, "w1 w3 w2 w3"),
+    (2, "w1 xx w2 yy w3"),
+    (3, "w1 w3 xx w2 yy w3"),
+    (4, "u2 u2 u1"),
+    (5, "u2 xx u2 u1"),
+    (6, "u2 u2 xx u1"),
+    (7, "u2 xx u2 yy u1"),
+    (8, "u2 xx u1 u2"),
+    (9, "u2 u1 xx u2"),
+    (10, "u1 u2 xx u2"),
+    (11, "t1 t2 t1 t3 t2 t3"),
+]
+
+
+@pytest.fixture(scope="module")
+def spans12(spark):
+    df = spark.createDataFrame(SPANS_DOCS, "doc_id long, text string")
+    return SpanSearcher(InvertedIndex(df).cache())
+
+
+def _near3(t1, t2, t3, slop, in_order=True):
+    return SpanNear(
+        clauses=[SpanTerm(term=t1), SpanTerm(term=t2), SpanTerm(term=t3)],
+        slop=slop, in_order=in_order,
+    )
+
+
+def test_spans_near_ordered_grid(spans12):
+    """testSpanNearOrdered (TestSpans.cpp:134-143): slop grid 0-4."""
+    grid = {0: [0], 1: [0, 1], 2: [0, 1, 2], 3: [0, 1, 2, 3],
+            4: [0, 1, 2, 3]}
+    for slop, want in grid.items():
+        q = _near3("w1", "w2", "w3", slop)
+        assert _docs(spans12.score(q)) == want, f"slop={slop}"
+
+
+def test_spans_near_ordered_equal_grid(spans12):
+    """testSpanNearOrderedEqual (TestSpans.cpp:146-152): repeated w3."""
+    grid = {0: [], 1: [1], 2: [1], 3: [1, 3]}
+    for slop, want in grid.items():
+        q = _near3("w1", "w3", "w3", slop)
+        assert _docs(spans12.score(q)) == want, f"slop={slop}"
+
+
+def test_spans_near_ordered_equal1_grid(spans12):
+    """testSpanNearOrderedEqual1 (TestSpans.cpp:155-163): repeated u2."""
+    grid = {0: [4], 1: [4, 5, 6], 2: [4, 5, 6, 7], 3: [4, 5, 6, 7]}
+    for slop, want in grid.items():
+        q = _near3("u2", "u2", "u1", slop)
+        assert _docs(spans12.score(q)) == want, f"slop={slop}"
+
+
+def test_spans_near_ordered_overlap_tuples(spans12):
+    """testSpanNearOrderedOverlap (TestSpans.cpp:165-193): doc 11
+    "t1 t2 t1 t3 t2 t3" yields exactly spans (0,4) and (2,6)."""
+    q = _near3("t1", "t2", "t3", 1)
+    assert _span_tuples(spans12, q) == [(11, 0, 4), (11, 2, 6)]
+
+
+def test_spans_or_streams(spans12):
+    """testSpanOrSingle/Double/Unused/TripleSameDoc (TestSpans.cpp:225-300):
+    exact (doc, start, end) span streams."""
+    single = SpanOr(clauses=[SpanTerm(term="w5")])
+    assert _span_tuples(spans12, single) == [(0, 4, 5)]
+
+    double = SpanOr(clauses=[SpanTerm(term="w5"), SpanTerm(term="yy")])
+    assert _span_tuples(spans12, double) == [
+        (0, 4, 5), (2, 3, 4), (3, 4, 5), (7, 3, 4)]
+
+    unused = SpanOr(clauses=[SpanTerm(term="w5"), SpanTerm(term="unusedterm"),
+                             SpanTerm(term="yy")])
+    assert _span_tuples(spans12, unused) == [
+        (0, 4, 5), (2, 3, 4), (3, 4, 5), (7, 3, 4)]
+
+    triple = SpanOr(clauses=[SpanTerm(term="t1"), SpanTerm(term="t2"),
+                             SpanTerm(term="t3")])
+    assert _span_tuples(spans12, triple) == [
+        (11, 0, 1), (11, 1, 2), (11, 2, 3), (11, 3, 4), (11, 4, 5),
+        (11, 5, 6)]
+
+
+# ---------------------------------------------------------------------------
+# TestNearSpansOrdered.cpp 4-doc fixture
+# ---------------------------------------------------------------------------
+
+def test_near_spans_ordered_fixture(spark):
+    """testSpanNearQuery + testNearSpansNext (TestNearSpansOrdered.cpp:19-116):
+    near(w1,w2,w3, slop=1, ordered) matches docs {0,1} with exact spans
+    (0,0,3) and (1,0,4)."""
+    rows = [
+        (0, "w1 w2 w3 w4 w5"),
+        (1, "w1 w3 w2 w3 zz"),
+        (2, "w1 xx w2 yy w3"),
+        (3, "w1 w3 xx w2 yy w3 zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = SpanSearcher(InvertedIndex(df))
+    q = _near3("w1", "w2", "w3", 1)
+    assert _span_tuples(s, q) == [(0, 0, 3), (1, 0, 4)]
+    assert _docs(s.score(q)) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# TestForDuplicates.cpp: result streams never repeat a docID
+# ---------------------------------------------------------------------------
+
+def test_for_duplicates_raw(spark):
+    """testSearchTestForDuplicatesRaw (TestForDuplicates.cpp:18-90):
+    1500 docs, body cycling through 10 values; query "test" returns
+    exactly MAX_DOCS/10 hits with no duplicated docID."""
+    bodies = ["test", "value", "why not", "computer", "clucene",
+              "sun", "program", "main", "database", "code"]
+    rows = [(i, bodies[i % 10]) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(df))
+    got = [r["doc_id"] for r in s.score(TermQuery(term="test")).collect()]
+    assert len(got) == 150
+    assert len(set(got)) == 150
+
+
+def test_for_duplicates_or(spark):
+    """testSearchTestForDuplicates (TestForDuplicates.cpp:92-155): every
+    doc matches "high"; the OR form ("high OR medium") must return each
+    doc exactly once too."""
+    rows = [(j, "high") for j in range(255)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(df))
+    got = [r["doc_id"] for r in s.score(TermQuery(term="high")).collect()]
+    assert sorted(got) == list(range(255))
+    q = (BooleanQuery()
+         .add(TermQuery(term="high"), SHOULD)
+         .add(TermQuery(term="medium"), SHOULD))
+    got = [r["doc_id"] for r in s.score(q).collect()]
+    assert sorted(got) == list(range(255))
+
+
+# ---------------------------------------------------------------------------
+# TestBoolean.cpp
+# ---------------------------------------------------------------------------
+
+def test_boolean_query_equality():
+    """testEquality (TestBoolean.cpp:14-52): structurally identical nested
+    boolean trees compare equal."""
+    def build():
+        nested = (BooleanQuery()
+                  .add(TermQuery(term="nestedvalue1", field="field"), SHOULD)
+                  .add(TermQuery(term="nestedvalue2", field="field"), SHOULD))
+        return (BooleanQuery()
+                .add(TermQuery(term="value1", field="field"), SHOULD)
+                .add(TermQuery(term="value2", field="field"), SHOULD)
+                .add(nested, SHOULD))
+
+    assert build() == build()
+    other = build().add(TermQuery(term="extra", field="field"), MUST_NOT)
+    assert build() != other
+
+
+def test_boolean_scorer_fixture(spark):
+    """testBooleanScorer (TestBoolean.cpp:63-106): MUST(SHOULD(1,2)) with
+    MUST_NOT(9) over docs {1,2,3,4} matches exactly 2 docs."""
+    rows = [(0, "1"), (1, "2"), (2, "3"), (3, "4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(df))
+    inner = (BooleanQuery()
+             .add(TermQuery(term="1"), SHOULD)
+             .add(TermQuery(term="2"), SHOULD))
+    q = (BooleanQuery()
+         .add(inner, MUST)
+         .add(TermQuery(term="9"), MUST_NOT))
+    assert s.score(q).count() == 2
+
+
+def test_boolean_prefix_query_fixture(spark):
+    """testBooleanPrefixQuery (TestBoolean.cpp:109-169): a PrefixQuery
+    nested under MUST must match the same docs as the bare prefix (the
+    reference asserts equal rewrite clause counts; the observable contract
+    is match-set equality)."""
+    rows = [(0, "food"), (1, "foodanddrink"),
+            (2, "foodanddrinkandgoodtimes"), (3, "food and drink")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(df))
+    bare = {r["doc_id"] for r in s.score(PrefixQuery(prefix="foo")).collect()}
+    wrapped = (BooleanQuery().add(PrefixQuery(prefix="foo"), MUST))
+    got = {r["doc_id"] for r in s.score(wrapped).collect()}
+    assert got == bare == {0, 1, 2, 3}
