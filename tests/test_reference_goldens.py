@@ -490,6 +490,125 @@ def test_boolean_scorer_fixture(spark):
     assert s.score(q).count() == 2
 
 
+# ---------------------------------------------------------------------------
+# TestSort.cpp: golden tracer orders over the 11-doc typed-field fixture
+# (data[][] at TestSort.cpp:32-45; queries x/y/a/f at :74-96). FieldCache
+# parses a missing numeric field as 0 (testEmptyFieldSort expectations
+# "IZJ"/"JZI"/"ZJI"); our forward columns ARE the FieldCache, so the load
+# step encodes that default. A missing STRING sorts first ascending / last
+# descending — Spark's native null ordering, same as the reference.
+# ---------------------------------------------------------------------------
+
+SORT_DATA = [
+    # tracer, contents, int (0 = reference FieldCache default), float, string
+    ("A", "x a",           5,           4.0,       "c"),
+    ("B", "y a",           5,           3.4028235e38, "i"),
+    ("C", "x a b c",       2147483647,  1.0,       "j"),
+    ("D", "y a b c",       -1,          0.0,       "a"),
+    ("E", "x a b c d",     5,           2.0,       "h"),
+    ("F", "y a b c d",     2,           3.14159,   "g"),
+    ("G", "x a b c d",     3,           -1.0,      "f"),
+    ("H", "y a b c d",     0,           1.4e-45,   "e"),
+    ("I", "x a b c d e f", -2147483648, 1.0,       "d"),
+    ("J", "y a b c d e f", 4,           0.5,       "b"),
+    ("Z", "f",             0,           0.0,       None),
+]
+
+
+@pytest.fixture(scope="module")
+def sort_search(spark):
+    rows = [(i, t, c, iv, fv, sv)
+            for i, (t, c, iv, fv, sv) in enumerate(SORT_DATA)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, tracer string, text string, int_f long, "
+        "float_f double, str_f string",
+    )
+    return Searcher(InvertedIndex(df).cache())
+
+
+def _tracers(s, df) -> str:
+    ids = [r["doc_id"] for r in df.collect()]
+    return "".join(SORT_DATA[i][0] for i in ids)
+
+
+Q_X = TermQuery(term="x")
+Q_Y = TermQuery(term="y")
+Q_F = TermQuery(term="f")
+
+
+def test_sort_built_in(sort_search):
+    """testBuiltInSorts (TestSort.cpp:278-288): relevance and doc order."""
+    s = sort_search
+    assert _tracers(s, s.topk(Q_X, 20)) == "ACEGI"
+    assert _tracers(s, s.topk(Q_Y, 20)) == "BDFHJ"
+    assert _tracers(s, s.topk_sorted(Q_X, "doc_id", ascending=True, k=20)) == "ACEGI"
+    assert _tracers(s, s.topk_sorted(Q_Y, "doc_id", ascending=True, k=20)) == "BDFHJ"
+
+
+def test_sort_typed(sort_search):
+    """testTypedSort/testAutoSort (TestSort.cpp:290-306, 334-348)."""
+    s = sort_search
+    assert _tracers(s, s.topk_sorted(Q_X, "int_f", ascending=True, k=20)) == "IGAEC"
+    assert _tracers(s, s.topk_sorted(Q_Y, "int_f", ascending=True, k=20)) == "DHFJB"
+    assert _tracers(s, s.topk_sorted(Q_X, "float_f", ascending=True, k=20)) == "GCIEA"
+    assert _tracers(s, s.topk_sorted(Q_Y, "float_f", ascending=True, k=20)) == "DHJFB"
+    assert _tracers(s, s.topk_sorted(Q_X, "str_f", ascending=True, k=20)) == "AIGEC"
+    assert _tracers(s, s.topk_sorted(Q_Y, "str_f", ascending=True, k=20)) == "DJHFB"
+
+
+def test_sort_reverse(sort_search):
+    """testReverseSort (TestSort.cpp:349-371)."""
+    s = sort_search
+    assert _tracers(s, s.topk_sorted(Q_X, "doc_id", ascending=False, k=20)) == "IGECA"
+    assert _tracers(s, s.topk_sorted(Q_Y, "doc_id", ascending=False, k=20)) == "JHFDB"
+    assert _tracers(s, s.topk_sorted(Q_X, "int_f", ascending=False, k=20)) == "CAEGI"
+    assert _tracers(s, s.topk_sorted(Q_Y, "int_f", ascending=False, k=20)) == "BJFHD"
+    assert _tracers(s, s.topk_sorted(Q_X, "float_f", ascending=False, k=20)) == "AECIG"
+    assert _tracers(s, s.topk_sorted(Q_Y, "float_f", ascending=False, k=20)) == "BFJHD"
+    assert _tracers(s, s.topk_sorted(Q_X, "str_f", ascending=False, k=20)) == "CEGIA"
+    assert _tracers(s, s.topk_sorted(Q_Y, "str_f", ascending=False, k=20)) == "BFHJD"
+
+
+def test_sort_empty_field(sort_search):
+    """testEmptyFieldSort (TestSort.cpp:372-393): doc Z carries no typed
+    fields — numeric missing = 0 (FieldCache default), string missing
+    sorts first asc / last desc."""
+    s = sort_search
+    assert _tracers(s, s.topk_sorted(Q_F, "str_f", ascending=True, k=20)) == "ZJI"
+    assert _tracers(s, s.topk_sorted(Q_F, "str_f", ascending=False, k=20)) == "IJZ"
+    assert _tracers(s, s.topk_sorted(Q_F, "int_f", ascending=True, k=20)) == "IZJ"
+    assert _tracers(s, s.topk_sorted(Q_F, "int_f", ascending=False, k=20)) == "JZI"
+    assert _tracers(s, s.topk_sorted(Q_F, "float_f", ascending=True, k=20)) == "ZJI"
+    assert _tracers(s, s.topk_sorted(Q_F, "float_f", ascending=False, k=20)) == "IJZ"
+
+
+def test_sort_combos(sort_search):
+    """testSortCombos (TestSort.cpp:394-409): multi-key sorts."""
+    s = sort_search
+    got = s.topk_sorted(Q_X, k=20,
+                        sort_fields=[("int_f", True), ("float_f", True)])
+    assert _tracers(s, got) == "IGEAC"
+    got = s.topk_sorted(Q_X, k=20,
+                        sort_fields=[("int_f", False), ("doc_id", False)])
+    assert _tracers(s, got) == "CEAGI"
+    got = s.topk_sorted(Q_X, k=20,
+                        sort_fields=[("float_f", True), ("str_f", True)])
+    assert _tracers(s, got) == "GICEA"
+
+
+def test_sort_empty_index(spark):
+    """testEmptyIndex (TestSort.cpp:308-333): every sort flavour over an
+    empty index returns cleanly with zero rows."""
+    df = spark.createDataFrame(
+        [], "doc_id long, tracer string, text string, int_f long, "
+            "float_f double, str_f string")
+    s = Searcher(InvertedIndex(df))
+    assert s.topk(Q_X, 10).count() == 0
+    assert s.topk_sorted(Q_X, "int_f", ascending=True, k=10).count() == 0
+    assert s.topk_sorted(Q_X, "str_f", ascending=True, k=10).count() == 0
+
+
 def test_boolean_prefix_query_fixture(spark):
     """testBooleanPrefixQuery (TestBoolean.cpp:109-169): a PrefixQuery
     nested under MUST must match the same docs as the bare prefix (the
