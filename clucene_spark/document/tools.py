@@ -65,6 +65,47 @@ def string_to_long(s: str) -> int:
     raise ValueError("string does not begin with the correct prefix")
 
 
+# ---------------------------------------------------------------------------
+# DateField — the LEGACY date encoding (reference document/DateField.cpp:
+# 20-60, .h): base-36 seconds/millis zero-padded to 9 chars, lexicographic
+# order == chronological order. DateFilter::Before/After build term ranges
+# over it; DateTools (below) superseded it but the reference keeps both.
+# ---------------------------------------------------------------------------
+
+DATEFIELD_DATE_LEN = 9
+DATEFIELD_DATE_MAX = RADIX ** DATEFIELD_DATE_LEN - 1  # "zzzzzzzzz"
+MIN_DATE_STRING = "0" * DATEFIELD_DATE_LEN
+MAX_DATE_STRING = "z" * DATEFIELD_DATE_LEN
+
+
+def time_to_string(time: int) -> str:
+    """DateField::timeToString (DateField.cpp:23-55): base-36, left-padded
+    with '0' to exactly 9 chars; rejects negatives and overflow."""
+    if time < 0:
+        raise ValueError("time too early")
+    if time > DATEFIELD_DATE_MAX:
+        raise ValueError("time too late (past DATEFIELD_DATE_MAX)")
+    digits = ""
+    v = time
+    if v == 0:
+        digits = "0"
+    while v:
+        digits = _DIGITS[v % RADIX] + digits
+        v //= RADIX
+    return digits.rjust(DATEFIELD_DATE_LEN, "0")
+
+
+def string_to_time(s: str) -> int:
+    """DateField::stringToTime (DateField.cpp:57-60)."""
+    return int(s, RADIX)
+
+
+def time_to_string_col(c: Column) -> Column:
+    """Column variant of DateField::timeToString (JVM-side encode)."""
+    return F.lpad(F.lower(F.conv(c.cast("string"), 10, 36)),
+                  DATEFIELD_DATE_LEN, "0")
+
+
 # resolution name -> truncation length of yyyyMMddHHmmssSSS
 RESOLUTIONS = {
     "year": 4, "month": 6, "day": 8, "hour": 10,

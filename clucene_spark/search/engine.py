@@ -253,6 +253,24 @@ def date_filter(start, end, resolution: str = "second", column: str = "date"):
     return (F.col(column) >= lo) & (F.col(column) <= hi)
 
 
+def date_field_before(time: int, column: str = "datefield"):
+    """DateFilter::Before over the LEGACY DateField encoding (reference
+    search/DateFilter.cpp Before = term range [MIN_DATE_STRING,
+    timeToString(time)]): docs whose encoded `column` is <= time."""
+    from clucene_spark.document.tools import MIN_DATE_STRING, time_to_string
+
+    hi = time_to_string(time)
+    return (F.col(column) >= MIN_DATE_STRING) & (F.col(column) <= hi)
+
+
+def date_field_after(time: int, column: str = "datefield"):
+    """DateFilter::After (term range [timeToString(time), MAX_DATE_STRING])."""
+    from clucene_spark.document.tools import MAX_DATE_STRING, time_to_string
+
+    lo = time_to_string(time)
+    return (F.col(column) >= lo) & (F.col(column) <= MAX_DATE_STRING)
+
+
 @dataclass
 class ChainedFilter:
     """Bitset combinator over sub-filters (reference

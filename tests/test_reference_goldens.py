@@ -455,6 +455,66 @@ def test_for_duplicates_or(spark):
 
 
 # ---------------------------------------------------------------------------
+# TestDateFilter.cpp: DateFilter::Before/After over the legacy DateField
+# base-36 encoding. "now" is pinned (Date.now is irrelevant to the
+# semantics — the reference only uses it as an arbitrary anchor).
+# ---------------------------------------------------------------------------
+
+def test_date_field_codec():
+    """DateField::timeToString round-trip + ordering (DateField.cpp:23-60)."""
+    from clucene_spark.document.tools import (
+        DATEFIELD_DATE_MAX, string_to_time, time_to_string)
+
+    assert time_to_string(0) == "000000000"
+    assert len(time_to_string(DATEFIELD_DATE_MAX)) == 9
+    ts = [0, 1, 35, 36, 1_000_000_000, DATEFIELD_DATE_MAX]
+    enc = [time_to_string(t) for t in ts]
+    assert enc == sorted(enc)  # lexicographic == chronological
+    assert [string_to_time(e) for e in enc] == ts
+    with pytest.raises(ValueError):
+        time_to_string(-1)
+    with pytest.raises(ValueError):
+        time_to_string(DATEFIELD_DATE_MAX + 1)
+
+
+def test_date_filter_before_after(spark):
+    """testBefore/testAfter (TestDateFilter.cpp:9-180): a doc dated in the
+    past matches Before(now) but not Before(now-999999); dated in the
+    future matches After(now) but not After(now+999999)."""
+    from clucene_spark.document.tools import time_to_string
+    from clucene_spark.search.engine import (
+        FilteredQuery, date_field_after, date_field_before)
+
+    now = 1_700_000_000  # pinned anchor (epoch seconds)
+
+    def build(t):
+        df = spark.createDataFrame(
+            [(0, "today is a very sunny day in new york city",
+              time_to_string(t))],
+            "doc_id long, text string, datefield string")
+        return Searcher(InvertedIndex(df))
+
+    q_miss = TermQuery(term="nomatchforthis")
+    q_hit = TermQuery(term="sunny")
+
+    s = build(now - 1000)  # past doc
+    assert s.score(q_miss).count() == 0
+    assert s.score(q_hit).count() == 1
+    keep = date_field_before(now)
+    drop = date_field_before(now - 999999)
+    assert s.score(FilteredQuery(query=q_miss, predicate=keep)).count() == 0
+    assert s.score(FilteredQuery(query=q_miss, predicate=drop)).count() == 0
+    assert s.score(FilteredQuery(query=q_hit, predicate=keep)).count() == 1
+    assert s.score(FilteredQuery(query=q_hit, predicate=drop)).count() == 0
+
+    s = build(now + 888888)  # future doc
+    keep = date_field_after(now)
+    drop = date_field_after(now + 999999)
+    assert s.score(FilteredQuery(query=q_hit, predicate=keep)).count() == 1
+    assert s.score(FilteredQuery(query=q_hit, predicate=drop)).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # TestBoolean.cpp
 # ---------------------------------------------------------------------------
 
