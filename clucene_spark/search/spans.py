@@ -175,7 +175,21 @@ class SpanSearcher:
 
     def score(self, q: SpanQuery) -> DataFrame:
         """(doc_id, score): sloppyFreq over spans -> tf pipeline (the
-        SpanWeight/SpanScorer path)."""
+        SpanWeight/SpanScorer path). Derived from explain() so the
+        explanation invariant holds structurally."""
+        return self.explain(q).select("doc_id", "score")
+
+    def explain(self, q: SpanQuery) -> DataFrame:
+        """Score-component breakdown for any span query — the
+        SpanWeight::explain analogue (reference search/spans/SpanWeight.cpp:
+        payload-free branch: value = idf * tf(sloppyFreq) * norm).
+
+        Columns: (doc_id, pfreq, dl, idf, tf_comp, norm, score). Invariant
+        (the TestSpanExplanations contract): the product of the listed
+        components equals score(q) for every matching doc —
+          bm25:    idf_sum * tf_comp               == score
+          classic: sqrt(pfreq) * idf^2 * norm      == score
+        """
         wmin = self._width_min(q)
         payoff = 1.0 / ((F.col("e") - F.col("s")) - F.lit(wmin) + 1.0)
         freqs = self.spans(q).groupBy("doc_id").agg(F.sum(payoff).alias("pfreq"))
@@ -184,25 +198,31 @@ class SpanSearcher:
             r["term"]: int(r["df"])
             for r in self.index.term_dict.filter(F.col("term").isin(terms)).collect()
         }
+        rows = freqs.join(self.index.doc_lens, "doc_id")
         if self.similarity == "bm25":
             idf_sum = sum(
                 sim.bm25_idf_py(td[t], self.n_docs) for t in terms if t in td
             )
-            scored = freqs.join(self.index.doc_lens, "doc_id")
-            score = F.lit(idf_sum) * sim.bm25_tf(
-                F.col("pfreq"), F.col("dl"), F.lit(self.avgdl)
+            tf_comp = sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
+            return rows.select(
+                "doc_id", "pfreq", "dl",
+                F.lit(idf_sum).alias("idf"),
+                tf_comp.alias("tf_comp"),
+                F.lit(1.0).alias("norm"),
+                (F.lit(idf_sum) * tf_comp).alias("score"),
             )
-        else:
-            idf_sum = sum(
-                sim.classic_idf_py(td[t], self.n_docs) for t in terms if t in td
-            )
-            scored = freqs.join(self.index.doc_lens, "doc_id")
-            score = (
-                F.sqrt(F.col("pfreq"))
-                * F.lit(idf_sum * idf_sum)
-                * (1.0 / F.sqrt(F.col("dl")))
-            )
-        return scored.select("doc_id", score.alias("score"))
+        idf_sum = sum(
+            sim.classic_idf_py(td[t], self.n_docs) for t in terms if t in td
+        )
+        tf_comp = F.sqrt(F.col("pfreq"))
+        norm = 1.0 / F.sqrt(F.col("dl"))
+        return rows.select(
+            "doc_id", "pfreq", "dl",
+            F.lit(idf_sum).alias("idf"),
+            tf_comp.alias("tf_comp"),
+            norm.alias("norm"),
+            (tf_comp * F.lit(idf_sum * idf_sum) * norm).alias("score"),
+        )
 
     def topk(self, q: SpanQuery, k: int = 10, round_to: int | None = None) -> DataFrame:
         s = self.score(q)

@@ -399,6 +399,38 @@ def test_spans_or_streams(spans12):
         (11, 5, 6)]
 
 
+def test_span_explanations(spans12):
+    """TestSpanExplanations / CheckHits::checkExplanations contract
+    (src/test/search/spans/TestSpanExplanations.cpp, CheckHits.cpp:399+):
+    for every matching doc the explanation components multiply to the
+    score, and the value is positive."""
+    queries = [
+        SpanTerm(term="w1"),
+        SpanFirst(query=SpanTerm(term="w2"), end=2),
+        _near3("w1", "w2", "w3", 2),
+        SpanNear(clauses=[SpanTerm(term="u2"), SpanTerm(term="u1")],
+                 slop=1, in_order=False),
+        SpanOr(clauses=[SpanTerm(term="t1"), SpanTerm(term="w5")]),
+        SpanNot(include=SpanTerm(term="u2"), exclude=SpanTerm(term="xx")),
+    ]
+    import math
+
+    for sim_name in ("bm25", "classic"):
+        s = SpanSearcher(spans12.index, similarity=sim_name)
+        for q in queries:
+            scores = {r["doc_id"]: r["score"] for r in s.score(q).collect()}
+            exp = {r["doc_id"]: r for r in s.explain(q).collect()}
+            assert set(exp) == set(scores), (sim_name, q)
+            for d, r in exp.items():
+                assert r["score"] > 0.0
+                if sim_name == "bm25":
+                    rebuilt = r["idf"] * r["tf_comp"]
+                else:
+                    rebuilt = r["tf_comp"] * r["idf"] * r["idf"] * r["norm"]
+                assert math.isclose(rebuilt, scores[d], rel_tol=1e-9), (
+                    sim_name, q, d)
+
+
 # ---------------------------------------------------------------------------
 # TestNearSpansOrdered.cpp 4-doc fixture
 # ---------------------------------------------------------------------------
