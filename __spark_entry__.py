@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
         "shard_assign": _q_shard_assign,
+        "corpus_shuffle": _q_corpus_shuffle,
         "embed_quantize_int8": _q_quantize_int8,
         "ann_cosine_int8_topk": _q_ann_int8,
         "batch_term_topk": _q_batch_topk,
@@ -1667,6 +1668,20 @@ def _q_shard_assign(spark, sf):
     return (
         shard_assign(_docs(spark, sf), n_shards=8)
         .select("doc_id", "shard")
+        .orderBy("doc_id")
+    )
+
+
+def _q_corpus_shuffle(spark, sf):
+    """Deterministic training-order shuffle (pipeline/shards.py
+    corpus_shuffle): seeded-hash rank WITHIN each shard — a per-shard
+    window sort, never a global ORDER BY; the oracle replays the identical
+    md5-60 shard + shuffle keys."""
+    from clucene_spark.pipeline.shards import corpus_shuffle
+
+    return (
+        corpus_shuffle(_docs(spark, sf), n_shards=8)
+        .select("doc_id", "shard", F.col("rank").cast("long").alias("rank"))
         .orderBy("doc_id")
     )
 
@@ -3356,6 +3371,19 @@ SELECT doc_id,
        CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
             % 8 AS INT) AS shard
 FROM documents ORDER BY doc_id
+""",
+        "corpus_shuffle": """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 8 AS INT) AS shard,
+         ('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS rank
+FROM keyed ORDER BY doc_id
 """,
         "stream_dedup_state": _dup_corpus_sql(1.0) + """
 SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS h,

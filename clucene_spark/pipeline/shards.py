@@ -39,6 +39,39 @@ def shard_assign(
     return docs.withColumn("shard", shard_col(F.col(id_col), n_shards, seed))
 
 
+def corpus_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: (doc, shard, rank).
+
+    A training run wants the corpus in a reproducible pseudo-random order.
+    Assign each doc a seeded hash, then rank WITHIN its shard by that hash
+    (tiebreak id) — the trainer reads shards in any order and streams each
+    shard sequentially, which realizes a global permutation that is stable
+    under input reordering, reproducible across engines, and never needs a
+    global sort: the window partitions by shard, so at 100 TB every rank
+    computation is a per-shard sort of ~corpus/N rows, not one giant
+    ORDER BY (a PARTITION-less row_number would collapse to a single
+    partition — the classic scale killer). Re-seeding between epochs gives
+    fresh orders without rewriting the data (rank is derived, not stored).
+    """
+    from pyspark.sql import Window
+
+    h = md5_60(F.concat(F.lit(f"shuffle:{seed}:"),
+                        F.col(id_col).cast("string")))
+    assigned = shard_assign(docs, n_shards, id_col, seed).withColumn(
+        "shuffle_key", h
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .drop("shuffle_key")
+    )
+
+
 def write_shards(
     docs: DataFrame,
     path: str,

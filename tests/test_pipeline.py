@@ -473,6 +473,40 @@ def test_write_shards_partitions_and_manifest(spark, docs, tmp_path):
     }
 
 
+def test_corpus_shuffle_order(spark, docs):
+    """Deterministic training-order shuffle: a bijective (shard, rank)
+    addressing, stable under input reordering, scrambled vs doc_id order,
+    and re-seeding yields a different permutation (epoch reshuffle)."""
+    from clucene_spark.pipeline.shards import corpus_shuffle
+
+    n = docs.count()
+    out = corpus_shuffle(docs, n_shards=4, seed=42)
+    rows = out.select("doc_id", "shard", "rank").collect()
+    assert len(rows) == n
+    # (shard, rank) is a bijection: ranks are 1..len(shard) per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["rank"])
+    assert sum(len(v) for v in by_shard.values()) == n
+    for k, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), k
+    # stable under input reorder
+    want = {(r["doc_id"], r["shard"], r["rank"]) for r in rows}
+    redo = corpus_shuffle(docs.orderBy(F.col("doc_id").desc()),
+                          n_shards=4, seed=42)
+    assert {(r["doc_id"], r["shard"], r["rank"])
+            for r in redo.collect()} == want
+    # the within-shard order is NOT doc_id order (it actually shuffles)
+    seq = {k: [d for d, _ in sorted(
+        ((r["doc_id"], r["rank"]) for r in rows if r["shard"] == k),
+        key=lambda t: t[1])] for k in by_shard}
+    assert any(seq[k] != sorted(seq[k]) for k in seq)
+    # a different seed gives a different permutation
+    other = corpus_shuffle(docs, n_shards=4, seed=7)
+    assert {(r["doc_id"], r["rank"]) for r in other.collect()} != {
+        (r["doc_id"], r["rank"]) for r in rows}
+
+
 def test_clean_corpus_fates(spark, docs):
     """Curation pass: planted exact twins drop as exact_dup, truncated
     twins as near_dup (or low_quality when truncation guts them), originals
