@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk": _q_dedup_chunk,
         "dedup_window_stats": _q_window_dedup,
         "pipeline_decontaminate": _q_decontaminate,
+        "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_cluster_canonical": _q_dedup_cluster,
@@ -1115,6 +1116,20 @@ def _q_decontaminate(spark, sf):
         F.array_join(F.slice(toks, 1, 12), " ").alias("text")
     )
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def _q_decontaminate_frac(spark, sf):
+    """Per-doc contamination fraction (pipeline/dedup.py
+    decontaminate_fraction): distinct-8-gram overlap ratio vs the same
+    every-50th-doc bench set; bench hashes broadcast, one groupBy(doc_id)."""
+    from clucene_spark.pipeline.dedup import decontaminate_fraction
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text")
+    )
+    return decontaminate_fraction(docs, bench, n=8).orderBy("doc_id")
 
 
 def _q_dedup_ngram(spark, sf):
@@ -3152,6 +3167,33 @@ dg AS (
 SELECT doc_id, count(*) AS n_hits, min(g) AS first_hit
 FROM dg JOIN bg USING (g)
 GROUP BY doc_id ORDER BY doc_id
+""",
+        "decontaminate_fraction": """
+WITH bt AS (
+  SELECT string_split(array_to_string(toks[1:12], ' '), ' ') AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 50 = 0
+),
+bg AS (
+  SELECT DISTINCT
+    ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS g
+  FROM (SELECT toks, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM bt)
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dg AS (
+  SELECT doc_id,
+    ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM dt)
+)
+SELECT d.doc_id,
+       count(DISTINCT d.g) AS n_grams,
+       count(DISTINCT CASE WHEN b.g IS NOT NULL THEN d.g END) AS n_hits,
+       ROUND(count(DISTINCT CASE WHEN b.g IS NOT NULL THEN d.g END)::DOUBLE
+             / count(DISTINCT d.g), 4) AS frac
+FROM dg d LEFT JOIN bg b ON d.g = b.g
+GROUP BY d.doc_id ORDER BY d.doc_id
 """,
         "dedup_minhash_lsh": _dup_corpus_sql(0.8) + _SHINGLE_JACCARD_SQL,
         "dedup_cluster_canonical": _dup_corpus_sql(0.8).replace(

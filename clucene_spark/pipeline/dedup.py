@@ -738,3 +738,43 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
         .agg(F.count("*").alias("n_hits"), F.min("g").alias("first_hit"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def decontaminate_fraction(docs: DataFrame, bench: DataFrame,
+                           n: int = 8, round_to: int = 4) -> DataFrame:
+    """Per-doc contamination FRACTION — the thresholded form real
+    pipelines filter on (e.g. "drop if >5% of a doc's n-grams appear in
+    the benchmark"), vs decontaminate()'s any-hit flag.
+
+    Returns (doc_id, n_grams, n_hits, frac) for EVERY doc:
+    n_grams = distinct token n-grams in the doc, n_hits = how many of
+    those also occur in the benchmark set, frac = n_hits / n_grams.
+
+    Scale shape: same as decontaminate — benchmark n-gram hashes
+    broadcast; the corpus side left-joins its shingle stream against the
+    broadcast (no shuffle) and marks matches, then ONE groupBy(doc_id)
+    computes both distinct counts (partial aggregation map-side). No
+    distinct() over the raw shingle stream — per-doc dedup happens inside
+    the single aggregation."""
+    bench_grams = (
+        shingles(bench.select(F.lit(-1).alias("doc_id"), "text"), n)
+        .select(md5_60(F.col("shingle")).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_grams = shingles(docs, n).select(
+        "doc_id", md5_60(F.col("shingle")).alias("g")
+    )
+    flagged = doc_grams.join(F.broadcast(bench_grams), "g", "left")
+    n_hits = F.count_distinct(
+        F.when(F.col("hit").isNotNull(), F.col("g"))
+    ).alias("n_hits")
+    n_grams = F.count_distinct("g").alias("n_grams")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(n_grams, n_hits)
+        .select(
+            "doc_id", "n_grams", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), round_to).alias("frac"),
+        )
+    )

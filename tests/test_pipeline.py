@@ -580,6 +580,36 @@ def test_decontaminate_flags_bench_sources(spark, docs):
     assert decontaminate(docs, clean_bench, n=8).count() == 0
 
 
+def test_decontaminate_fraction_semantics(spark, docs):
+    """Overlap-ratio form: a doc that IS a benchmark item scores frac 1.0,
+    a partial overlap lands strictly between 0 and 1, a disjoint doc
+    scores 0.0, and every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from clucene_spark.pipeline.dedup import decontaminate_fraction
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "q w e r t y u i o p"),            # == bench doc
+            (1, "q w e r t y u i zz xx cc vv"),    # shares a prefix run
+            (2, "aa bb cc dd ee ff gg hh ii jj"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q w e r t y u i o p",)], "text string")
+    out = {r["doc_id"]: r for r in
+           decontaminate_fraction(corpus, bench, n=8).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc 0: 10 tokens -> 3 distinct 8-grams, all in bench
+    assert out[0]["n_grams"] == 3 and out[0]["n_hits"] == 3
+    assert out[0]["frac"] == 1.0
+    # doc 1: 12 tokens -> 5 8-grams; only "q w e r t y u i" matches
+    assert out[1]["n_grams"] == 5 and out[1]["n_hits"] == 1
+    assert out[1]["frac"] == 0.2
+    assert out[2]["n_hits"] == 0 and out[2]["frac"] == 0.0
+
+
 def test_repetition_stats_planted(spark):
     from clucene_spark.pipeline.textstats import repetition_stats
 
