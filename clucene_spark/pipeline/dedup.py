@@ -753,9 +753,10 @@ def decontaminate_fraction(docs: DataFrame, bench: DataFrame,
     Scale shape: same as decontaminate — benchmark n-gram hashes
     broadcast; the corpus side left-joins its shingle stream against the
     broadcast (no shuffle) and marks matches, then ONE groupBy(doc_id)
-    computes both distinct counts (partial aggregation map-side). No
-    distinct() over the raw shingle stream — per-doc dedup happens inside
-    the single aggregation."""
+    computes both counts. shingles() already dedups n-grams WITHIN each
+    doc map-side (array_distinct before the explode), so plain count()
+    suffices — no distinct aggregate, no expand: partial aggregation
+    compresses the stream to one row per doc before the only shuffle."""
     bench_grams = (
         shingles(bench.select(F.lit(-1).alias("doc_id"), "text"), n)
         .select(md5_60(F.col("shingle")).alias("g"))
@@ -766,10 +767,8 @@ def decontaminate_fraction(docs: DataFrame, bench: DataFrame,
         "doc_id", md5_60(F.col("shingle")).alias("g")
     )
     flagged = doc_grams.join(F.broadcast(bench_grams), "g", "left")
-    n_hits = F.count_distinct(
-        F.when(F.col("hit").isNotNull(), F.col("g"))
-    ).alias("n_hits")
-    n_grams = F.count_distinct("g").alias("n_grams")
+    n_hits = F.count(F.col("hit")).alias("n_hits")  # count() skips nulls
+    n_grams = F.count("g").alias("n_grams")
     return (
         flagged.groupBy("doc_id")
         .agg(n_grams, n_hits)
