@@ -557,55 +557,88 @@ def parse(s: str, default_field: str = "text", **kw) -> Query | None:
     return QueryParser(default_field, **kw).parse(s)
 
 
-class MultiFieldQueryParser:
-    """Parse one query string against SEVERAL fields and OR the per-field
-    trees — the reference's MultiFieldQueryParser::parse loop (reference
-    queryParser/MultiFieldQueryParser.cpp:40-76: one QueryParser per field
-    over the same string, combined into a BooleanQuery with optional
-    per-field boosts). Explicit `field:term` clauses inside the string
-    still win over the expansion, exactly as in the reference."""
+class MultiFieldQueryParser(QueryParser):
+    """QueryParser whose UNFIELDED leaves expand per field — the
+    reference's MultiFieldQueryParser instance form (reference
+    queryParser/MultiFieldQueryParser.cpp:32-113: getFieldQuery /
+    getFuzzyQuery / getPrefixQuery / getWildcardQuery / getRangeQuery
+    with field==NULL build one sub-query per member field and combine
+    them SHOULD with coord DISABLED, getBooleanQuery(clauses, true)).
+    So `one two` parses to `(b:one t:one) (b:two t:two)` — each TERM
+    is a cross-field group — not one tree per field; under AND mode
+    `+one +two` requires both terms in ANY field rather than both in
+    the SAME field. Explicit `field:term` clauses bypass the expansion
+    (getFieldQuery's else branch). The per-field boost map applies only
+    to term/phrase leaves, exactly where the reference consults it
+    (MultiFieldQueryParser.cpp:38-46 — getFieldQuery only); the `^x`
+    suffix boosts the GROUP, as the grammar boosts whatever the
+    expansion returned."""
 
     def __init__(self, fields: list[str], analyzer=None,
                  default_operator: str = "OR", boosts: dict | None = None,
                  keyword_fields=None):
+        super().__init__(
+            default_field=None,
+            analyzer=analyzer,
+            default_operator=default_operator,
+            indexed_fields=set(fields) - set(keyword_fields or ()),
+            keyword_fields=keyword_fields,
+        )
         self.fields = list(fields)
         self.boosts = dict(boosts or {})
-        self._parsers = [
-            QueryParser(
-                default_field=f,
-                analyzer=analyzer,
-                default_operator=default_operator,
-                indexed_fields=set(self.fields),
-                keyword_fields=keyword_fields,
-            )
-            for f in self.fields
-        ]
+
+    def _leaf_query(self, t: _Tok, field: str | None) -> Query | None:
+        if field is not None:
+            return super()._leaf_query(t, field)
+        if t.kind == "TERM" and t.text == "*":
+            return super()._leaf_query(t, field)  # bare * / *:* — MatchAll once
+        group = BooleanQuery(coord_disabled=True)
+        for f in self.fields:
+            q = super()._leaf_query(t, f)
+            if q is None:  # analysis ate the token on this field (stopword)
+                continue
+            from clucene_spark.search.engine import (MultiPhraseQuery,
+                                                     PhraseQuery, TermQuery)
+
+            if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery)):
+                q.boost = self.boosts.get(f, 1.0)
+            else:
+                q.boost = 1.0
+            group.add(q, SHOULD)
+        if not group.clauses:
+            return None  # stopword on every field — clauses.size()==0 -> NULL
+        group.boost = t.boost if t.boost is not None else 1.0
+        return group
 
     @staticmethod
     def _bind(q: Query, f: str) -> None:
-        """Pin unfielded leaves to field f (the per-field parse of the
-        reference produces Terms on that field)."""
+        """Pin unfielded leaves to field f (used by the static flagged
+        form, which parses the whole string once per field)."""
         if isinstance(q, BooleanQuery):
             for c in q.clauses:
                 MultiFieldQueryParser._bind(c.query, f)
         elif hasattr(q, "field") and getattr(q, "field") is None:
             q.field = f
 
-    def parse(self, s: str) -> Query | None:
+    @classmethod
+    def parse_flags(cls, s: str, fields: list[str], flags: list[str],
+                    analyzer=None, keyword_fields=None) -> Query | None:
+        """The STATIC parse(query, fields[], flags[]) form (reference
+        MultiFieldQueryParser.cpp:139-169): the whole string is parsed
+        once per field and each per-field tree joins the top BooleanQuery
+        with that field's occur flag (MUST/SHOULD/MUST_NOT)."""
         bq = BooleanQuery()
-        found = False
-        for f, p in zip(self.fields, self._parsers):
-            q = p.parse(s)
+        for f, occur in zip(fields, flags):
+            q = QueryParser(
+                default_field=f,
+                analyzer=analyzer,
+                indexed_fields=set(fields),
+                keyword_fields=keyword_fields,
+            ).parse(s)
             if q is None:
                 continue
-            self._bind(q, f)
-            b = self.boosts.get(f)
-            if b is not None:
-                q.boost *= b
-            bq.add(q, SHOULD)
-            found = True
-        if not found:
+            cls._bind(q, f)
+            bq.add(q, occur)
+        if not bq.clauses:
             return None
-        if len(bq.clauses) == 1:
-            return bq.clauses[0].query
         return bq

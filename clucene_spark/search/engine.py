@@ -293,6 +293,11 @@ class BooleanClause:
 class BooleanQuery(Query):
     clauses: list = field(default_factory=list)
     min_should_match: int = 0
+    # BooleanWeight disableCoord (reference BooleanQuery.cpp ctor arg,
+    # getBooleanQuery(clauses, true)): multi-term rewrites and
+    # MultiFieldQueryParser expansion groups score as a plain sum — no
+    # overlap/maxOverlap multiplier even under classic similarity
+    coord_disabled: bool = False
 
     def add(self, query: Query, occur: str = SHOULD) -> "BooleanQuery":
         self.clauses.append(BooleanClause(query, occur))
@@ -1006,7 +1011,8 @@ class Searcher:
                 >= query.min_should_match
             )
         max_overlap = len(must) + len(should)
-        if self.similarity == "classic" and max_overlap > 1:
+        if (self.similarity == "classic" and max_overlap > 1
+                and not query.coord_disabled):
             coord = F.col("overlap") / F.lit(float(max_overlap))
         else:
             coord = F.lit(1.0)
@@ -1244,7 +1250,8 @@ class Searcher:
                 (F.col("matched") - F.col("must_matched")) >= query.min_should_match
             )
         max_overlap = len(must) + len(should)
-        if self.similarity == "classic" and max_overlap > 1:
+        if (self.similarity == "classic" and max_overlap > 1
+                and not query.coord_disabled):
             agg = agg.withColumn(
                 "score", F.col("score") * F.col("matched") / F.lit(float(max_overlap))
             )
