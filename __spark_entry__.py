@@ -539,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": _q_quantize_int8,
         "ann_cosine_int8_topk": _q_ann_int8,
         "batch_term_topk": _q_batch_topk,
+        # r4 late: span clauses inside BooleanQuery (SpanScoreQuery) with
+        # two-pass queryNorm + coord — enters the r5 window
+        "span_boolean_topk": _q_span_boolean,
         "stream_dedup_state": _q_stream_dedup,
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
@@ -624,6 +627,26 @@ def _q_span_not(spark, sf):
                          in_order=True),
     )
     return _span_searcher(spark, sf).topk(q, 10, round_to=4)
+
+
+def _q_span_boolean(spark, sf):
+    """Span clauses composed into a BooleanQuery (the reference's
+    SpanQuery-extends-Query contract, spans/SpanQuery.h; golden semantics
+    pinned by TestSpansAdvanced.cpp:71-93): classic similarity with
+    two-pass queryNorm over both span leaves (SpanWeight::
+    sumOfSquaredWeights, spans/SpanWeight.cpp:49-53) and coord.
+    MUST near(key,value,slop3) + SHOULD span(spark)."""
+    from clucene_spark.search.engine import SpanScoreQuery
+    from clucene_spark.search.spans import SpanNear, SpanTerm
+
+    s = _searcher(spark, sf, similarity="classic")
+    q = (
+        BooleanQuery()
+        .add(SpanScoreQuery(span=SpanNear([SpanTerm("key"), SpanTerm("value")],
+                                          slop=3, in_order=True)), MUST)
+        .add(SpanScoreQuery(span=SpanTerm("spark")), SHOULD)
+    )
+    return s.topk(q, 10, round_to=4)
 
 
 def _q_wand_fielded(spark, sf):
@@ -2885,7 +2908,9 @@ ORDER BY doc_id
     FROM tok a JOIN tok b ON a.doc_id = b.doc_id
     WHERE a.term = 'key' AND b.term = 'value'
       AND a.pos + 1 <= b.pos AND (b.pos - a.pos - 1) <= 3)
-, pf AS (SELECT doc_id, SUM(1.0 / (s1 - s0)) AS pfreq FROM sp GROUP BY doc_id)
+-- payoff 1/(matchLength+1) with RAW span width e-s = (s1+1)-s0
+-- (SpanScorer.cpp:70-75): 1/(s1-s0+2)
+, pf AS (SELECT doc_id, SUM(1.0 / (s1 - s0 + 2.0)) AS pfreq FROM sp GROUP BY doc_id)
 , idf AS (
     SELECT sum(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum,
            max(s.avgdl) AS avgdl
@@ -2897,8 +2922,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "span_first_topk": _PRELUDE
         + """
+-- each single-term span has raw matchLength 1 -> payoff 1/2
+-- (SpanScorer.cpp:70-75, Similarity.cpp:223-225)
 , pf AS (
-    SELECT doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    SELECT doc_id, count(*) / 2.0 AS pfreq
     FROM tok WHERE term = 'spark' AND pos + 1 <= 10
     GROUP BY doc_id)
 , idf AS (
@@ -2947,8 +2974,9 @@ WHERE p.term = 'spark' ORDER BY p.doc_id
 """,
         "span_or_topk": _PRELUDE
         + """
+-- single-term spans: raw matchLength 1 -> payoff 1/2 each
 , pf AS (
-    SELECT doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    SELECT doc_id, count(*) / 2.0 AS pfreq
     FROM tok WHERE term IN ('key', 'vector')
     GROUP BY doc_id)
 , idf AS (
@@ -2962,8 +2990,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "span_not_topk": _PRELUDE
         + """
+-- single-term spans: raw matchLength 1 -> payoff 1/2 each
 , pf AS (
-    SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS pfreq
+    SELECT a.doc_id, count(*) / 2.0 AS pfreq
     FROM tok a
     WHERE a.term = 'key' AND NOT EXISTS (
         SELECT 1 FROM tok b
@@ -2977,6 +3006,42 @@ SELECT p.doc_id,
        ROUND(i.idf_sum * (p.pfreq * 2.2) / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
 FROM pf p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
 WHERE p.pfreq > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # span clauses inside BooleanQuery: classic two-pass queryNorm over
+        # both span leaves + coord(overlap, 2); pfreq = sum sloppyFreq(raw
+        # span width) exactly as the engine computes it
+        "span_boolean_topk": _PRELUDE
+        + """
+, sp AS (
+    SELECT DISTINCT a.doc_id, a.pos AS s0, b.pos AS s1
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+    WHERE a.term = 'key' AND b.term = 'value'
+      AND a.pos + 1 <= b.pos AND (b.pos - a.pos - 1) <= 3)
+, pfn AS (SELECT doc_id, SUM(1.0 / (s1 - s0 + 2.0)) AS pfreq
+          FROM sp GROUP BY doc_id)
+, pfs AS (SELECT doc_id, count(*) / 2.0 AS pfreq
+          FROM tok WHERE term = 'spark' GROUP BY doc_id)
+, idfs AS (
+    SELECT
+      (SELECT ln(s.n_docs / (t.df + 1.0)) + 1.0
+       FROM term_dict t CROSS JOIN stats s WHERE t.term = 'key')
+      + (SELECT ln(s.n_docs / (t.df + 1.0)) + 1.0
+         FROM term_dict t CROSS JOIN stats s WHERE t.term = 'value') AS idf_n,
+      (SELECT ln(s.n_docs / (t.df + 1.0)) + 1.0
+       FROM term_dict t CROSS JOIN stats s WHERE t.term = 'spark') AS idf_s)
+, w AS (SELECT idf_n, idf_s,
+               1.0 / sqrt(idf_n * idf_n * 1.0 * 1.0 + idf_s * idf_s * 1.0 * 1.0) AS qn
+        FROM idfs)
+SELECT n.doc_id,
+       ROUND((sqrt(n.pfreq) * (w.idf_n * w.idf_n * 1.0 * w.qn) * (1.0 / sqrt(d.dl))
+              + COALESCE(sqrt(s.pfreq) * (w.idf_s * w.idf_s * 1.0 * w.qn)
+                         * (1.0 / sqrt(d.dl)), 0.0))
+             * ((1 + CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END) / 2.0)
+             * 1.0, 4) AS score
+FROM pfn n LEFT JOIN pfs s USING (doc_id)
+JOIN doc_lens d ON d.doc_id = n.doc_id
+CROSS JOIN w
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "wand_fielded_topk": """

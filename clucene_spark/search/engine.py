@@ -174,6 +174,26 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass
+class SpanScoreQuery(Query):
+    """A span query promoted to a scorable top-level Query — in the
+    reference SpanQuery *extends* Query (spans/SpanQuery.h), so span
+    clauses slot into BooleanQuery and two-pass weight normalization like
+    any other leaf. Weight semantics follow SpanWeight
+    (spans/SpanWeight.cpp:21-60): idf = Σ idf(term) over the extracted
+    DISTINCT terms (extractTerms fills a TermSet), sumOfSquaredWeights =
+    (idf·boost)², value = queryWeight·idf; the scorer folds
+    sloppyFreq(raw span width) per doc (spans/SpanScorer.cpp:70-75).
+    Pinned by the TestSpansAdvanced / TestSpansAdvanced2 golden scores
+    (e.g. two duplicate MUST span clauses on the 4-doc fixture score
+    exactly 0.3884282, TestSpansAdvanced.cpp:71-93)."""
+    span: Optional[object] = None  # clucene_spark.search.spans.SpanQuery
+    field: Optional[str] = None
+
+    def __str__(self) -> str:
+        return _boosted(f"spanScore({self.span})", self.boost)
+
+
+@dataclass
 class MatchAllQuery(Query):
     def __str__(self) -> str:
         return _boosted("*:*", self.boost)
@@ -477,6 +497,12 @@ class Searcher:
         elif isinstance(query, MultiPhraseQuery):
             for slot in query.slots:
                 out.extend((query.field, t) for t in slot)
+        elif isinstance(query, SpanScoreQuery):
+            from clucene_spark.search import spans as sp
+
+            out.extend(
+                (query.field, t) for t in sorted(set(sp.span_terms(query.span)))
+            )
         return out
 
     def _idf(self, df: int) -> float:
@@ -882,9 +908,54 @@ class Searcher:
             scores = self.score(query.query, query_norm)
             allowed = self._filter_docids(query.predicate)
             return scores.join(allowed, "doc_id", "left_semi")
+        if isinstance(query, SpanScoreQuery):
+            return self._score_span(query, query_norm)
         if isinstance(query, BooleanQuery):
             return self._score_boolean(query, query_norm)
         raise TypeError(f"unknown query type: {type(query)}")
+
+    def _score_span(self, query: SpanScoreQuery,
+                    query_norm: float = 1.0) -> DataFrame:
+        """SpanWeight/SpanScorer scoring (spans/SpanWeight.cpp:44-68,
+        SpanScorer.cpp:70-90): pfreq(doc) = Σ sloppyFreq(e - s) over the
+        compiled span stream, then score = tf(pfreq) · idf² · queryNorm ·
+        byteNorm (classic) / idf · bm25_tf(pfreq) (bm25 mapping)."""
+        from clucene_spark.search import spans as sp
+
+        if self.fielded:
+            raise NotImplementedError(
+                "SpanScoreQuery requires a single-field index (the span "
+                "stream compiler is per-field, like the reference's "
+                "SpanQuery::getField contract)"
+            )
+        searcher = sp.SpanSearcher(self.index, self.similarity)
+        terms = sorted(set(sp.span_terms(query.span)))
+        dfs = self.doc_freqs([(query.field, t) for t in terms])
+        idf_sum = sum(self._idf(d) for d in dfs.values() if d > 0)
+        if idf_sum == 0.0:
+            return self._empty_scores()
+        payoff = 1.0 / ((F.col("e") - F.col("s")) + 1.0)
+        pfreq = (
+            searcher.spans(query.span)
+            .groupBy("doc_id")
+            .agg(F.sum(payoff).alias("pfreq"))
+        )
+        p = pfreq.join(self._doclens(query.field), "doc_id")
+        if self.similarity == "bm25":
+            score = (
+                F.lit(idf_sum)
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"),
+                              F.lit(self._avgdl(query.field)))
+                * F.lit(query.boost)
+            )
+        else:
+            p, lnorm = self._lnorm(p)
+            score = (
+                F.sqrt("pfreq")
+                * F.lit(idf_sum * idf_sum * query.boost * query_norm)
+                * lnorm
+            )
+        return p.select("doc_id", score.alias("score"))
 
     def _filter_docids(self, flt) -> DataFrame:
         """Resolve any Filter form to its doc-id set. Column predicates
@@ -1279,6 +1350,14 @@ class Searcher:
             elif isinstance(q, PhraseQuery):
                 # phrase weight = sum(idf) * boost
                 leaves.append(("P", (q.field, tuple(q.terms)), b))
+            elif isinstance(q, SpanScoreQuery):
+                # SpanWeight: idf over the extracted term SET
+                # (spans/SpanWeight.cpp:26-28 fills a TermSet)
+                from clucene_spark.search import spans as sp
+
+                leaves.append(
+                    ("P", (q.field, tuple(sorted(set(sp.span_terms(q.span))))), b)
+                )
             elif isinstance(q, BooleanQuery):
                 for c in q.clauses:
                     if c.occur != MUST_NOT:

@@ -7,11 +7,15 @@ DataFrame algebra: a *span stream* is a DataFrame (doc_id, s, e) of
 half-open position intervals [s, e), and every composite is a join/union
 on doc_id with interval arithmetic — exactly the shape Catalyst optimizes.
 
-Scoring follows the span-scorer model: freq(doc) = Σ over matching spans
-of sloppy_freq(matchLength) with matchLength = (e - s) - width_min (the
-positions "wasted" beyond the tightest possible match), payoff
-1/(matchLength + 1) (Similarity::sloppyFreq, Similarity.cpp:223-225), then
-the standard BM25/classic tf pipeline — mirroring SpanWeight/SpanScorer.
+Scoring follows the span-scorer model exactly: freq(doc) = Σ over
+matching spans of sloppy_freq(matchLength) with the RAW interval width
+matchLength = e - s (SpanScorer::setFreqCurrentDoc, SpanScorer.cpp:70-75),
+payoff 1/(matchLength + 1) (Similarity::sloppyFreq, Similarity.cpp:223-225),
+then the standard BM25/classic tf pipeline — mirroring
+SpanWeight/SpanScorer. Note the reference does NOT subtract the tightest
+possible width: a single-term span has matchLength 1 and payoff 1/2 —
+that 1/2 is what produces the 1/sqrt(2) factor in the TestSpansAdvanced2
+golden scores (e.g. 0.35355338 = sqrt(0.5) * 0.5), which pin this choice.
 
 Span streams compose arbitrarily: near(or(a,b), c), not(near(...), d), …
 """
@@ -73,15 +77,43 @@ class SpanNot(SpanQuery):
 # compiler: SpanQuery -> DataFrame (doc_id, s, e)
 # ---------------------------------------------------------------------------
 
+def span_terms(q: SpanQuery) -> list[str]:
+    """All weighed terms under a span query — SpanQuery::extractTerms
+    (reference spans/SpanWeight.cpp:26-28; SpanNot excludes don't weigh)."""
+    if isinstance(q, SpanTerm):
+        return [q.term]
+    if isinstance(q, SpanFirst):
+        return span_terms(q.query)
+    if isinstance(q, (SpanOr, SpanNear)):
+        return [t for c in q.clauses for t in span_terms(c)]
+    if isinstance(q, SpanNot):
+        return span_terms(q.include)  # exclude doesn't weigh
+    raise TypeError(type(q))
+
+
 class SpanSearcher:
     def __init__(self, index: InvertedIndex, similarity: str = "bm25"):
         self.index = index
         self.similarity = similarity
-        row = index.doc_lens.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        self.n_docs = int(row["n"])
-        self.avgdl = float(row["avgdl"] or 1.0)
+        self._stats: Optional[tuple[int, float]] = None
+
+    @property
+    def n_docs(self) -> int:
+        return self._corpus_stats()[0]
+
+    @property
+    def avgdl(self) -> float:
+        return self._corpus_stats()[1]
+
+    def _corpus_stats(self) -> tuple[int, float]:
+        """Lazy (n_docs, avgdl): span-stream-only uses (filters, the
+        engine's SpanScoreQuery path) never pay the stats job."""
+        if self._stats is None:
+            row = self.index.doc_lens.agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            self._stats = (int(row["n"]), float(row["avgdl"] or 1.0))
+        return self._stats
 
     def spans(self, q: SpanQuery) -> DataFrame:
         """Compile to the (doc_id, s, e) span stream."""
@@ -146,32 +178,8 @@ class SpanSearcher:
 
     # -- scoring ------------------------------------------------------------
 
-    def _width_min(self, q: SpanQuery) -> int:
-        """Tightest possible composite width (sum of leaf widths)."""
-        if isinstance(q, SpanTerm):
-            return 1
-        if isinstance(q, SpanFirst):
-            return self._width_min(q.query)
-        if isinstance(q, SpanOr):
-            return min(self._width_min(c) for c in q.clauses)
-        if isinstance(q, SpanNot):
-            return self._width_min(q.include)
-        if isinstance(q, SpanNear):
-            return sum(self._width_min(c) for c in q.clauses)
-        raise TypeError(type(q))
-
     def _collect_terms(self, q: SpanQuery) -> list[str]:
-        if isinstance(q, SpanTerm):
-            return [q.term]
-        if isinstance(q, SpanFirst):
-            return self._collect_terms(q.query)
-        if isinstance(q, (SpanOr,)):
-            return [t for c in q.clauses for t in self._collect_terms(c)]
-        if isinstance(q, SpanNot):
-            return self._collect_terms(q.include)  # exclude doesn't weigh
-        if isinstance(q, SpanNear):
-            return [t for c in q.clauses for t in self._collect_terms(c)]
-        raise TypeError(type(q))
+        return span_terms(q)
 
     def score(self, q: SpanQuery) -> DataFrame:
         """(doc_id, score): sloppyFreq over spans -> tf pipeline (the
@@ -190,8 +198,8 @@ class SpanSearcher:
           bm25:    idf_sum * tf_comp               == score
           classic: sqrt(pfreq) * idf^2 * norm      == score
         """
-        wmin = self._width_min(q)
-        payoff = 1.0 / ((F.col("e") - F.col("s")) - F.lit(wmin) + 1.0)
+        # raw matchLength = e - s, NOT width-adjusted (SpanScorer.cpp:70-75)
+        payoff = 1.0 / ((F.col("e") - F.col("s")) + 1.0)
         freqs = self.spans(q).groupBy("doc_id").agg(F.sum(payoff).alias("pfreq"))
         terms = sorted(set(self._collect_terms(q)))
         td = {

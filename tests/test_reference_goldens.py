@@ -32,6 +32,7 @@ from clucene_spark.search.engine import (
     PhraseQuery,
     PrefixQuery,
     Searcher,
+    SpanScoreQuery,
     TermQuery,
 )
 from clucene_spark.search.spans import (
@@ -714,3 +715,174 @@ def test_boolean_prefix_query_fixture(spark):
     wrapped = (BooleanQuery().add(PrefixQuery(prefix="foo"), MUST))
     got = {r["doc_id"] for r in s.score(wrapped).collect()}
     assert got == bare == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# TestSpansAdvanced.cpp / TestSpansAdvanced2.cpp — exact golden SCORES for
+# span queries under classic similarity with byte norms, including span
+# clauses composed into BooleanQuery (SpanQuery extends Query in the
+# reference, so it participates in two-pass weight normalization).
+# Corpus: StandardAnalyzer over the TEXT field (TestSpansAdvanced.cpp:39-69;
+# TestSpansAdvanced2.cpp:21-28 appends docs A-D). Expected scores are
+# transcribed verbatim from the reference test source.
+# ---------------------------------------------------------------------------
+
+ADV_DOCS_1 = [
+    (1, "I think it should work."),
+    (2, "I think it should work."),
+    (3, "I think it should work."),
+    (4, "I think it should work."),
+]
+# Advanced2 ids: A=5, B=6, C=7, D=8 (insertion order preserved)
+ADV_DOCS_2 = ADV_DOCS_1 + [
+    (5, "Should we, could we, would we?"),
+    (6, "It should.  Should it?"),
+    (7, "It shouldn't."),
+    (8, "Should we, should we, should we."),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_search(spark):
+    df = spark.createDataFrame(ADV_DOCS_1, "doc_id long, text string")
+    return Searcher(InvertedIndex(df, analyzer="standard").cache(),
+                    similarity="classic", norm_bytes=True)
+
+
+@pytest.fixture(scope="module")
+def adv2_search(spark):
+    df = spark.createDataFrame(ADV_DOCS_2, "doc_id long, text string")
+    return Searcher(InvertedIndex(df, analyzer="standard").cache(),
+                    similarity="classic", norm_bytes=True)
+
+
+def _hits(searcher, query, k=20):
+    return [(r["doc_id"], r["score"])
+            for r in searcher.topk(query, k).collect()]
+
+
+def _assert_scores(got, want_ids, want_scores, tol=1e-5):
+    assert [d for d, _ in got] == want_ids
+    for (_, s), w in zip(got, want_scores):
+        assert abs(s - w) < tol, (got, want_scores)
+
+
+def test_spans_advanced_boolean_duplicate_clauses(adv_search):
+    """testBooleanQueryWithSpanQueries (TestSpansAdvanced.cpp:71-93): the
+    SAME SpanTermQuery("work") added twice as MUST; all four docs score
+    exactly 0.3884282 = idf(4,4)/2 * byteNorm(dl=4). The /2 decomposes as
+    sloppyFreq(1)=1/2 per single-term span (tf=sqrt(1/2)) times
+    queryNorm over BOTH duplicate clauses (1/sqrt(2*idf^2))."""
+    span = SpanScoreQuery(span=SpanTerm(term="work"))
+    q = BooleanQuery().add(span, MUST).add(span, MUST)
+    _assert_scores(_hits(adv_search, q), [1, 2, 3, 4], [0.3884282] * 4)
+
+
+def test_spans_advanced2_single_span_query(adv2_search):
+    """testSingleSpanQuery (TestSpansAdvanced2.cpp:44-53): a bare
+    SpanTermQuery("should") on the 8-doc corpus; idf(df=7,N=8)=1 so each
+    score is sqrt(pfreq) * byteNorm(dl), pfreq = spans/2."""
+    q = SpanScoreQuery(span=SpanTerm(term="should"))
+    _assert_scores(
+        _hits(adv2_search, q),
+        [6, 8, 1, 2, 3, 4, 5],
+        [0.625, 0.45927936, 0.35355338, 0.35355338, 0.35355338,
+         0.35355338, 0.26516503],
+    )
+
+
+def test_spans_advanced2_multiple_different_span_queries(adv2_search):
+    """testMultipleDifferentSpanQueries (TestSpansAdvanced2.cpp:58-77),
+    post-LUCENE-413 constants: MUST should + MUST we."""
+    q = (BooleanQuery()
+         .add(SpanScoreQuery(span=SpanTerm(term="should")), MUST)
+         .add(SpanScoreQuery(span=SpanTerm(term="we")), MUST))
+    _assert_scores(_hits(adv2_search, q), [8, 5], [1.0191123, 0.93163157])
+
+
+def test_spans_advanced2_boolean_duplicate_clauses(adv2_search):
+    """testBooleanQueryWithSpanQueries at N=8 (TestSpansAdvanced2.cpp:82-85):
+    same duplicate-MUST query, higher idf — 0.73500174 for docs 1-4."""
+    span = SpanScoreQuery(span=SpanTerm(term="work"))
+    q = BooleanQuery().add(span, MUST).add(span, MUST)
+    _assert_scores(_hits(adv2_search, q), [1, 2, 3, 4], [0.73500174] * 4)
+
+
+def test_spans_advanced_explained_score_matches(adv_search):
+    """assertHits also checks Explanation.getDetail(0) == score
+    (TestSpansAdvanced.cpp:127-129): our explain_boolean invariant."""
+    span = SpanScoreQuery(span=SpanTerm(term="work"))
+    q = BooleanQuery().add(span, MUST).add(span, MUST)
+    scores = dict(_hits(adv_search, q))
+    for r in adv_search.explain_boolean(q).collect():
+        assert abs(r["score"] - scores[r["doc_id"]]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# TestConstantScoreRangeQuery.cpp — the 8-doc "small" fixture
+# (TestConstantScoreRangeQuery.cpp:36-47; docs 2 and 5 have NO data field)
+# ---------------------------------------------------------------------------
+
+CSRQ_DOCS = [
+    (0, "A 1 2 3 4 5 6"),
+    (1, "Z       4 5 6"),
+    (2, ""),
+    (3, "B   2   4 5 6"),
+    (4, "Y     3   5 6"),
+    (5, ""),
+    (6, "C     3     6"),
+    (7, "X       4 5 6"),
+]
+
+
+@pytest.fixture(scope="module")
+def csrq_search(spark):
+    df = spark.createDataFrame(CSRQ_DOCS, "doc_id long, text string")
+    return Searcher(InvertedIndex(df).cache())
+
+
+def test_csrq_equal_scores(csrq_search):
+    """testEqualScores (TestConstantScoreRangeQuery.cpp:94-120): docs
+    matching MORE terms in the range score exactly the SAME constant —
+    6 hits, one score."""
+    from clucene_spark.search.engine import ConstantScoreRangeQuery
+
+    rows = csrq_search.score(
+        ConstantScoreRangeQuery(lower="1", upper="6")).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 3, 4, 6, 7}
+    assert len({r["score"] for r in rows}) == 1
+
+
+def test_csrq_boost_orders_clauses(csrq_search):
+    """testBoost (TestConstantScoreRangeQuery.cpp:125-180): in a
+    coord-disabled boolean, per-clause boosts alone decide the order of
+    two single-doc csrq clauses."""
+    from clucene_spark.search.engine import ConstantScoreRangeQuery
+
+    def bq(b1):
+        q = BooleanQuery(coord_disabled=True)
+        q.add(ConstantScoreRangeQuery(lower="A", upper="A", boost=b1), SHOULD)
+        q.add(ConstantScoreRangeQuery(lower="Z", upper="Z"), SHOULD)
+        return q
+
+    low = [(r["doc_id"], r["score"])
+           for r in csrq_search.topk(bq(0.1), 2).collect()]
+    assert [d for d, _ in low] == [1, 0] and low[0][1] > low[1][1]
+    high = [(r["doc_id"], r["score"])
+            for r in csrq_search.topk(bq(10.0), 2).collect()]
+    assert [d for d, _ in high] == [0, 1] and high[0][1] > high[1][1]
+
+
+def test_csrq_boolean_order_unaffected(csrq_search):
+    """testBooleanOrderUnAffected (TestConstantScoreRangeQuery.cpp:187-218):
+    MUST-ing a constant-score range clause onto a scored RangeQuery must
+    not change the ranked order of the scored hits."""
+    from clucene_spark.search.engine import ConstantScoreRangeQuery, RangeQuery
+
+    rq = RangeQuery(lower="1", upper="4")
+    expected = [r["doc_id"] for r in csrq_search.topk(rq, 20).collect()]
+    q = (BooleanQuery()
+         .add(rq, MUST)
+         .add(ConstantScoreRangeQuery(lower="1", upper="6"), MUST))
+    got = [r["doc_id"] for r in csrq_search.topk(q, 20).collect()]
+    assert got == expected and len(got) > 0
