@@ -886,3 +886,62 @@ def test_csrq_boolean_order_unaffected(csrq_search):
          .add(ConstantScoreRangeQuery(lower="1", upper="6"), MUST))
     got = [r["doc_id"] for r in csrq_search.topk(q, 20).collect()]
     assert got == expected and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# TestTermVector.cpp testKnownSetOfDocuments (:123-255) — term-vector /
+# postings consistency and the byte-norm ranked order it asserts
+# ---------------------------------------------------------------------------
+
+TV_DOCS = [
+    (0, "eating chocolate in a computer lab"),                       # 6 terms
+    (1, "computer in a computer lab"),                               # 5 terms
+    (2, "a chocolate lab grows old"),                                # 5 terms
+    (3, "eating chocolate with a chocolate lab in an old chocolate "
+        "colored computer lab"),                                     # 13 terms
+]
+
+TEST4_FREQS = {"chocolate": 3, "lab": 2, "eating": 1, "computer": 1,
+               "with": 1, "a": 1, "colored": 1, "in": 1, "an": 1, "old": 1}
+
+
+def test_term_vector_known_set(spark, tmp_path):
+    """The enum walk invariant (TestTermVector.cpp:166-213): every
+    (term, doc, freq) posting agrees with that doc's stored term vector,
+    in both directions; doc 3's vector is exactly the hand-built
+    10-term frequency map (:128-142, 235-252)."""
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+
+    docs = spark.createDataFrame(TV_DOCS, "doc_id long, text string")
+    d = str(tmp_path / "tv_known")
+    build_segments_fused(docs, d, docs_per_segment=2, analyzer="whitespace",
+                         term_vectors=True)
+    store = SegmentStore(spark, d)
+
+    got = dict((t, f) for t, f, _ in store.term_vector(3))
+    assert got == TEST4_FREQS
+
+    # postings <-> vectors bijection via the distributed surfaces
+    from pyspark.sql import functions as F2
+
+    tv = store.term_vectors().select("doc_id", "term", F2.col("tf").alias("vf"))
+    post = (
+        docs.select("doc_id", F2.explode(F2.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F2.count("*").alias("pf"))
+    )
+    joined = tv.join(post, ["doc_id", "term"], "full_outer")
+    assert joined.filter(
+        F2.col("vf").isNull() | F2.col("pf").isNull()
+        | (F2.col("vf") != F2.col("pf"))
+    ).count() == 0
+
+
+def test_term_vector_ranked_order_byte_norms(spark):
+    """TermQuery("chocolate") must rank ids [2, 3, 0] (:221-231): doc 2
+    wins because byte-norm(5)=0.4375 beats sqrt(3)*byte-norm(13)=0.433 —
+    with EXACT norms doc 3 would win (sqrt(3)/sqrt(13)=0.480 > 0.447), so
+    this golden pins the lossy codec's effect on ranking."""
+    docs = spark.createDataFrame(TV_DOCS, "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs), similarity="classic", norm_bytes=True)
+    hits = [r["doc_id"] for r in s.topk(TermQuery(term="chocolate"), 5).collect()]
+    assert hits == [2, 3, 0]
