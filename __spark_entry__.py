@@ -506,6 +506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_chunk": _q_dedup_chunk,
         "dedup_window_stats": _q_window_dedup,
+        # r4 late: webtext URL-level dedup + domain rollup + line dedup —
+        # enter the r5 window
+        "dedup_url": _q_url_dedup,
+        "web_domain_stats": _q_domain_stats,
+        "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1126,6 +1131,201 @@ def _q_dedup_chunk(spark, sf):
 
     corpus = with_planted_dups(_docs(spark, sf), every=10, keep_frac=0.8)
     return chunk_dedup(corpus, chunk_tokens=10).orderBy("chunk_hash")
+
+
+def _url_pages(spark, sf):
+    """Synthetic crawl-URL table derived deterministically from doc_id:
+    every URL-noise axis the canonicalizer handles — scheme (http vs
+    https), www., explicit default port, trailing slash, fragment,
+    tracking params, param order — over page keys (doc_id%7 host,
+    doc_id%25 path), so ~3 raw URLs collapse per canonical page. Capture
+    ts = (doc_id*211) % 1009 — non-monotonic in doc_id and unique below
+    1009 docs, so latest-wins picks a non-trivial survivor."""
+    d = F.col("doc_id")
+    return _docs(spark, sf).select(
+        "doc_id",
+        ((d * 211) % 1009).alias("ts"),
+        F.concat(
+            F.when(d % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+            F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.concat_ws("", F.lit("site"), (d % 7).cast("string"),
+                        F.lit(".example")),
+            F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            (d % 25).cast("string"),
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(d % 4 == 1, F.lit("?b=2&a=1"))
+            .when(d % 4 == 2, F.lit("?a=1&b=2&gclid=XYZ"))
+            .otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _q_url_dedup(spark, sf):
+    """URL-level dedup: canonicalize crawl URLs (scheme/www/port/slash/
+    fragment/tracking-param/param-order noise) and keep the latest
+    capture per canonical page — the first pass of every Common-Crawl
+    pipeline (BASELINE input is keyed (url, warc_ts))."""
+    from clucene_spark.pipeline.urls import url_dedup
+
+    return url_dedup(_url_pages(spark, sf), ts_col="ts").orderBy("canon_url")
+
+
+def _q_domain_stats(spark, sf):
+    """Docs-per-domain rollup over the same synthetic crawl URLs — the
+    stratification input for per-domain caps over webtext."""
+    from clucene_spark.pipeline.urls import domain_stats
+
+    return domain_stats(_url_pages(spark, sf)).orderBy("domain")
+
+
+# shared URL-noise construction for the url_dedup / web_domain_stats
+# oracles (mirrors _url_pages exactly)
+_URL_PAGES_SQL = """
+WITH pages AS (
+  SELECT doc_id, (doc_id * 211) % 1009 AS ts,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+    || 'site' || (doc_id % 7) || '.example'
+    || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || (doc_id % 25)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+         WHEN 1 THEN '?b=2&a=1'
+         WHEN 2 THEN '?a=1&b=2&gclid=XYZ' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+_URL_DEDUP_SQL = _URL_PAGES_SQL + """
+, c0 AS (SELECT doc_id, ts,
+           regexp_replace(regexp_replace(url, '#.*$', ''),
+                          '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS u
+         FROM pages),
+c1 AS (SELECT doc_id, ts,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^([^/?]+)', 1)), '^www\\.', ''),
+           ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[^/?]+', '') AS rest
+       FROM c0),
+c2 AS (SELECT doc_id, ts, host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_extract(rest, '\\?(.*)$', 1) ELSE '' END AS q
+       FROM c1),
+c3 AS (SELECT doc_id, ts, host, path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)='))), '&') AS qc
+       FROM c2),
+canon AS (SELECT doc_id, ts,
+            host || path
+            || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END) AS canon_url
+          FROM c3),
+ranked AS (SELECT canon_url, doc_id,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY ts DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY canon_url) AS n_copies
+           FROM canon)
+SELECT canon_url, n_copies, doc_id AS keep_doc
+FROM ranked WHERE rn = 1 AND n_copies > 1
+ORDER BY canon_url
+"""
+
+_DOMAIN_STATS_SQL = _URL_PAGES_SQL + """
+, d AS (SELECT doc_id,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(
+              regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+              '^([^/?#]+)', 1)), '^www\\.', ''), ':[0-9]+$', '') AS domain
+        FROM pages)
+SELECT domain, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM d GROUP BY domain ORDER BY domain
+"""
+
+
+def _q_line_dedup(spark, sf):
+    """Corpus-level line dedup (CCNet/RefinedWeb pass) over docs
+    restructured into 8-token lines, with two planted boilerplate axes:
+    a 2-line site header prepended to every doc_id%3==0 doc, and full
+    twin copies (+1M id) of every doc_id%10==0 doc. Policy max_docs=1:
+    a line appearing in >1 doc survives only in its min-doc owner."""
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / 8).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    header = "nav home about contact\ncopyright example corp rights\n"
+    lined = lined.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(header), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    twins = lined.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return line_dedup(lined.unionByName(twins), max_docs=1).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lined0 AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1),
+        i -> array_to_string(t[i*8+1 : i*8+8], ' ')),
+      chr(10)) AS text
+  FROM base),
+lined AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN 'nav home about contact' || chr(10)
+           || 'copyright example corp rights' || chr(10) || text
+      ELSE text END AS text
+  FROM lined0),
+corpus AS (
+  SELECT doc_id, text FROM lined
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM lined WHERE doc_id % 10 = 0),
+ln AS (
+  SELECT doc_id, i - 1 AS pos, l FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS l,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+    FROM corpus)
+  WHERE l <> ''),
+per_dl AS (SELECT doc_id, l FROM ln GROUP BY doc_id, l),
+per_l AS (SELECT l, count(*) AS nd, min(doc_id) AS owner
+          FROM per_dl GROUP BY l),
+kept AS (SELECT ln.doc_id, pos, ln.l
+         FROM ln JOIN per_l ON ln.l = per_l.l
+         WHERE nd <= 1 OR ln.doc_id = owner),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+ka AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(l, chr(10) ORDER BY pos) AS text_clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       coalesce(ka.n_kept, 0) AS n_kept,
+       coalesce(ka.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN ka USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def _q_decontaminate(spark, sf):
@@ -3120,6 +3320,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         + "SELECT term, df, cf FROM term_dict ORDER BY df DESC, term ASC LIMIT 10",
         # --- training-data pipeline oracles ---
         "dedup_window_stats": _WINDOW_DEDUP_SQL,
+        "dedup_url": _URL_DEDUP_SQL,
+        "web_domain_stats": _DOMAIN_STATS_SQL,
+        "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)
         + """
 , h AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS hh,

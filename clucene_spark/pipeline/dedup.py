@@ -709,6 +709,75 @@ def window_dedup_stats(
     )
 
 
+def line_dedup(
+    docs: DataFrame, sep: str = "\n", max_docs: int = 1
+) -> DataFrame:
+    """Corpus-level duplicated-line removal with document rewrite — the
+    CCNet / RefinedWeb line-dedup pass (public: Wenzek et al. 2019
+    "CCNet", Penedo et al. 2023 "The RefinedWeb Dataset"): a line that
+    occurs in more than `max_docs` documents is boilerplate (site nav,
+    cookie banners, copyright footers) and is dropped from every document
+    EXCEPT its canonical owner (min doc_id), so exactly one copy survives
+    corpus-wide. Complements chunk_dedup (which only reports duplicate
+    chunks): this op returns the cleaned corpus.
+
+    Returns (doc_id, n_lines, n_kept, text_clean) for every input doc —
+    text_clean is the document with dropped lines removed, original line
+    order preserved (empty string when nothing survives).
+
+    Scale shape at 100 TB:
+      - one explode to (doc_id, pos, line, h) rows — h is a 60-bit hash,
+        and only (doc_id, h) pairs feed the stats aggregation, so the
+        heavy side of the stats pass moves 16-byte keys, not text;
+      - per-line stats via the two-level (doc_id,h)→(h) rollup (the
+        window_dedup_stats pattern): no countDistinct, boilerplate
+        mega-lines collapse map-side and cannot skew the reduce;
+      - the stats frame is CORPUS-SIZED (one row per distinct line), so
+        the flag join is pinned sort-merge — same reasoning and failure
+        modes as window_dedup_stats (AQE mis-broadcasts by compressed
+        size; shuffled-hash can't build under memory pressure);
+      - the rewrite groupBy(doc_id) shuffles the surviving line text
+        once — irreducible, the op's output IS that text.
+    """
+    ln = (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("h", md5_60(F.col("line")))
+    )
+    per_dh = ln.select("doc_id", "h").groupBy("doc_id", "h").agg(
+        F.count("*").alias("c")
+    )
+    per_h = per_dh.groupBy("h").agg(
+        F.count("*").alias("nd"),           # docs containing the line
+        F.min("doc_id").alias("owner"),     # canonical keeper
+    )
+    kept = (
+        ln.join(per_h.hint("merge"), "h")
+        .filter((F.col("nd") <= max_docs) | (F.col("doc_id") == F.col("owner")))
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = ln.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                   min_hits: int = 1) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any token

@@ -1,0 +1,146 @@
+"""URL canonicalization + URL-level dedup for Common-Crawl-style webtext.
+
+The BASELINE input is an Iceberg table of web pages keyed by
+(url, warc_ts) — the same page is crawled many times under trivially
+different URLs (http vs https, www., tracking params, fragments,
+trailing slashes, param order). Before any content-level dedup a web
+pipeline collapses those to one canonical row per page, keeping the
+freshest capture (latest warc_ts) — the URL-level analogue of
+exact_dedup, and the cheapest dedup pass there is: pure string algebra
+per row, one shuffle on the canonical key.
+
+Everything here is JVM-side Catalyst column math (regexp / split /
+array_sort / array_join) — no Python in the plan, so the pass runs at
+scan speed and whole-stage-codegens. At 100 TB the only shuffle is the
+groupBy(canon_url); host-level skew (one domain with billions of pages)
+does not skew THIS key because the full path+query participates.
+
+Canonicalization spec (documented simplifications are marked):
+  1. strip the #fragment,
+  2. collapse the scheme: http:// and https:// compare equal,
+  3. host: lowercase, strip one leading "www.", strip an explicit
+     default port (:80 / :443 — stripped for either scheme, a
+     simplification: the schemes are already collapsed),
+  4. path: strip trailing slashes ("/a/" == "/a"); case preserved,
+  5. query: drop tracking params (utm_*, gclid, fbclid, msclkid,
+     ref), sort the survivors bytewise, rejoin; an emptied query
+     drops its "?".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# one param per tracking network; anchored at the key
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical page key for a raw crawl URL (spec in module docstring).
+
+    Pure Catalyst expression — usable inside any select/groupBy without
+    leaving whole-stage codegen.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")                      # 1. fragment
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")   # 2. scheme
+    host = F.lower(F.regexp_extract(u, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")                # 3. www.
+    host = F.regexp_replace(host, r":(80|443)$", "")            # 3. port
+    rest = F.regexp_replace(u, r"^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", ""      # 4. slash
+    )
+    query = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),      # 5. tracking
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup groups: one row per canonical URL seen >1 time,
+    with the survivor = latest capture (max ts, doc_id tiebreak).
+
+    Returns (canon_url, n_copies, keep_doc). Latest-wins via
+    max(struct(ts, id)) — a single map-side-combining aggregation, no
+    window function, no second pass. At 100 TB this is one shuffle of
+    (canon_url, ts, id) triples; the page payload (html/text) never
+    moves — callers semi-join survivors back against the full table.
+    """
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max(F.struct("ts", "doc_id"))["doc_id"].alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def url_dedup_survivors(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full-table form: the input pages rows with only the canonical
+    survivor of every URL group retained (latest warc_ts wins). Shuffles
+    only (canon_url, ts, id); survivors join back broadcast-free via a
+    doc_id semi-join that AQE can plan as shuffled-hash on the id."""
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    keep = (
+        canon.groupBy("canon_url")
+        .agg(F.max(F.struct("ts", "doc_id"))["doc_id"].alias(id_col))
+        .select(id_col)
+    )
+    return pages.join(keep, id_col, "left_semi")
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable-host key (lowercased host, www. stripped, port
+    stripped) — the stratification key for per-domain caps and corpus-mix
+    stats over webtext. Simplification: no public-suffix list in this
+    container, so the full host is the domain key (subdomain-level)."""
+    u = F.regexp_replace(url, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs per domain — the input for per-domain caps (feed to
+    sampling.stratum_cap with stratum=domain). One partial-aggregating
+    shuffle on the domain key."""
+    return (
+        pages.select(domain_of(F.col(url_col)).alias("domain"), id_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+    )

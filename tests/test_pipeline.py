@@ -1070,3 +1070,115 @@ def test_pick_bands_rule():
     assert pick_bands(32, 0.8) == 8     # r=4: recall 0.985
     assert pick_bands(32, 0.3) == 32    # r=1 only: r=2 recall 0.78 < 0.95
     assert pick_bands(32, 0.9) == 8     # r=8 recall 0.894 < 0.95 -> stay r=4
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / URL-level dedup / line dedup (webtext ops)
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_axes(spark):
+    """Every noise axis collapses; distinct pages stay distinct."""
+    from clucene_spark.pipeline.urls import canonicalize_url
+
+    variants = [
+        "http://www.Site.Example/a/b/?b=2&a=1#frag",
+        "https://site.example:443/a/b?a=1&b=2&utm_source=x",
+        "HTTPS://site.example/a/b/?fbclid=123&b=2&a=1",
+        "http://site.example:80/a/b?gclid=Z&a=1&b=2",
+    ]
+    distinct = [
+        "https://site.example/a/c?a=1&b=2",   # different path
+        "https://site.example/a/b?a=2&b=2",   # different param value
+        "https://other.example/a/b?a=1&b=2",  # different host
+        "https://site.example/a/b",           # no query
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + distinct], ["url"])
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert len(set(got[:4])) == 1
+    assert got[0] == "site.example/a/b?a=1&b=2"
+    assert len(set(got)) == 1 + len(distinct)
+    assert got[7] == "site.example/a/b"
+
+
+def test_url_dedup_on_webtext_latest_wins(spark):
+    """webtext pages + noisy re-crawls: survivor is the latest warc_ts."""
+    from clucene_spark.data.webtext import webtext_df
+    from clucene_spark.pipeline.urls import url_dedup, url_dedup_survivors
+
+    pages = webtext_df(spark, 60).cache()
+    # re-crawl every 4th page a day later under a noisier URL
+    recrawl = pages.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.regexp_replace("url", "^https://", "http://www.").alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    corpus = pages.unionByName(recrawl)
+    groups = url_dedup(corpus).collect()
+    n_dup = pages.filter(F.col("doc_id") % 4 == 0).count()
+    assert len(groups) == n_dup
+    for g in groups:
+        assert g["n_copies"] == 2
+        assert g["keep_doc"] >= 10_000  # the later capture wins
+    survivors = url_dedup_survivors(corpus)
+    assert survivors.count() == 60  # one row per page
+    assert survivors.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 10_000)
+    ).count() == 0
+    pages.unpersist()
+
+
+def test_domain_stats_counts(spark):
+    from clucene_spark.data.webtext import webtext_df
+    from clucene_spark.pipeline.urls import domain_stats
+
+    pages = webtext_df(spark, 100)
+    rows = {r["domain"]: r["n_docs"] for r in domain_stats(pages).collect()}
+    # generator: url host = site{doc_id % 97}.example; ids 0..99 wrap on 97
+    assert sum(rows.values()) == 100
+    assert rows["site0.example"] == 2 and rows["site96.example"] == 1
+    assert len(rows) == 97
+
+
+def test_line_dedup_removes_boilerplate_once(spark):
+    """Planted shared header survives in exactly one doc; unique lines
+    are untouched; a fully-duplicated twin is emptied."""
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    header = "shared nav header"
+    rows = [
+        (1, header + "\nunique one\nunique two"),
+        (2, header + "\nunique three"),
+        (3, "unique four\nunique four"),  # same line twice WITHIN one doc
+        (4, header + "\nunique three"),   # full dup of doc 2's remainder
+    ]
+    out = {r["doc_id"]: r for r in line_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), max_docs=1
+    ).collect()}
+    assert out[1]["n_kept"] == 3  # owner of the header keeps it
+    assert out[1]["text_clean"] == header + "\nunique one\nunique two"
+    assert out[2]["n_kept"] == 1  # loses header, owns "unique three"
+    assert out[2]["text_clean"] == "unique three"
+    # within-doc repeats both survive in the owner
+    assert out[3]["n_kept"] == 2
+    assert out[3]["text_clean"] == "unique four\nunique four"
+    # doc 4 loses every line -> empty rewrite, still reported
+    assert out[4]["n_kept"] == 0 and out[4]["text_clean"] == ""
+    assert out[4]["n_lines"] == 2
+
+
+def test_line_dedup_max_docs_threshold(spark):
+    """max_docs=2: a line in exactly 2 docs survives everywhere; 3+ only
+    in the owner."""
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    rows = [(i, "pair line\ntriple line" if i < 2 else "triple line")
+            for i in range(3)]
+    out = {r["doc_id"]: r for r in line_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), max_docs=2
+    ).collect()}
+    assert out[0]["n_kept"] == 2  # owner keeps both
+    assert out[1]["n_kept"] == 1  # keeps the 2-doc line, loses the 3-doc one
+    assert out[1]["text_clean"] == "pair line"
+    assert out[2]["n_kept"] == 0
