@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (reference index/Term.cpp, FieldInfos.cpp) ---
         "fielded_tf_topk": _q_fielded_tf,
         "parsed_fielded_tf_topk": _q_fielded_parsed,
+        # r4 late: fielded SpanScoreQuery (the engine's last refused query
+        # form) — enters the r5 window
+        "span_fielded_topk": _q_span_fielded,
         # --- DateTools-encoded date range through the parser's date
         #     detection (QueryParser.cpp:428-489, DateTools.h:30-49) ---
         "date_range_topk": _q_date_range,
@@ -923,6 +926,53 @@ def _q_multifield_parsed(spark, sf):
         "spark join"
     )
     return s.topk(q, 10, round_to=4)
+
+
+def _q_span_fielded(spark, sf):
+    """SpanScoreQuery compiled inside the 'title' field of the two-field
+    index (SpanQuery::getField contract, spans/SpanQuery.h): unordered
+    near(value, table, slop=2) scored BM25 with title-field dl/avgdl/df
+    and global n_docs — the fielded form the r3 engine still refused."""
+    from clucene_spark.search.engine import SpanScoreQuery
+    from clucene_spark.search.spans import SpanNear, SpanTerm
+
+    _, s = _fielded_index(spark, sf)
+    q = SpanScoreQuery(
+        span=SpanNear([SpanTerm("value"), SpanTerm("table")], slop=2,
+                      in_order=False),
+        field="title",
+    )
+    return s.topk(q, 10, round_to=4)
+
+
+_SPAN_FIELDED_SQL = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ttok AS (
+  SELECT doc_id, i - 1 AS pos, term FROM (
+    SELECT doc_id, unnest(toks[1:4]) AS term,
+           unnest(generate_series(1, len(toks[1:4]))) AS i
+    FROM raw)
+  WHERE term <> ''),
+sp AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+              greatest(a.pos, b.pos) + 1 AS e
+       FROM ttok a JOIN ttok b ON a.doc_id = b.doc_id
+       WHERE a.term = 'value' AND b.term = 'table'
+         AND abs(a.pos - b.pos) <= 3),
+pf AS (SELECT doc_id, SUM(1.0 / (e - s + 1.0)) AS pfreq FROM sp GROUP BY doc_id),
+dl_t AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+st AS (SELECT avg(dl) AS avgdl FROM dl_t),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok
+       WHERE term IN ('value', 'table') GROUP BY term),
+idf AS (SELECT SUM(ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+        FROM td t CROSS JOIN nd n)
+SELECT p.doc_id,
+       ROUND(i.idf_sum * (p.pfreq * 2.2)
+             / (p.pfreq + 1.2 * (0.25 + 0.75 * d.dl / s2.avgdl)), 4) AS score
+FROM pf p JOIN dl_t d USING (doc_id)
+CROSS JOIN idf i CROSS JOIN st s2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
 
 _HL_TERMS = ["spark", "join"]
@@ -3889,6 +3939,7 @@ WHERE p.term = 'national'
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     d["parsed_fielded_tf_topk"] = d["fielded_tf_topk"]
+    d["span_fielded_topk"] = _SPAN_FIELDED_SQL
     # MultiFieldQueryParser: 'spark join' per field, title clauses 2x
     d["parsed_multifield_topk"] = d["fielded_tf_topk"].replace(
         """SELECT doc_id, ROUND(SUM(sc), 4) AS score

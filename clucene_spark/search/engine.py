@@ -244,8 +244,11 @@ class QueryFilter:
 @dataclass
 class SpanQueryFilter:
     """Filter from a span query's matching docs (reference
-    search/SpanQueryFilter.cpp:30-55: bits set per span hit doc)."""
+    search/SpanQueryFilter.cpp:30-55: bits set per span hit doc).
+    `field` routes the span stream on a multi-field index (defaults to
+    the index's default field, like an unfielded query string)."""
     span: Optional[object] = None
+    field: Optional[str] = None
 
 
 @dataclass
@@ -922,13 +925,14 @@ class Searcher:
         byteNorm (classic) / idf · bm25_tf(pfreq) (bm25 mapping)."""
         from clucene_spark.search import spans as sp
 
-        if self.fielded:
-            raise NotImplementedError(
-                "SpanScoreQuery requires a single-field index (the span "
-                "stream compiler is per-field, like the reference's "
-                "SpanQuery::getField contract)"
-            )
-        searcher = sp.SpanSearcher(self.index, self.similarity)
+        # fielded index: compile the span stream inside query.field only —
+        # SpanQuery::getField (spans/SpanQuery.h) pins a span tree to one
+        # field, and dl/avgdl/df below are already per-field via the
+        # engine's fielded helpers
+        searcher = sp.SpanSearcher(
+            self.index, self.similarity,
+            field=self._f(query.field) if self.fielded else None,
+        )
         terms = sorted(set(sp.span_terms(query.span)))
         dfs = self.doc_freqs([(query.field, t) for t in terms])
         idf_sum = sum(self._idf(d) for d in dfs.values() if d > 0)
@@ -973,7 +977,10 @@ class Searcher:
             from clucene_spark.search.spans import SpanSearcher
 
             return (
-                SpanSearcher(self.index, self.similarity)
+                SpanSearcher(
+                    self.index, self.similarity,
+                    field=self._f(flt.field) if self.fielded else None,
+                )
                 .spans(flt.span)
                 .select("doc_id")
                 .distinct()

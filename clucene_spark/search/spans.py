@@ -92,10 +92,38 @@ def span_terms(q: SpanQuery) -> list[str]:
 
 
 class SpanSearcher:
-    def __init__(self, index: InvertedIndex, similarity: str = "bm25"):
+    def __init__(self, index: InvertedIndex, similarity: str = "bm25",
+                 field: Optional[str] = None):
+        """`field` selects the span field on a multi-field index — the
+        reference's SpanQuery::getField contract (spans/SpanQuery.h): a
+        span tree lives entirely in ONE field, and all stats (df, dl,
+        avgdl, n_docs) are that field's. Single-field indexes ignore it;
+        a fielded index requires it."""
         self.index = index
         self.similarity = similarity
         self._stats: Optional[tuple[int, float]] = None
+        fielded = "field" in index.postings.columns
+        if fielded:
+            if field is None:
+                field = getattr(index, "default_field", None)
+                if field is None:
+                    raise ValueError(
+                        "fielded index: SpanSearcher needs a field"
+                    )
+            self._postings = index.postings.filter(
+                F.col("field") == field
+            ).drop("field")
+            self._doc_lens = index.doc_lens.filter(
+                F.col("field") == field
+            ).drop("field")
+            self._term_dict = index.term_dict.filter(
+                F.col("field") == field
+            ).drop("field")
+        else:
+            self._postings = index.postings
+            self._doc_lens = index.doc_lens
+            self._term_dict = index.term_dict
+        self.field = field
 
     @property
     def n_docs(self) -> int:
@@ -109,7 +137,7 @@ class SpanSearcher:
         """Lazy (n_docs, avgdl): span-stream-only uses (filters, the
         engine's SpanScoreQuery path) never pay the stats job."""
         if self._stats is None:
-            row = self.index.doc_lens.agg(
+            row = self._doc_lens.agg(
                 F.count("*").alias("n"), F.avg("dl").alias("avgdl")
             ).collect()[0]
             self._stats = (int(row["n"]), float(row["avgdl"] or 1.0))
@@ -119,7 +147,7 @@ class SpanSearcher:
         """Compile to the (doc_id, s, e) span stream."""
         if isinstance(q, SpanTerm):
             return (
-                self.index.postings.filter(F.col("term") == q.term)
+                self._postings.filter(F.col("term") == q.term)
                 .select("doc_id", F.explode("positions").alias("s"))
                 .select("doc_id", "s", (F.col("s") + 1).alias("e"))
             )
@@ -204,9 +232,9 @@ class SpanSearcher:
         terms = sorted(set(self._collect_terms(q)))
         td = {
             r["term"]: int(r["df"])
-            for r in self.index.term_dict.filter(F.col("term").isin(terms)).collect()
+            for r in self._term_dict.filter(F.col("term").isin(terms)).collect()
         }
-        rows = freqs.join(self.index.doc_lens, "doc_id")
+        rows = freqs.join(self._doc_lens, "doc_id")
         if self.similarity == "bm25":
             idf_sum = sum(
                 sim.bm25_idf_py(td[t], self.n_docs) for t in terms if t in td

@@ -108,3 +108,83 @@ def test_span_scoring_orders_by_tightness(s):
     by_doc = dict(rows)
     assert by_doc[0] > by_doc[5]  # adjacent beats slop-3 in same-ish length docs
     assert rows == sorted(rows, key=lambda t: (-t[1], t[0]))
+
+
+# ---------------------------------------------------------------------------
+# fielded span streams (SpanQuery::getField contract on a multi-field index)
+# ---------------------------------------------------------------------------
+
+def test_fielded_span_searcher_matches_single_field(spark):
+    """A fielded index whose 'body' field carries the fixture text must
+    produce byte-identical span streams and scores to the single-field
+    index, and a disjoint 'tag' field must not leak into them."""
+    single = SpanSearcher(InvertedIndex(
+        spark.createDataFrame(DOCS, "doc_id long, text string")))
+    two = spark.createDataFrame(
+        [(i, t, f"tag{i} alpha") for i, t in DOCS],
+        "doc_id long, text string, tag string",
+    )
+    idx = InvertedIndex(
+        two, fields=[("body", "text", "whitespace"),
+                     ("tag", "tag", "whitespace")]
+    )
+    fielded = SpanSearcher(idx, field="body")
+    q = SpanNear([SpanTerm("alpha"), SpanTerm("beta")], slop=1, in_order=True)
+    assert _spans(fielded, q) == _spans(single, q)
+    got = sorted(
+        (r["doc_id"], round(r["score"], 6)) for r in fielded.score(q).collect()
+    )
+    want = sorted(
+        (r["doc_id"], round(r["score"], 6)) for r in single.score(q).collect()
+    )
+    assert got == want
+    # the tag field sees only its own tokens
+    tags = SpanSearcher(idx, field="tag")
+    assert _spans(tags, SpanTerm("beta")) == []
+    assert len(_spans(tags, SpanTerm("alpha"))) == len(DOCS)
+
+
+def test_fielded_span_requires_field_or_default(spark):
+    two = spark.createDataFrame(
+        [(0, "a b", "x")], "doc_id long, text string, tag string"
+    )
+    idx = InvertedIndex(
+        two, fields=[("text", "text", "whitespace"),
+                     ("tag", "tag", "whitespace")]
+    )
+    # default_field fallback: first declared field
+    assert SpanSearcher(idx).field == "text"
+
+
+def test_fielded_span_score_query_through_engine(spark):
+    """SpanScoreQuery on a fielded Searcher (the r3 NotImplementedError
+    path): scores must equal the hand-built per-field BM25 fold."""
+    from clucene_spark.search.engine import Searcher, SpanScoreQuery
+
+    two = spark.createDataFrame(
+        [(i, t, "alpha beta") for i, t in DOCS],
+        "doc_id long, text string, title string",
+    )
+    idx = InvertedIndex(
+        two, fields=[("text", "text", "whitespace"),
+                     ("title", "title", "whitespace")]
+    )
+    eng = Searcher(idx)
+    q = SpanScoreQuery(
+        span=SpanNear([SpanTerm("alpha"), SpanTerm("beta")], slop=0,
+                      in_order=True),
+        field="title",
+    )
+    rows = eng.topk(q, 10).collect()
+    # every doc's title is 'alpha beta': identical dl, identical pfreq ->
+    # identical scores for all six docs, doc_id ascending tiebreak
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert len({round(r["score"], 9) for r in rows}) == 1
+    # and the text-field form differs (doc-dependent), proving routing
+    q_text = SpanScoreQuery(
+        span=SpanNear([SpanTerm("alpha"), SpanTerm("beta")], slop=0,
+                      in_order=True),
+        field="text",
+    )
+    text_rows = eng.topk(q_text, 10).collect()
+    assert {r["doc_id"] for r in text_rows} == {0, 3}
