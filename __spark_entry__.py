@@ -1268,8 +1268,10 @@ c2 AS (SELECT doc_id, ts, host,
        FROM c1),
 c3 AS (SELECT doc_id, ts, host, path,
          array_to_string(list_sort(list_filter(string_split(q, '&'),
-           p -> p <> '' AND NOT regexp_matches(p,
-             '^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)='))), '&') AS qc
+           p -> p <> '' AND NOT (starts_with(p, 'utm_')
+             OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')
+             OR starts_with(p, 'msclkid=') OR starts_with(p, 'ref=')))),
+           '&') AS qc
        FROM c2),
 canon AS (SELECT doc_id, ts,
             host || path

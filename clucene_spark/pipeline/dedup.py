@@ -725,56 +725,50 @@ def line_dedup(
     text_clean is the document with dropped lines removed, original line
     order preserved (empty string when nothing survives).
 
-    Scale shape at 100 TB:
-      - one explode to (doc_id, pos, line, h) rows — h is a 60-bit hash,
-        and only (doc_id, h) pairs feed the stats aggregation, so the
-        heavy side of the stats pass moves 16-byte keys, not text;
-      - per-line stats via the two-level (doc_id,h)→(h) rollup (the
-        window_dedup_stats pattern): no countDistinct, boilerplate
-        mega-lines collapse map-side and cannot skew the reduce;
-      - the stats frame is CORPUS-SIZED (one row per distinct line), so
-        the flag join is pinned sort-merge — same reasoning and failure
-        modes as window_dedup_stats (AQE mis-broadcasts by compressed
-        size; shuffled-hash can't build under memory pressure);
-      - the rewrite groupBy(doc_id) shuffles the surviving line text
-        once — irreducible, the op's output IS that text.
+    Scale shape at 100 TB — LINE TEXT NEVER EXPLODES OR SHUFFLES:
+      - the stats pass explodes only (doc_id, line-hash) pairs (16-byte
+        rows) and rolls them up two-level (the window_dedup_stats
+        pattern: no countDistinct, boilerplate mega-lines collapse
+        map-side and cannot skew the reduce);
+      - both sides of the flag join are corpus-sized hash frames, so it
+        is pinned sort-merge — same reasoning and failure modes as
+        window_dedup_stats (AQE mis-broadcasts by compressed size;
+        shuffled-hash can't build under memory pressure);
+      - keep decisions come back as ONE compact row per doc (the kept
+        hash set), joined to the original docs table on doc_id, and the
+        rewrite itself is a map-side higher-order filter over the
+        re-split text — the document body crosses the wire exactly once
+        (that doc_id join), never in exploded per-line form.
     """
-    ln = (
-        ensure_parallelism(docs)
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line"),
-        )
-        .filter(F.col("line") != "")
-        .withColumn("h", md5_60(F.col("line")))
+    lines = F.filter(F.split(F.col("text"), sep), lambda x: x != "")
+    base = ensure_parallelism(docs).select("doc_id", "text").filter(
+        F.size(lines) > 0
     )
-    per_dh = ln.select("doc_id", "h").groupBy("doc_id", "h").agg(
-        F.count("*").alias("c")
-    )
+    per_dh = base.select(
+        "doc_id",
+        F.explode(F.transform(lines, lambda x: md5_60(x))).alias("h"),
+    ).distinct()
     per_h = per_dh.groupBy("h").agg(
         F.count("*").alias("nd"),           # docs containing the line
         F.min("doc_id").alias("owner"),     # canonical keeper
     )
-    kept = (
-        ln.join(per_h.hint("merge"), "h")
+    keep_sets = (
+        per_dh.join(per_h.hint("merge"), "h")
         .filter((F.col("nd") <= max_docs) | (F.col("doc_id") == F.col("owner")))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("keep_hs"))
     )
-    kept_agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            sep,
-        ).alias("text_clean"),
+    keep_hs = F.coalesce(
+        F.col("keep_hs"), F.array().cast("array<long>")
     )
-    totals = ln.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return totals.join(kept_agg, "doc_id", "left").select(
+    kept_arr = F.filter(
+        lines, lambda x: F.array_contains(keep_hs, md5_60(x))
+    )
+    return base.join(keep_sets, "doc_id", "left").select(
         "doc_id",
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
+        F.array_join(kept_arr, sep).alias("text_clean"),
     )
 
 

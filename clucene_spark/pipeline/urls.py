@@ -22,17 +22,27 @@ Canonicalization spec (documented simplifications are marked):
      default port (:80 / :443 — stripped for either scheme, a
      simplification: the schemes are already collapsed),
   4. path: strip trailing slashes ("/a/" == "/a"); case preserved,
-  5. query: drop tracking params (utm_*, gclid, fbclid, msclkid,
-     ref), sort the survivors bytewise, rejoin; an emptied query
-     drops its "?".
+  5. query: drop tracking params (any utm_* key, and gclid / fbclid /
+     msclkid / ref), sort the survivors bytewise, rejoin; an emptied
+     query drops its "?".
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# one param per tracking network; anchored at the key
-TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)="
+# tracking-param key prefixes (prefix tests, not a regex: the filter
+# lambda runs inside a higher-order function, which Catalyst evaluates
+# interpreted — startsWith is a cheap byte compare there, a regex is not)
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid=", "fbclid=", "msclkid=", "ref=")
+
+
+def _is_tracking(p: Column) -> Column:
+    cond = None
+    for pref in TRACKING_PARAM_PREFIXES:
+        c = p.startswith(pref)
+        cond = c if cond is None else cond | c
+    return cond
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -55,7 +65,7 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(F.lit(""))
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),      # 5. tracking
+        lambda p: (p != "") & ~_is_tracking(p),                 # 5. tracking
     )
     qcanon = F.array_join(F.array_sort(params), "&")
     return F.concat(

@@ -187,3 +187,39 @@ def test_lm_score_join_not_broadcast(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(lm_score(docs))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_line_dedup_stats_join_sort_merge_and_no_text_explode(spark):
+    """line_dedup's flag join is corpus-sized on both sides (distinct
+    line hashes) -> pinned sort-merge, like window_dedup_stats. And the
+    stats explode must carry ONLY hashes: no plan node may generate
+    per-line text rows (the rewrite is a map-side lambda over the doc's
+    own split array)."""
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    plan = _plan(line_dedup(docs))
+    assert "SortMergeJoin" in plan, plan
+    # the only explode is transform(...)->md5 hashes; exploding the raw
+    # split() (text lines) into rows would show 'explode(split('
+    assert "explode(split(" not in plan.replace(" ", ""), plan
+
+
+def test_url_dedup_single_shuffle_no_python(spark):
+    """url_dedup is one partial-aggregating shuffle of (canon,ts,id)
+    triples; canonicalization is pure Catalyst (no Python workers, no
+    extra exchange)."""
+    from clucene_spark.pipeline.urls import url_dedup
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), F.col("doc_id") % 5,
+                 F.lit(".example/p?b=2&a=1")).alias("url"),
+        F.col("doc_id").alias("ts"),
+    )
+    plan = _plan(url_dedup(pages, ts_col="ts"))
+    # one node in the tree (the formatted detail section repeats it)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
