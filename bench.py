@@ -226,12 +226,54 @@ def main() -> None:
         lambda: pack_sequences(docs.select("doc_id", "text")).count()
     )
 
+    # webtext curation ops (added round 4, off-headline): URL-level dedup
+    # over the bench corpus's own urls + 25% noisy re-crawls, and the
+    # corpus line-dedup rewrite over 8-token-line docs
+    from clucene_spark.pipeline.dedup import line_dedup
+    from clucene_spark.pipeline.urls import url_dedup
+
+    pages = corpus.select("doc_id", "url", "warc_ts")
+    recrawl = pages.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace("url", "^https://", "http://www.").alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+    )
+    crawl_dir = tempfile.mkdtemp(
+        prefix="bench_crawl_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    # materialize once so best_of times the OP, not the python generator
+    pages.unionByName(recrawl).write.mode("overwrite").parquet(crawl_dir)
+    crawl = spark.read.parquet(crawl_dir)
+    timings["url_dedup"] = best_of(lambda: url_dedup(crawl).count())
+    toks = F.split(F.col("text"), " ")
+    n_l = F.ceil(F.size(toks) / 8).cast("int")
+    lined_dir = tempfile.mkdtemp(
+        prefix="bench_lined_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    corpus.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_l - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(lined_dir)
+    lined = spark.read.parquet(lined_dir)
+    timings["line_dedup"] = best_of(
+        lambda: line_dedup(lined).agg(F.sum("n_kept")).collect()
+    )
+    shutil.rmtree(crawl_dir, ignore_errors=True)
+    shutil.rmtree(lined_dir, ignore_errors=True)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # the headline total stays the r1-r3 entry set for round-over-round
-    # comparability; entries added later (the messy-corpus build twin)
-    # report their own numbers but do not inflate the sum
-    _extra = {"seg_build_fused_messy"}
+    # comparability; entries added later (the messy-corpus build twin,
+    # the r4 webtext curation ops) report their own numbers but do not
+    # inflate the sum
+    _extra = {"seg_build_fused_messy", "url_dedup", "line_dedup"}
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 4
     )
