@@ -945,3 +945,36 @@ def test_term_vector_ranked_order_byte_norms(spark):
     s = Searcher(InvertedIndex(docs), similarity="classic", norm_bytes=True)
     hits = [r["doc_id"] for r in s.topk(TermQuery(term="chocolate"), 5).collect()]
     assert hits == [2, 3, 0]
+
+
+def test_span_explanations_of_non_matches(spans12):
+    """TestSpanExplanationsOfNonMatches / CheckHits::checkNoMatchExplanations
+    (src/test/search/spans/TestSpanExplanationsOfNonMatches.cpp:19-22,
+    CheckHits.cpp): for every indexed doc OUTSIDE a query's match set the
+    explanation must claim nothing — in the DataFrame model explain()
+    simply has no row for it, and the complement of the explained set
+    against the corpus is exactly the non-matching docs."""
+    queries = [
+        SpanTerm(term="w1"),
+        SpanFirst(query=SpanTerm(term="w2"), end=2),
+        _near3("w1", "w2", "w3", 2),
+        SpanNear(clauses=[SpanTerm(term="u2"), SpanTerm(term="u1")],
+                 slop=1, in_order=False),
+        SpanOr(clauses=[SpanTerm(term="t1"), SpanTerm(term="w5")]),
+        SpanNot(include=SpanTerm(term="u2"), exclude=SpanTerm(term="xx")),
+        # a query matching nothing at all: every doc is a non-match
+        SpanNear(clauses=[SpanTerm(term="w1"), SpanTerm(term="zz")],
+                 slop=0, in_order=True),
+    ]
+    all_docs = {
+        r["doc_id"] for r in spans12._doc_lens.select("doc_id").collect()
+    }
+    for sim_name in ("bm25", "classic"):
+        s = SpanSearcher(spans12.index, similarity=sim_name)
+        for q in queries:
+            matched = {r["doc_id"] for r in s.spans(q).select("doc_id")
+                       .distinct().collect()}
+            explained = {r["doc_id"] for r in s.explain(q).collect()}
+            assert explained == matched, (sim_name, q)
+            for d in all_docs - matched:
+                assert d not in explained  # zero contribution, no row
