@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enter the r5 window
         "dedup_url": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
+        "sample_domain_cap": _q_domain_cap,
         "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
@@ -1297,6 +1298,38 @@ _DOMAIN_STATS_SQL = _URL_PAGES_SQL + """
 SELECT domain, count(*) AS n_docs,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+
+def _q_domain_cap(spark, sf):
+    """Per-domain cap — the webtext corpus-mix pass (no one site may
+    dominate the training mix): domain_of ∘ per_stratum_cap, at most 12
+    docs per registrable host, deterministic-hash order."""
+    from clucene_spark.pipeline.sampling import per_stratum_cap
+    from clucene_spark.pipeline.urls import domain_of
+
+    pages = _url_pages(spark, sf).select(
+        "doc_id", domain_of(F.col("url")).alias("domain")
+    )
+    return per_stratum_cap(pages, cap=12, by="domain").orderBy("doc_id")
+
+
+_DOMAIN_CAP_SQL = _URL_PAGES_SQL + """
+, d AS (SELECT doc_id,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(
+              regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+              '^([^/?#]+)', 1)), '^www\\.', ''), ':[0-9]+$', '') AS domain
+        FROM pages),
+s AS (SELECT doc_id, domain,
+        ('0x'||substr(md5(domain || ':' || CAST(doc_id AS VARCHAR) || ':42'),
+                      1, 7))::BIGINT AS h
+      FROM d),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY h ASC, doc_id ASC) AS rk
+      FROM s)
+SELECT doc_id, domain FROM r WHERE rk <= 12 ORDER BY doc_id
 """
 
 
@@ -3374,6 +3407,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "dedup_window_stats": _WINDOW_DEDUP_SQL,
         "dedup_url": _URL_DEDUP_SQL,
         "web_domain_stats": _DOMAIN_STATS_SQL,
+        "sample_domain_cap": _DOMAIN_CAP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)
         + """
