@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
         "sample_domain_cap": _q_domain_cap,
+        "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
@@ -1299,6 +1300,55 @@ SELECT domain, count(*) AS n_docs,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM d GROUP BY domain ORDER BY domain
 """
+
+
+def _q_stream_url_dedup(spark, sf):
+    """Streaming URL-level dedup (applyInPandasWithState over canonical
+    URLs): drain the synthetic crawl as a MULTI-batch file stream (one
+    file per trigger), keyed merge-on-read sink, final table = one
+    max_by(batch_id) aggregation. Equal to the batch latest-wins window
+    because the per-key fold (pairwise max over (ts, doc_id), count) is
+    order/batch invariant."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from clucene_spark.streaming.stateful import stream_url_dedup
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/clucene_surl_{tag}"
+    src, ckpt, sink = f"{base}_src", f"{base}_ckpt", f"{base}_sink"
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    _url_pages(spark, sf).repartition(2).write.parquet(src)
+    out = stream_url_dedup(
+        spark, src, checkpoint_dir=ckpt, max_files_per_trigger=1,
+        sink_dir=sink,
+    )
+    return out.orderBy("canon_url")
+
+
+_STREAM_URL_DEDUP_SQL = _URL_DEDUP_SQL.replace(
+    """SELECT canon_url, n_copies, doc_id AS keep_doc
+FROM ranked WHERE rn = 1 AND n_copies > 1
+ORDER BY canon_url
+""",
+    """SELECT canon_url, doc_id AS keep_doc, ts AS keep_ts, n_copies
+FROM ranked WHERE rn = 1
+ORDER BY canon_url
+""",
+).replace(
+    """ranked AS (SELECT canon_url, doc_id,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY ts DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY canon_url) AS n_copies
+           FROM canon)""",
+    """ranked AS (SELECT canon_url, doc_id, ts,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY ts DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY canon_url) AS n_copies
+           FROM canon)""",
+)
 
 
 def _q_domain_cap(spark, sf):
@@ -3408,6 +3458,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "dedup_url": _URL_DEDUP_SQL,
         "web_domain_stats": _DOMAIN_STATS_SQL,
         "sample_domain_cap": _DOMAIN_CAP_SQL,
+        "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)
         + """

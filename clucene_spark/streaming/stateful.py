@@ -120,3 +120,118 @@ def stream_exact_dedup(
         .agg(F.max_by(F.struct("keep_id", "n_copies"), "batch_id").alias("s"))
         .select("h", "len", "s.keep_id", "s.n_copies")
     )
+
+
+def url_dedup_state_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming URL-level dedup: per canonical URL the state holds the
+    latest capture (pairwise max over (ts, doc_id)) and the capture
+    count — the stateful form of pipeline/urls.url_dedup for a crawl
+    that arrives as a stream, which is how Common-Crawl-style input
+    actually lands (WARC batches over time). Both reducers (max, count)
+    are commutative and associative, so the final per-key value is
+    batch-boundary and arrival-order invariant — gateable by the batch
+    window oracle exactly.
+
+    Scale shape: canonicalization is Catalyst column math BEFORE the
+    state shuffle; state is three longs per canonical URL (the page
+    payload never enters state), hash-partitioned across executors,
+    RocksDB-backed on a real cluster."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from clucene_spark.pipeline.urls import canonicalize_url
+
+    keyed = pages_stream.select(
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        F.col("ts").cast("long").alias("ts"),
+        "doc_id",
+    )
+
+    def _fold(key, pdfs, state):
+        ts, doc, cnt = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            b_ts, b_doc = max(
+                zip(pdf["ts"].astype(int), pdf["doc_id"].astype(int))
+            )
+            if ts is None or (b_ts, b_doc) > (ts, doc):
+                ts, doc = int(b_ts), int(b_doc)
+            cnt += len(pdf)
+        state.update((int(ts), int(doc), int(cnt)))
+        yield pd.DataFrame(
+            {
+                "canon_url": [key[0]],
+                "keep_doc": [doc],
+                "keep_ts": [ts],
+                "n_copies": [cnt],
+            }
+        )
+
+    return keyed.groupBy("canon_url").applyInPandasWithState(
+        _fold,
+        outputStructType=(
+            "canon_url string, keep_doc long, keep_ts long, n_copies long"
+        ),
+        stateStructType="ts long, doc long, cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_url_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "doc_id long, ts long, url string",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Drain a file-source crawl stream through the stateful URL dedup
+    and return the FINAL per-canonical-URL table as a batch DataFrame:
+    (canon_url, keep_doc, keep_ts, n_copies). Same keyed merge-on-read
+    sink protocol as stream_exact_dedup: update rows append to a
+    batch_id-stamped parquet log, final value per key = its row from the
+    last batch that touched it (one max_by aggregation, nothing on the
+    driver)."""
+    import tempfile
+
+    if sink_dir is None:
+        sink_dir = tempfile.mkdtemp(prefix="clucene_urldedup_sink_")
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        url_dedup_state_stream(stream)
+        .writeStream.foreachBatch(_append)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    try:
+        log = spark.read.parquet(sink_dir)
+    except Exception:  # empty source -> no batches ever written
+        return spark.createDataFrame(
+            [], "canon_url string, keep_doc long, keep_ts long, n_copies long"
+        )
+    return (
+        log.groupBy("canon_url")
+        .agg(
+            F.max_by(
+                F.struct("keep_doc", "keep_ts", "n_copies"), "batch_id"
+            ).alias("s")
+        )
+        .select("canon_url", "s.keep_doc", "s.keep_ts", "s.n_copies")
+    )

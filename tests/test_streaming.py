@@ -173,3 +173,50 @@ def test_windowed_stats_watermark_late_row_semantics(spark, tmp_path):
     # :11 row counted; the too-late :08 row dropped, so no [:00,:10) row;
     # the :30 row's window is still open -> absent)
     assert rows == {BASE + 10 * M: (3, 9)}, rows
+
+
+def test_stateful_stream_url_dedup_batch_invariant(spark, tmp_path):
+    """Streaming URL dedup: the final per-canonical-URL table equals the
+    batch latest-wins window, and is identical whether the crawl arrives
+    as one micro-batch or one file per trigger — out-of-order captures
+    (later ts in an earlier batch) must still win."""
+    import pyspark.sql.functions as F
+
+    from clucene_spark.pipeline.urls import canonicalize_url
+    from clucene_spark.streaming.stateful import stream_url_dedup
+
+    # 3 captures of page p{k} under noisy variants; ts NOT aligned with
+    # doc_id so later batches can carry older captures
+    rows = []
+    for k in range(8):
+        rows.append((k, (k * 7 + 3) % 11, f"https://www.s{k}.example/p?b=2&a=1"))
+        rows.append((100 + k, (k * 5) % 11, f"http://s{k}.example/p/?a=1&b=2"))
+        rows.append((200 + k, (k * 3 + 1) % 11,
+                     f"https://s{k}.example/p?utm_source=x&a=1&b=2"))
+    crawl = spark.createDataFrame(rows, "doc_id long, ts long, url string")
+    src = str(tmp_path / "usrc")
+    crawl.repartition(4).write.parquet(src)
+
+    one = stream_url_dedup(spark, src, checkpoint_dir=str(tmp_path / "uck1"))
+    many = stream_url_dedup(
+        spark, src, checkpoint_dir=str(tmp_path / "uck2"),
+        max_files_per_trigger=1, sink_dir=str(tmp_path / "usink2"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in crawl.select(
+            canonicalize_url(F.col("url")).alias("canon_url"), "ts", "doc_id"
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.max(F.struct("ts", "doc_id"))["doc_id"].alias("keep_doc"),
+            F.max(F.struct("ts", "doc_id"))["ts"].alias("keep_ts"),
+            F.count("*").alias("n_copies"),
+        )
+        .collect()
+    )
+    assert len(want) == 8  # all three variants of a page collapse
+    got_one = sorted(tuple(r) for r in one.collect())
+    got_many = sorted(tuple(r) for r in many.collect())
+    assert got_one == want
+    assert got_many == want
