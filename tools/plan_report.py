@@ -209,6 +209,47 @@ def main() -> None:
         _tree(p, 12),
     ))
 
+    # 7. URL-level dedup: one shuffle of (canon, ts, id), pure Catalyst
+    from clucene_spark.pipeline.urls import url_dedup
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), F.col("doc_id") % 5,
+                 F.lit(".example/p?b=2&a=1")).alias("url"),
+        F.col("doc_id").alias("ts"),
+    )
+    p = _plan(url_dedup(pages, ts_col="ts"))
+    assert p.count("+- Exchange") == 1
+    assert "EvalPython" not in p
+    sections.append((
+        "URL-level dedup (webtext first pass)",
+        "Canonicalization is Catalyst string algebra inside the scan "
+        "stage; the only exchange moves (canon_url, ts, doc_id) triples "
+        "into a partially-aggregated latest-wins max — the page payload "
+        "(html/text) never shuffles. 1.25M pages in 15.3s at the 1M "
+        "audit (BENCH/large_corpus.json web_ops_1m).",
+        _tree(p, 12),
+    ))
+
+    # 8. line dedup: hash-only stats, SMJ flag join, map-side rewrite
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    lined = docs.withColumn("text", F.regexp_replace("text", " ", "\n"))
+    p = _plan(line_dedup(lined))
+    assert "SortMergeJoin" in p
+    assert "explode(split(" not in p.replace(" ", "")
+    sections.append((
+        "Corpus line dedup with document rewrite",
+        "The stats pass explodes only (doc_id, line-hash) pairs; both "
+        "sides of the flag join are corpus-sized hash frames, pinned "
+        "sort-merge (the window_dedup_stats failure modes). Keep "
+        "decisions come back as one hash-set row per doc and the rewrite "
+        "is a map-side higher-order filter over the doc's own split "
+        "array — per-line text never crosses the wire. 20M lines in "
+        "72.5s at the 1M audit.",
+        _tree(p, 14),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
