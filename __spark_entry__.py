@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
         "sample_domain_cap": _q_domain_cap,
+        "web_extract_text": _q_extract_text,
         "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
@@ -1299,6 +1300,55 @@ _DOMAIN_STATS_SQL = _URL_PAGES_SQL + """
 SELECT domain, count(*) AS n_docs,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+
+def _q_extract_text(spark, sf):
+    """Distributed HTML->text extraction (the webtext ingest front door):
+    build a full page around each doc's text — a head title and a script
+    block that must NOT leak (outside body / stripped), a nav div whose
+    visible text legitimately stays (boilerplate removal is line_dedup's
+    job downstream), the body split across TWO <p> blocks, entities
+    escaped (incl. a planted 'AT&T 5>4' segment) — then extract with the
+    Arrow-batched UDF. The oracle states what extraction must recover;
+    any tag leak, entity mistake, or whitespace drift breaks the hash."""
+    from clucene_spark.pipeline.extract import extract_text_col
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = (F.size(toks) / 2).cast("int")
+    p1 = F.array_join(F.slice(toks, 1, half), " ")
+    p2 = F.concat(
+        F.array_join(F.slice(toks, half + 1, F.size(toks) - half), " "),
+        F.lit(" brand AT&T cmp 5>4"),
+    )
+    esc = lambda c: F.regexp_replace(  # noqa: E731 — & first, then < >
+        F.regexp_replace(F.regexp_replace(c, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>LEAKMARK title</title>"
+              "<script>var LEAKMARK=1;</script></head>"
+              "<body><div class=\"nav\">LEAKMARK nav</div><p>"),
+        esc(p1),
+        F.lit("</p>\n<p>"),
+        esc(p2),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id", extract_text_col(F.col("html")).alias("extracted")
+    ).orderBy("doc_id")
+
+
+_EXTRACT_TEXT_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       'LEAKMARK nav' || chr(10)
+       || array_to_string(t[1 : len(t) // 2], ' ') || chr(10)
+       || array_to_string(t[len(t) // 2 + 1 : len(t)], ' ')
+       || ' brand AT&T cmp 5>4' AS extracted
+FROM base ORDER BY doc_id
 """
 
 
@@ -3458,6 +3508,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "dedup_url": _URL_DEDUP_SQL,
         "web_domain_stats": _DOMAIN_STATS_SQL,
         "sample_domain_cap": _DOMAIN_CAP_SQL,
+        "web_extract_text": _EXTRACT_TEXT_SQL,
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)

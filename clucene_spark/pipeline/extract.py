@@ -1,0 +1,74 @@
+"""Distributed HTML -> text extraction — the webtext ingest front door.
+
+The BASELINE input table carries raw pages as (html: binary) next to the
+extracted (text: string); north_star demands byte-identical extracted
+text per url. `data/webtext.extract_text` pins that invariant for the
+generator's page shape; THIS module is the distributed, general-page
+form: an Arrow-batched pandas UDF (Python is unavoidable — full HTML
+entity tables live in the stdlib `html` module), so extraction runs as
+one map stage fused into the scan, no shuffle, scaling with input
+splits like every other map-only curation op.
+
+Extraction spec (deterministic, order of operations matters):
+  1. utf-8 decode (errors replaced, never raised — crawl bytes are dirty),
+  2. drop <script>/<style> blocks wholesale,
+  3. keep only the <body> when present,
+  4. block-level tags (p, div, li, ul/ol, h1-6, table/tr, br) become
+     newlines; every other tag is dropped,
+  5. stdlib html.unescape (full entity table, numeric refs included),
+  6. per line: collapse whitespace runs to one space, strip; drop blank
+     lines; join with '\n'.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
+_BODY_RE = re.compile(r"(?is)<body[^>]*>(.*?)</body>")
+_BLOCK_RE = re.compile(r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|tr|br)\b[^>]*>")
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_text_py(raw) -> str:
+    """One page -> extracted text (spec in module docstring). Accepts
+    bytes (the input_hint html:binary column) or str."""
+    s = (
+        raw.decode("utf-8", "replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    s = _SCRIPT_RE.sub(" ", s)
+    m = _BODY_RE.search(s)
+    if m:
+        s = m.group(1)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _html.unescape(s)
+    lines = (" ".join(ln.split()) for ln in s.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_text_col(html_col: Column) -> Column:
+    """Column form: Arrow-batched pandas UDF over the html column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _ex(s: pd.Series) -> pd.Series:
+        return s.map(extract_text_py)
+
+    return _ex(html_col)
+
+
+def extract_pages(
+    pages: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Full-table form: pages with `out_col` (re)derived from the raw
+    html. Map-only — at 100 TB this is the scan-speed first stage of the
+    ingest pipeline, ahead of url_dedup / line_dedup / quality."""
+    return pages.withColumn(out_col, extract_text_col(F.col(html_col)))

@@ -89,3 +89,38 @@ def test_standard_index_topk_matches_oracle(spark, webtext):
         assert [d for d, _ in got] == [d for d, _ in want], term
         for (gd, gs), (od, os_) in zip(got, want):
             assert abs(gs - os_) < 1e-6
+
+
+def test_distributed_extract_matches_generator(spark):
+    """The DISTRIBUTED extractor (pipeline/extract.py, Arrow-batched)
+    upholds the north-star invariant over the generator table:
+    extract(html) == text byte-identical for every row, computed
+    entirely JVM->Arrow->pandas, no driver loop."""
+    from clucene_spark.pipeline.extract import extract_pages
+
+    pages = webtext_df(spark, 200)
+    mism = (
+        extract_pages(pages.select("doc_id", "html", "text"
+                                   ).withColumnRenamed("text", "want"),
+                      out_col="got")
+        .filter("got <> want")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_extract_text_py_page_anatomy():
+    """Script/style bodies and head content never leak; block tags become
+    line breaks; full stdlib entity table applies (numeric refs too);
+    dirty bytes degrade, never raise."""
+    from clucene_spark.pipeline.extract import extract_text_py
+
+    page = (b"<html><head><title>SKIP</title><style>p{color:red}</style>"
+            b"<script>var SKIP=1;</script></head>"
+            b"<body><h1>Head&nbsp;line</h1><ul><li>a&#38;b</li><li>c</li></ul>"
+            b"<p>x &lt;tag&gt; y</p><span>in</span><span>line</span></body>")
+    got = extract_text_py(page)
+    assert got == "Head line\na&b\nc\nx <tag> y\ninline"
+    assert "SKIP" not in got
+    # invalid utf-8: replacement char, no exception
+    assert "�" in extract_text_py(b"<body><p>a\xffb</p></body>")
