@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_stats": _q_domain_stats,
         "sample_domain_cap": _q_domain_cap,
         "web_extract_text": _q_extract_text,
+        "text_normalize": _q_text_normalize,
         "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
@@ -1349,6 +1350,44 @@ SELECT doc_id,
        || array_to_string(t[len(t) // 2 + 1 : len(t)], ' ')
        || ' brand AT&T cmp 5>4' AS extracted
 FROM base ORDER BY doc_id
+"""
+
+
+def _q_text_normalize(spark, sf):
+    """Unicode/whitespace normalization over deterministically dirtied
+    docs: NBSP, a combining acute (NFC must compose it), a control char,
+    space runs, a tab, CRLF, edge whitespace. The oracle re-implements
+    the 7-step spec independently in DuckDB (nfc_normalize + RE2) — two
+    independent implementations of the spec must agree byte-for-byte."""
+    from clucene_spark.pipeline.extract import normalize_text_col
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    dirty = F.concat(
+        F.lit("A\u00a0e\u0301\u0001  x\t\r\n "),
+        F.col("text"),
+        F.lit("  "),
+    )
+    return docs.select(
+        "doc_id", normalize_text_col(dirty).alias("clean")
+    ).orderBy("doc_id")
+
+
+_TEXT_NORMALIZE_SQL = r"""
+WITH dirty AS (SELECT doc_id,
+    'A' || chr(160) || 'e' || chr(769) || chr(1) || '  x' || chr(9)
+    || chr(13) || chr(10) || ' ' || text || '  ' AS t
+  FROM documents),
+n1 AS (SELECT doc_id, nfc_normalize(t) AS t FROM dirty),
+n2 AS (SELECT doc_id,
+         regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t
+       FROM n1),
+n3 AS (SELECT doc_id, replace(t, chr(160), ' ') AS t FROM n2),
+n4 AS (SELECT doc_id, regexp_replace(t, '\r\n?', chr(10), 'g') AS t FROM n3),
+n5 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n4),
+n6 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM n5)
+SELECT doc_id,
+       regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean
+FROM n6 ORDER BY doc_id
 """
 
 
@@ -3509,6 +3548,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "web_domain_stats": _DOMAIN_STATS_SQL,
         "sample_domain_cap": _DOMAIN_CAP_SQL,
         "web_extract_text": _EXTRACT_TEXT_SQL,
+        "text_normalize": _TEXT_NORMALIZE_SQL,
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)

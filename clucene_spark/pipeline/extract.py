@@ -72,3 +72,43 @@ def extract_pages(
     html. Map-only — at 100 TB this is the scan-speed first stage of the
     ingest pipeline, ahead of url_dedup / line_dedup / quality."""
     return pages.withColumn(out_col, extract_text_col(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# Unicode/whitespace normalization — the cleaning pass after extraction
+# ---------------------------------------------------------------------------
+
+def _nfc_col(text: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc(text)
+
+
+def normalize_text_col(text: Column, nfc: bool = True) -> Column:
+    """Deterministic text normalization, the standard cleaning pass a web
+    corpus gets between extraction and tokenization. Spec (order matters,
+    the oracle re-implements it independently in SQL):
+
+      1. NFC unicode normalization (combining sequences composed) —
+         the only Python step (pandas Series.str.normalize); pass
+         nfc=False for a pure-Catalyst variant when input is known-NFC,
+      2. strip control chars except tab/newline/CR,
+      3. NBSP (U+00A0) -> space,
+      4. CRLF / CR -> LF,
+      5. collapse space/tab runs to one space,
+      6. strip spaces adjacent to newlines,
+      7. trim leading/trailing spaces and newlines.
+
+    Steps 2-7 are JVM-side regexp_replace — with nfc=False the whole op
+    fuses into the scan like pii_stats."""
+    c = _nfc_col(text) if nfc else text
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, "\u00a0", " ")
+    c = F.regexp_replace(c, r"\r\n?", "\n")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")

@@ -124,3 +124,23 @@ def test_extract_text_py_page_anatomy():
     assert "SKIP" not in got
     # invalid utf-8: replacement char, no exception
     assert "�" in extract_text_py(b"<body><p>a\xffb</p></body>")
+
+
+def test_normalize_text_spec(spark):
+    """Each normalization step observable: NFC composition, control
+    strip, NBSP, CRLF, run collapse, newline-adjacent strip, edge trim;
+    nfc=False variant is pure Catalyst (no Python stage in the plan)."""
+    from pyspark.sql import functions as F
+
+    from clucene_spark.pipeline.extract import normalize_text_col
+
+    dirty = "A\u00a0B\u0001C  D\tE\r\nF \n G\re\u0301  "
+    df = spark.createDataFrame([(1, dirty)], ["doc_id", "text"])
+    got = df.select(
+        normalize_text_col(F.col("text")).alias("c")
+    ).first()["c"]
+    assert got == "A BC D E\nF\nG\n\u00e9"  # the CR became a line break
+    plan = df.select(
+        normalize_text_col(F.col("text"), nfc=False).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
