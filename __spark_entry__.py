@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": _q_domain_cap,
         "web_extract_text": _q_extract_text,
         "text_normalize": _q_text_normalize,
+        "pipeline_ingest_webtext": _q_ingest_webtext,
         "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
         "pipeline_decontaminate": _q_decontaminate,
@@ -1388,6 +1389,95 @@ n6 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM n5)
 SELECT doc_id,
        regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean
 FROM n6 ORDER BY doc_id
+"""
+
+
+
+def _q_ingest_webtext(spark, sf):
+    """End-to-end webtext ingest (the composed front door): full pages
+    built around each doc's text — head title that must not leak, a
+    corpus-wide nav header line carrying a DECOMPOSED accent (NFC must
+    compose it before line hashing, or the header lines won't collide),
+    escaped body — over the URL-noise fixture. extract -> normalize ->
+    URL latest-wins -> corpus line dedup (nav header survives in exactly
+    one doc) -> quality gate. The oracle composes the verified per-stage
+    SQL forms."""
+    from clucene_spark.pipeline.clean import ingest_webtext
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>SKIP</title></head>"
+              "<body><div>SITE NAVe\u0301 HOME</div><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    pages = _url_pages(spark, sf).join(
+        docs.select("doc_id", html.alias("html")), "doc_id"
+    )
+    return ingest_webtext(pages).orderBy("doc_id")
+
+
+_INGEST_WEBTEXT_SQL = _URL_DEDUP_SQL[: _URL_DEDUP_SQL.index("ranked AS")] + """
+ranked AS (SELECT canon_url, doc_id, ts,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY ts DESC, doc_id DESC) AS rn
+           FROM canon),
+surv AS (SELECT doc_id FROM ranked WHERE rn = 1),
+udup AS (SELECT doc_id FROM ranked WHERE rn > 1),
+ext AS (SELECT d.doc_id,
+          'SITE NAV' || chr(233) || ' HOME' || chr(10) || d.text AS text
+        FROM documents d JOIN surv USING (doc_id)),
+ln AS (
+  SELECT doc_id, i - 1 AS pos, l FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+    FROM ext) WHERE l <> ''),
+per_dl AS (SELECT doc_id, l FROM ln GROUP BY doc_id, l),
+per_l AS (SELECT l, count(*) AS nd, min(doc_id) AS owner
+          FROM per_dl GROUP BY l),
+kept AS (SELECT ln.doc_id, pos, ln.l FROM ln JOIN per_l ON ln.l = per_l.l
+         WHERE nd <= 1 OR ln.doc_id = owner),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+ka AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(l, chr(10) ORDER BY pos) AS text_clean
+       FROM kept GROUP BY doc_id),
+ldout AS (SELECT t.doc_id, t.n_lines, coalesce(ka.n_kept, 0) AS n_kept,
+                 coalesce(ka.text_clean, '') AS text_clean
+          FROM tot t LEFT JOIN ka USING (doc_id)),
+qf AS (SELECT doc_id, n_lines, n_kept, text_clean,
+         list_filter(string_split(text_clean, ' '), x -> x <> '') AS tk
+       FROM ldout),
+q AS (SELECT doc_id, n_lines, n_kept, text_clean,
+        ROUND(least(CASE WHEN len(tk) > 0
+                THEN CAST(len(list_filter(tk, x -> x IN __STOP33__)) AS DOUBLE)
+                     / len(tk) ELSE 0.0 END * 2, 1.0)
+              * least(len(tk) / 64.0, 1.0)
+              * (1.0 - CASE WHEN length(text_clean) > 0
+                  THEN CAST(length(text_clean)
+                       - length(regexp_replace(text_clean, '[^a-z ]', '', 'g'))
+                       AS DOUBLE) / length(text_clean) ELSE 0.0 END), 4)
+          AS quality
+      FROM qf)
+SELECT doc_id,
+       CASE WHEN n_kept = 0 THEN 'all_boilerplate'
+            WHEN quality < 0.05 THEN 'low_quality'
+            ELSE 'kept' END AS fate,
+       quality, n_lines, n_kept,
+       CASE WHEN n_kept > 0 AND quality >= 0.05 THEN text_clean
+            ELSE '' END AS text_clean
+FROM q
+UNION ALL
+SELECT doc_id, 'url_dup' AS fate, -1.0 AS quality,
+       CAST(0 AS BIGINT) AS n_lines, CAST(0 AS BIGINT) AS n_kept,
+       '' AS text_clean
+FROM udup
+ORDER BY doc_id
 """
 
 
@@ -3549,6 +3639,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "sample_domain_cap": _DOMAIN_CAP_SQL,
         "web_extract_text": _EXTRACT_TEXT_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
+        "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)

@@ -127,3 +127,85 @@ def clean_corpus(
         .select("doc_id", "quality", "reason")
     )
     return out
+
+
+def ingest_webtext(
+    pages: DataFrame,
+    min_quality: float = 0.05,
+    line_max_docs: int = 1,
+    nfc: bool = True,
+    html_col: str = "html",
+    ts_col: str = "ts",
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-in, training-corpus-out: the composed webtext front door,
+    every stage an individually-gated primitive, in production order:
+
+      1. extract    — html -> text (extract.extract_text_col, map-only)
+      2. normalize  — NFC + control/whitespace spec (normalize_text_col)
+      3. URL dedup  — latest capture per canonical URL survives
+      4. line dedup — corpus-duplicated (boilerplate) lines removed,
+                      surviving docs rewritten
+      5. quality    — textstats.quality_score over the CLEANED text
+
+    Every INPUT row comes back labeled: (doc_id, fate, quality, n_lines,
+    n_kept, text_clean), fate in {'kept', 'url_dup', 'all_boilerplate',
+    'low_quality'}; sentinel stats (-1.0 / 0 / '') for rows that never
+    reach a stage — auditable lineage, nothing silently destroyed.
+
+    Plan shape at 100 TB: stages 1-2 fuse into the scan (one Arrow pass
+    + Catalyst string math); stage 3 shuffles (canon, ts, id) triples
+    and semi-joins survivors back by id; stage 4 is the hash-only
+    line-dedup shape (text crosses the wire once); stage 5 is map-only.
+    """
+    from clucene_spark.pipeline.dedup import line_dedup
+    from clucene_spark.pipeline.extract import (
+        extract_text_col,
+        normalize_text_col,
+    )
+    from clucene_spark.pipeline.urls import canonicalize_url
+
+    ext = pages.select(
+        "doc_id",
+        F.col(ts_col).alias("ts"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        normalize_text_col(
+            extract_text_col(F.col(html_col)), nfc=nfc
+        ).alias("text"),
+    )
+    keep = (
+        ext.groupBy("canon_url")
+        .agg(F.max(F.struct("ts", "doc_id"))["doc_id"].alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = ext.join(keep, "doc_id", "left_semi")
+    url_dups = ext.join(keep, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit("url_dup").alias("fate"),
+        F.lit(-1.0).alias("quality"),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_kept"),
+        F.lit("").alias("text_clean"),
+    )
+    ld = line_dedup(
+        survivors.select("doc_id", "text"), max_docs=line_max_docs
+    )
+    q = quality_score(
+        ld.select("doc_id", F.col("text_clean").alias("text"))
+    ).select("doc_id", "quality")
+    labeled = ld.join(q, "doc_id").select(
+        "doc_id",
+        F.when(F.col("n_kept") == 0, F.lit("all_boilerplate"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("fate"),
+        "quality",
+        "n_lines",
+        "n_kept",
+        F.when(
+            (F.col("n_kept") > 0)
+            & (F.col("quality") >= min_quality),
+            F.col("text_clean"),
+        ).otherwise(F.lit("")).alias("text_clean"),
+    )
+    return labeled.unionByName(url_dups)

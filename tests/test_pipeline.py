@@ -1182,3 +1182,40 @@ def test_line_dedup_max_docs_threshold(spark):
     assert out[1]["n_kept"] == 1  # keeps the 2-doc line, loses the 3-doc one
     assert out[1]["text_clean"] == "pair line"
     assert out[2]["n_kept"] == 0
+
+
+def test_ingest_webtext_fates_and_lineage(spark):
+    """The composed front door labels every input row exactly once and
+    the per-stage semantics hold: later capture wins the URL group, the
+    shared nav header survives in exactly one kept doc, dropped rows
+    carry sentinel stats."""
+    from clucene_spark.data.webtext import webtext_df
+    from clucene_spark.pipeline.clean import ingest_webtext
+
+    pages = webtext_df(spark, 40).select(
+        "doc_id", F.col("warc_ts").cast("long").alias("ts"), "url", "html"
+    )
+    recrawl = pages.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        (F.col("ts") + 86_400).alias("ts"),
+        F.regexp_replace("url", "^https://", "http://www.").alias("url"),
+        "html",
+    )
+    out = ingest_webtext(pages.unionByName(recrawl)).collect()
+    by_fate = {}
+    for r in out:
+        by_fate.setdefault(r["fate"], []).append(r)
+    assert len(out) == 50  # every input row labeled once
+    # the earlier capture of every re-crawled page is the url_dup
+    assert sorted(r["doc_id"] for r in by_fate["url_dup"]) == [
+        i for i in range(40) if i % 4 == 0
+    ]
+    for r in by_fate["url_dup"]:
+        assert (r["quality"], r["n_lines"], r["n_kept"], r["text_clean"]) \
+            == (-1.0, 0, 0, "")
+    # generator pages have no shared lines -> no boilerplate fates, and
+    # kept docs carry their extracted text
+    assert "all_boilerplate" not in by_fate
+    for r in by_fate["kept"]:
+        assert r["n_kept"] == r["n_lines"] > 0
+        assert r["text_clean"] != ""
