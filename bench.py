@@ -139,6 +139,37 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
     timings["seg_build_fused_messy"] = round(messy_best, 4)
 
+    # same messy corpus through the DIRECT bulk plan (file paths
+    # distributed; each python task opens its parquet split with pyarrow —
+    # the JVM schedules but never touches the text). This is the
+    # production initial-load plan: it removes the JVM's parquet->rows->
+    # Arrow->socket conversion, which profiling showed costs ~1.4 of every
+    # 4 node cores and is the dominant cross-JVM contention at full
+    # occupancy (BENCH/BASELINE.md).
+    corpus_dir = os.path.join(
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+        f"bench_corpus_messy_{bench_docs}.parquet",
+    )
+    if not os.path.isdir(corpus_dir):
+        (messy.repartitionByRange(32, "doc_id").sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(corpus_dir))
+    from clucene_spark.index.segments import build_segments_direct
+
+    direct_best = None
+    for _ in range(2):
+        idx_dir = tempfile.mkdtemp(
+            prefix="bench_idxd_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+        )
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_segments_direct(spark, corpus_dir, idx_dir, analyzer="standard",
+                              resume=False)
+        dt = time.perf_counter() - t0
+        direct_best = dt if direct_best is None or dt < direct_best else direct_best
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    timings["seg_build_direct_messy"] = round(direct_best, 4)
+
     # --- segment store over the sf documents table for query latencies ---
     idx_dir = tempfile.mkdtemp(
         prefix="bench_qidx_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -273,7 +304,8 @@ def main() -> None:
     # comparability; entries added later (the messy-corpus build twin,
     # the r4 webtext curation ops) report their own numbers but do not
     # inflate the sum
-    _extra = {"seg_build_fused_messy", "url_dedup", "line_dedup"}
+    _extra = {"seg_build_fused_messy", "seg_build_direct_messy",
+              "url_dedup", "line_dedup"}
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 4
     )
@@ -288,6 +320,9 @@ def main() -> None:
         "docs_per_sec": round(bench_docs / timings["seg_build_fused"], 2),
         "docs_per_sec_messy": round(
             bench_docs / timings["seg_build_fused_messy"], 2
+        ),
+        "docs_per_sec_direct": round(
+            bench_docs / timings["seg_build_direct_messy"], 2
         ),
         "query_timing": (
             f"best-of-{reps} (warm); relational headline "

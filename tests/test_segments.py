@@ -509,6 +509,59 @@ def test_aligned_bulk_build_equivalence_and_resume(spark, tmp_path):
     assert td1b == td2
 
 
+def test_direct_bulk_build_matches_aligned_and_resumes(spark, tmp_path):
+    """Direct-read bulk load (file paths distributed, pyarrow opens each
+    split in the python task — the JVM never touches the text) produces a
+    BYTE-identical index to the aligned JVM-scan plan over the same files,
+    and resumes by pruning finished files via parquet footer stats."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from clucene_spark.index.segments import (
+        build_segments_aligned,
+        build_segments_direct,
+    )
+
+    src = str(tmp_path / "corpus")
+    (spark.read.parquet(f"{SF}/documents.parquet")
+     .select("doc_id", "text")
+     .repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(src))
+    files = sorted(glob.glob(src + "/part-*.parquet"))
+    assert len(files) == 4
+    d1 = str(tmp_path / "aligned")
+    d2 = str(tmp_path / "direct")
+    build_segments_aligned(
+        spark.read.parquet(*files).select("doc_id", "text"), d1,
+        analyzer="whitespace")
+    build_segments_direct(spark, files, d2, analyzer="whitespace")
+    segs1 = sorted(os.listdir(os.path.join(d1, "segments")))
+    segs2 = sorted(os.listdir(os.path.join(d2, "segments")))
+    assert segs1 == segs2 and len(segs1) == 4
+    for s in segs1:
+        for f in ("postings.parquet", "doc_lens.parquet"):
+            assert pq.read_table(os.path.join(d1, "segments", s, f)).equals(
+                pq.read_table(os.path.join(d2, "segments", s, f))), (s, f)
+    # resume: drop one checkpoint+segment; re-run rebuilds ONLY that file
+    cks = sorted(glob.glob(d2 + "/checkpoints/*.json"))
+    victim = json.load(open(cks[1]))
+    os.remove(cks[1])
+    shutil.rmtree(os.path.join(d2, "segments", victim["segment"]))
+    rebuilt = build_segments_direct(
+        spark, files, d2, analyzer="whitespace").collect()
+    assert [(r["min_doc"], r["max_doc"]) for r in rebuilt] == [
+        (victim["min_doc"], victim["max_doc"])
+    ]
+    for s in segs1:
+        assert pq.read_table(
+            os.path.join(d1, "segments", s, "postings.parquet")
+        ).equals(pq.read_table(os.path.join(d2, "segments", s, "postings.parquet")))
+
+
 def test_fielded_store_merge_preserves_fields(spark, tmp_path):
     """Compaction over a multi-field store: composite keys merge like any
     terms, per-field doc_lens survive, per-field stats and fielded WAND

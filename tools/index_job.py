@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--aligned", action="store_true",
                     help="zero-shuffle bulk load: one segment per input "
                          "split (requires doc-sorted input)")
+    ap.add_argument("--direct", action="store_true",
+                    help="aligned bulk load with python-side parquet reads "
+                         "(file paths distributed, pyarrow opens each split "
+                         "in the worker; JVM does scheduling only)")
     ap.add_argument("--input-shard", default=None, metavar="I:K",
                     help="index only every Kth input part-file starting at "
                          "I (node i of a K-node fleet working one shared "
@@ -56,6 +60,8 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    if args.direct and args.gen_docs:
+        ap.error("--direct reads parquet files; use --input, not --gen-docs")
     if args.fresh and os.path.isdir(args.index_dir):
         shutil.rmtree(args.index_dir)
 
@@ -82,6 +88,8 @@ def main() -> None:
     ).count()
 
     t0 = time.perf_counter()  # (re-set below after input warm)
+    files: list[str] | None = None
+    docs = None
     if args.gen_docs:
         from clucene_spark.data.webtext import webtext_df
 
@@ -94,10 +102,18 @@ def main() -> None:
                 for f in os.listdir(args.input)
                 if f.startswith("part-")
             )[i::k]
-            docs = spark.read.parquet(*files).select(args.id_col, args.text_col)
-        else:
-            docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
-        if not args.aligned:
+        elif args.direct and os.path.isdir(args.input):
+            files = sorted(
+                os.path.join(args.input, f)
+                for f in os.listdir(args.input)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+        if not args.direct:
+            if files is not None:
+                docs = spark.read.parquet(*files).select(args.id_col, args.text_col)
+            else:
+                docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+        if not args.aligned and not args.direct:
             # ensure the tokenizer stage parallelizes even over few input
             # files; only (id, text) travel through this shuffle
             min_parts = spark.sparkContext.defaultParallelism * 2
@@ -111,16 +127,36 @@ def main() -> None:
     if not args.gen_docs:
         import tempfile as _tf
 
-        from clucene_spark.index.segments import build_segments_aligned as _ba
-
         _wdir = _tf.mkdtemp(prefix="warm_idx_")
         try:
-            _ba(docs.limit(2000), _wdir, analyzer=args.analyzer,
-                text_col=args.text_col, doc_id_col=args.id_col, resume=False)
+            if args.direct:
+                from clucene_spark.index.segments import build_segments_direct as _bd
+
+                _bd(spark, files[:1] if files else args.input, _wdir,
+                    analyzer=args.analyzer, text_col=args.text_col,
+                    doc_id_col=args.id_col, resume=False)
+            else:
+                from clucene_spark.index.segments import build_segments_aligned as _ba
+
+                _ba(docs.limit(2000), _wdir, analyzer=args.analyzer,
+                    text_col=args.text_col, doc_id_col=args.id_col, resume=False)
         finally:
             shutil.rmtree(_wdir, ignore_errors=True)
     t0 = time.perf_counter()
-    if args.aligned:
+    if args.direct:
+        from clucene_spark.index.segments import build_segments_direct
+
+        built_rows = build_segments_direct(
+            spark,
+            files if files is not None else args.input,
+            args.index_dir,
+            analyzer=args.analyzer,
+            text_col=args.text_col,
+            doc_id_col=args.id_col,
+            with_positions=not args.no_positions,
+            resume=not args.fresh,
+        ).collect()
+    elif args.aligned:
         from clucene_spark.index.segments import build_segments_aligned
 
         built_rows = build_segments_aligned(
