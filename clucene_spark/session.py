@@ -52,6 +52,14 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # job-shape JVM tuning passthrough. The direct bulk-load plan keeps all
+    # data work in python workers — the JVM only schedules — yet thread
+    # profiling showed the C2 JIT burning ~11s of CPU per 4-core node
+    # compiling optimized code the job never amortizes. index_job --direct
+    # sets -XX:TieredStopAtLevel=1 (C1 only) here; any caller can override.
+    jvm_opts = os.environ.get("SPARK_GRAFT_JVM_OPTS")
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

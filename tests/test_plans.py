@@ -87,6 +87,28 @@ def test_fused_build_single_exchange(spark):
     assert n_exchanges == 1, plan
 
 
+def test_direct_build_plan_never_scans_the_corpus(spark, tmp_path):
+    """The direct bulk plan moves FILE PATHS, not text: no FileScan of the
+    corpus, no parquet columns in ReadSchema, and the only exchange is the
+    round-robin spread of the (tiny) path list. The corpus bytes enter
+    exactly one process — the python worker that tokenizes them."""
+    import re
+
+    from clucene_spark.index.segments import build_segments_direct
+
+    src = str(tmp_path / "corpus")
+    (spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+     .repartitionByRange(4, "doc_id").write.parquet(src))
+    plan = _plan(build_segments_direct(
+        spark, src, str(tmp_path / "idx"), analyzer="whitespace",
+        _plan_only=True))
+    assert "Scan parquet" not in plan, plan      # corpus never JVM-scanned
+    assert "text" not in plan, plan              # no text column anywhere
+    assert "MapInPandas" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan                # the path-list round robin
+
+
 def test_pii_stats_map_only(spark):
     """PII detect/redact is column-regex math — the plan must contain NO
     exchange (pure map stage over the scan)."""
