@@ -28,7 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Build-kernel epoch: bump to the landing time of any change that shifts
 # per-node throughput materially, so the steady-state estimate never mixes
 # runs of different kernels (r4: the arrow-native segment encoder, +17%).
-KERNEL_EPOCH = 1786973221  # commit 7c68846
+KERNEL_EPOCH = 1787044955  # commit bf72cfa (task packing + C1-only JIT)
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
@@ -261,6 +261,14 @@ def main() -> None:
     ap.add_argument("--single-jvm", action="store_true",
                     help="high level as one local[high] JVM instead of the "
                          "executor-fleet topology")
+    ap.add_argument("--pairs", type=int, default=0, metavar="N",
+                    help="adjacent-pair protocol: N repetitions of one "
+                         "single-shot low run immediately followed by one "
+                         "fleet run (~85s apart), each pair recorded "
+                         "separately. Samples both levels in the SAME "
+                         "tenant window — the best-of-2-per-phase default "
+                         "spreads levels minutes apart on this shared box, "
+                         "and the window drifts in between.")
     ap.add_argument("--report-only", action="store_true",
                     help="recompute the steady-state block and rewrite "
                          "BENCH/BASELINE.md from recorded history, no runs")
@@ -279,6 +287,53 @@ def main() -> None:
         return
 
     corpus = materialize_corpus(args.n_docs)
+    n_nodes_pairs = args.high // args.low
+    if args.pairs:
+        # warm pass (page cache + JIT) — not recorded
+        run_once(args.low, args.n_docs, corpus)
+        for _ in range(args.pairs):
+            lo = run_once(args.low, args.n_docs, corpus)
+            hi = run_fleet(args.low, n_nodes_pairs, args.n_docs, corpus)
+            solo_sec = run_solo_node(args.low, n_nodes_pairs, corpus)
+            ratio = args.high / args.low
+            eff = (hi["value"] / lo["value"]) / ratio
+            result = {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 4),
+                "unit": "fraction",
+                "n_docs": args.n_docs,
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_docs_per_sec": lo["value"],
+                "high_docs_per_sec": hi["value"],
+                "low_build_sec": lo["build_sec"],
+                "high_build_sec": hi["build_sec"],
+                "high_topology": f"fleet:{n_nodes_pairs}x local[{args.low}]",
+                "node_build_sec": hi.get("node_build_sec"),
+                "high_node_solo_sec": solo_sec,
+                "value_cluster_norm": round(
+                    lo["build_sec"] / (ratio * solo_sec), 4),
+                "hw_percore_factor": None,
+                "cal_lo_percore": None,
+                "cal_hi_percore": None,
+                "value_hw_normalized": None,
+                "plan": args.plan,
+                "protocol": "adjacent-pair",
+                "pass_0.8": eff >= 0.8,
+                "measured_unix": time.time(),
+            }
+            print(json.dumps(result))
+            hist_path = os.path.join(REPO, "BENCH", "scaling.json")
+            hist = []
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    hist = json.load(f)
+            hist.append(result)
+            os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+            with open(hist_path, "w") as f:
+                json.dump(hist, f, indent=1)
+        write_report(args, hist, hist[-1])
+        return
     # best-of-2 per level: one throwaway pass warms the page cache and JIT,
     # the faster pass is the steady-state number (same protocol both levels)
     # calibration runs ADJACENT to its spark level so both sample the same
@@ -353,8 +408,10 @@ def main() -> None:
 
 def write_report(args, hist: list, result: dict) -> None:
     eff = result["value"]
-    hw_factor = result["hw_percore_factor"]
-    eff_hw = result["value_hw_normalized"]
+    # adjacent-pair rows skip calibration (it would widen the window the
+    # protocol exists to narrow) — format as nan, medians skip None
+    hw_factor = result["hw_percore_factor"] or float("nan")
+    eff_hw = result["value_hw_normalized"] or float("nan")
     ratio = args.high / args.low
     # steady-state estimator. Two rules learned the hard way:
     #   1. EPOCH-SCOPED: when the build kernel changes (the arrow-native
@@ -394,11 +451,9 @@ def write_report(args, hist: list, result: dict) -> None:
     # SLOWER than the same node inside its fleet), so the epoch-best solo
     # is its consistent estimator — paired with the per-run MEDIAN of the
     # two-sided-noise low level.
+    cns = [h["value_cluster_norm"] for h in same if h.get("value_cluster_norm")]
+    eff_cluster = _median(cns) if cns else None
     solos = [h["high_node_solo_sec"] for h in same if h.get("high_node_solo_sec")]
-    eff_cluster = (
-        _median([h["low_build_sec"] for h in same]) / (ratio * min(solos))
-        if solos else None
-    )
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = "\n".join(
@@ -444,10 +499,14 @@ Spark, same taskset) = {hw_factor:.3f}; normalized = {eff_hw:.3f}.
 
 **Steady-state estimate over current-kernel-epoch runs of this config
 (docs={args.n_docs}, {args.low}->{args.high}, {len(same)} runs since the
-arrow-native encoder landed; best T_N = {best_lo:.1f}s, best T_4N =
+packed-task direct kernel landed; best T_N = {best_lo:.1f}s, best T_4N =
 {best_hi:.1f}s). Estimator = MEDIAN of per-run (same-pair)
-efficiencies** — cross-epoch mixing would pair different kernels, and
-cross-run per-level minima are biased on this box (see below).
+efficiencies, for the cluster-normalized metric too (r4 change: the r3
+estimator paired the epoch-BEST solo with median lows, which mixes
+tenant windows and can exceed 1.0; per-run pairing keeps both sides of
+every ratio in the same window)** — cross-epoch mixing would pair
+different kernels, and cross-run per-level minima are biased on this
+box (see below).
 Per-normalization verdicts (each against the 0.8 target — no metric is
 folded into another):
 
@@ -455,7 +514,7 @@ folded into another):
 |---|---|---|
 | raw (fleet on the shared box, no corrections) | {eff_best:.3f} | {"PASS" if eff_best >= 0.8 else "FAIL"} |
 | hw-normalized (divides out the per-run measured no-Spark per-core host ceiling) | {eff_best_hw:.3f} | {"PASS" if eff_best_hw >= 0.8 else "FAIL"} |
-| cluster-normalized (4N wall = 4 x the epoch-best SOLO node time {min(solos) if solos else float('nan'):.1f}s — the co-residency CAPABILITY control, which co-tenancy can only inflate; low side = per-run median) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
+| cluster-normalized (per run: 4N wall = 4 x that run's SOLO node time — on a real cluster every node runs alone on its own socket, which is what the solo control measures; epoch-best solo {min(solos) if solos else float('nan'):.1f}s) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
 
 **Primary metric (pre-registered since r3): cluster-normalized** — chosen
 because the north rule compares two CLUSTER sizes and on a real cluster
@@ -510,14 +569,19 @@ The plan itself has no scaling bottleneck: the measured build is the
 ZERO-SHUFFLE direct bulk path (one segment per input file, parquet
 opened in the consuming python process, no exchange and no JVM data
 path), so the only cross-task interactions left are host-level
-(scheduler, memory bandwidth). Isolation probes on this box:
-parquet-scan+Arrow-IPC alone scales 4->16 at 0.87, pure
-python-under-Spark compute at 0.86, the no-Spark multiprocessing build
-kernel at ~0.74-0.85 (varies with tenant window) — the full job lands at
-the kernel's own ceiling, i.e. the residual is the host's memory
-subsystem, not the plan. Fixed per-job cost (session + stage scheduling,
-~2.5s) argues for measuring at >=2M docs, where it is <8% of the
-high-side wall; 500k-doc rows keep continuity with the r3 epoch.
+(scheduler, memory bandwidth). Isolation probes on this box (r4, direct
+plan): a no-JVM fleet — 4 concurrent multiprocessing jobs, each 4 pinned
+cores, running the IDENTICAL pyarrow-read + tokenize + invert + encode +
+write kernel over the same shards — scales 4->16 at ~0.94 (solo 35.1k
+docs/s/node vs fleet 33-35k), and in the same clean window the SPARK
+fleet matches it (14.6-14.9s/node vs 14.1s solo, task_util 0.89). The
+plan has no residual contention of its own; what moves the raw number
+between runs is the tenant window — the per-run no-Spark calibration
+swings 7.6k-10.6k docs/s/core (40%) minute to minute, and the 4-core low
+level additionally turbos on an idle box to per-core speeds no 16-busy
+fleet can match. Fixed per-job cost (session + stage scheduling, ~2.5s)
+argues for measuring at >=2M docs, where it is <8% of the high-side
+wall; 500k-doc rows keep continuity with the r3 epoch.
 
 Reproduce: `python tools/scaling_bench.py --n-docs 2000000 --low 4 --high 16`.
 History in `BENCH/scaling.json` (earlier rows predate the hw calibration;
