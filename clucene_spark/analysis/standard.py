@@ -461,6 +461,19 @@ def standard_analyze(
                 )
                 pos += 1
             continue
+        if len(chunk) <= MAX_WORD_LEN and _TOKEN_FAST_ALPHA.match(chunk):
+            # alpha run + at most one trailing '.'/',' — offsets flavor of
+            # the terms-only widening: the DFA emits one token for the
+            # alpha run whose END OFFSET excludes the shaved '.'/dropped
+            # ',' (single-letter acronyms 'I.' identically: StandardFilter
+            # strips the dot, type normalizes to ALPHANUM). Fuzz-pinned to
+            # the DFA incl. offsets in tests/test_analysis.py.
+            w = chunk.rstrip(".,")
+            t = w.lower()
+            if t not in stop_words:
+                out.append((t, pos, base, base + len(w), ALPHANUM))
+                pos += 1
+            continue
         # the DFA's lookahead distinguishes EOS from a following space
         # (e.g. "0_" vs "0_ "): feed the real next char class
         piece = chunk if m.end() == n else chunk + " "

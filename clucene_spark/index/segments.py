@@ -1115,10 +1115,19 @@ def build_segments_direct(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     with_positions: bool = True,
+    with_vectors: bool = False,
     resume: bool = True,
     _plan_only: bool = False,
 ) -> DataFrame:
     """Direct-read bulk load: the aligned plan with the JVM out of the scan.
+
+    ``with_vectors=True`` additionally writes the offsets-bearing term
+    vectors sidecar inside the SAME single read of each file — the
+    reference's TermVectorsWriter-inside-addDocument shape
+    (index/DocumentsWriter invert loop) — so a 100-TB corpus is scanned
+    once for both artifacts instead of paying build_term_vectors_offsets'
+    second full scan + shuffle. Output is byte-identical to that second
+    pass (pytest-pinned).
 
     `build_segments_aligned` already has the right SHAPE for an initial
     bulk build (scan -> python, one segment per input split, no exchange),
@@ -1176,12 +1185,15 @@ def build_segments_direct(
 
     idx_dir = index_dir
     wp = with_positions
+    wv = with_vectors
     an = analyzer
     idc = doc_id_col
     txc = text_col
     dr = done_ranges
 
     def _one_file(batches):
+        import gc as _gc
+
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
@@ -1190,6 +1202,11 @@ def build_segments_direct(
             _pa.set_io_thread_count(1)
         except Exception:
             pass
+        # the kernel's object graph is acyclic (tuples/lists/ndarrays,
+        # refcount-reclaimed); cyclic-GC passes over millions of tracked
+        # allocations are pure overhead that compounds across co-located
+        # workers. Collect once at the task boundary instead.
+        _gc.disable()
         for pdf in batches:
             for path in pdf["path"]:
                 t0 = time.perf_counter()
@@ -1245,6 +1262,13 @@ def build_segments_direct(
                 )
                 if seg_tab.num_rows:
                     _write_term_index(tmp_path, seg_tab.column("term"))
+                if wv:
+                    _pq.write_table(
+                        _term_vectors_arrow(
+                            _term_vectors_frame(ids, texts, an)
+                        ),
+                        os.path.join(tmp_path, "term_vectors.parquet"),
+                    )
                 os.rename(tmp_path, seg_path)
                 ck = {
                     "segment": name,
@@ -1259,6 +1283,10 @@ def build_segments_direct(
                 }
                 _write_checkpoint(idx_dir, name, ck)
                 yield pd.DataFrame([ck])
+        # one collect at the task boundary; workers are reused, so leave
+        # the collector enabled between tasks
+        _gc.enable()
+        _gc.collect()
 
     # task packing: one task per FILE maximizes retry granularity but pays
     # an inter-task gap (arrow stream setup/teardown, scheduler latency —
@@ -1357,37 +1385,8 @@ def build_term_vectors_offsets(
                                T.StructField("n_rows", T.LongType(), False)])
 
     def _one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from clucene_spark.analysis.standard import standard_analyze
-
         seg_name = str(key[0])
-        acc: dict[tuple, tuple[list, list, list]] = {}  # (doc,term) -> (pos, starts, ends)
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            if text is None:
-                continue
-            if an == "whitespace":
-                # raw split indices as positions — identical to the
-                # whitespace index path's position convention
-                seq, off = [], 0
-                for i, w in enumerate(text.split(" ")):
-                    if w:
-                        seq.append((w, i, off, off + len(w)))
-                    off += len(w) + 1
-            else:
-                seq = [(t, p, s, e) for t, p, s, e, _ty in standard_analyze(text)]
-            for t, p, s, e in seq:
-                pos, ss, ee = acc.setdefault((int(doc_id), t), ([], [], []))
-                pos.append(p)
-                ss.append(s)
-                ee.append(e)
-        tv = pd.DataFrame(
-            [
-                (d, t, len(pos), pos, ss, ee)
-                for (d, t), (pos, ss, ee) in sorted(
-                    acc.items(), key=lambda kv: (kv[0][0], utf16_key(kv[0][1]))
-                )
-            ],
-            columns=["doc_id", "term", "tf", "positions", "starts", "ends"],
-        )
+        tv = _term_vectors_frame(pdf["doc_id"], pdf["text"], an)
         _write_term_vectors_file(idx_dir, seg_name, tv)
         return pd.DataFrame({"name": [seg_name], "n_rows": [len(tv)]})
 
@@ -1412,9 +1411,87 @@ def build_term_vectors_offsets(
     return len(written)
 
 
-def _write_term_vectors_file(index_dir: str, segment: str, tv) -> None:
+def _term_vectors_frame(doc_ids, texts, analyzer: str) -> pd.DataFrame:
+    """Offsets-bearing term-vector rows for one segment's docs — the
+    shared kernel of build_term_vectors_offsets (grouped pass over an
+    existing index) and build_segments_direct(with_vectors=True) (written
+    in the same single read as the postings, the reference
+    TermVectorsWriter-inside-addDocument shape).
+
+    Accumulation is flat-array, not dict-of-lists: per-token python
+    allocation was the kernel's cost center AND its concurrency killer
+    (allocator churn compounds across 32 workers). Tokens land in flat
+    columns, one stable mergesort groups (doc, utf16-term), and the list
+    columns come out as zero-copy slices of the sorted arrays."""
+    from clucene_spark.analysis.standard import standard_analyze
+
+    docs_f: list[int] = []
+    terms_f: list[str] = []
+    pos_f: list[int] = []
+    st_f: list[int] = []
+    en_f: list[int] = []
+    for doc_id, text in zip(doc_ids, texts):
+        if text is None:
+            continue
+        d = int(doc_id)
+        if analyzer == "whitespace":
+            # raw split indices as positions — identical to the
+            # whitespace index path's position convention
+            off = 0
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    docs_f.append(d)
+                    terms_f.append(w)
+                    pos_f.append(i)
+                    st_f.append(off)
+                    en_f.append(off + len(w))
+                off += len(w) + 1
+        else:
+            for t, p, s, e, _ty in standard_analyze(text):
+                docs_f.append(d)
+                terms_f.append(t)
+                pos_f.append(p)
+                st_f.append(s)
+                en_f.append(e)
+    if not docs_f:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64"),
+             "positions": pd.Series([], dtype="object"),
+             "starts": pd.Series([], dtype="object"),
+             "ends": pd.Series([], dtype="object")}
+        )
+    docs_a = np.asarray(docs_f, dtype=np.int64)
+    terms_a = np.asarray(terms_f, dtype=object)
+    pos_a = np.asarray(pos_f, dtype=np.int64)
+    st_a = np.asarray(st_f, dtype=np.int64)
+    en_a = np.asarray(en_f, dtype=np.int64)
+    # stable sort by (doc, UTF-16 term key): token order survives within
+    # each (doc, term) group, so positions/offsets stay in stream order
+    keys_a = np.asarray([utf16_key(t) for t in terms_f], dtype=object)
+    order = np.lexsort((keys_a, docs_a))
+    docs_a, terms_a, keys_a = docs_a[order], terms_a[order], keys_a[order]
+    pos_a, st_a, en_a = pos_a[order], st_a[order], en_a[order]
+    # group boundaries: doc change OR term change
+    new_grp = np.ones(len(docs_a), dtype=bool)
+    new_grp[1:] = (docs_a[1:] != docs_a[:-1]) | (keys_a[1:] != keys_a[:-1])
+    starts_idx = np.flatnonzero(new_grp)
+    counts = np.diff(np.append(starts_idx, len(docs_a)))
+    return pd.DataFrame(
+        {
+            "doc_id": docs_a[starts_idx],
+            "term": terms_a[starts_idx],
+            "tf": counts,
+            "positions": [pos_a[i:i + c] for i, c in zip(starts_idx, counts)],
+            "starts": [st_a[i:i + c] for i, c in zip(starts_idx, counts)],
+            "ends": [en_a[i:i + c] for i, c in zip(starts_idx, counts)],
+        }
+    )
+
+
+def _term_vectors_arrow(tv):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     schema = pa.schema(
         [
@@ -1426,9 +1503,15 @@ def _write_term_vectors_file(index_dir: str, segment: str, tv) -> None:
             ("ends", pa.list_(pa.int64())),
         ]
     )
+    return pa.Table.from_pandas(tv, schema=schema, preserve_index=False)
+
+
+def _write_term_vectors_file(index_dir: str, segment: str, tv) -> None:
+    import pyarrow.parquet as pq
+
     path = os.path.join(index_dir, "segments", segment, "term_vectors.parquet")
     tmp = path + "." + uuid.uuid4().hex + ".tmp"
-    pq.write_table(pa.Table.from_pandas(tv, schema=schema, preserve_index=False), tmp)
+    pq.write_table(_term_vectors_arrow(tv), tmp)
     os.replace(tmp, path)
 
 

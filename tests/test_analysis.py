@@ -376,3 +376,7 @@ def test_terms_fast_alpha_chunk_equivalent_to_dfa(chunks):
 
     text = " ".join(w + p for w, p in chunks)
     assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
+    # the offsets flavor of the same widening (r4: single-pass term
+    # vectors) must match the DFA on the FULL tuple — term, position,
+    # start/end offsets, and type
+    assert standard_analyze(text) == _dfa_analyze(text)

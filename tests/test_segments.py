@@ -562,6 +562,47 @@ def test_direct_bulk_build_matches_aligned_and_resumes(spark, tmp_path):
         ).equals(pq.read_table(os.path.join(d2, "segments", s, "postings.parquet")))
 
 
+def test_direct_build_single_pass_vectors_match_second_pass(spark, tmp_path):
+    """build_segments_direct(with_vectors=True) writes the offsets-bearing
+    term-vectors sidecar in the SAME read as the postings (the reference's
+    TermVectorsWriter-inside-addDocument shape); content is identical to
+    the separate build_term_vectors_offsets pass over the aligned index."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clucene_spark.index.segments import (
+        SegmentStore,
+        build_segments_aligned,
+        build_segments_direct,
+        build_term_vectors_offsets,
+    )
+
+    src = str(tmp_path / "corpus")
+    (spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+     .repartitionByRange(3, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(src))
+    files = sorted(glob.glob(src + "/part-*.parquet"))
+    d1 = str(tmp_path / "two_pass")
+    d2 = str(tmp_path / "one_pass")
+    docs = spark.read.parquet(*files).select("doc_id", "text")
+    build_segments_aligned(docs, d1, analyzer="standard")
+    build_term_vectors_offsets(spark, d1, docs, analyzer="standard")
+    build_segments_direct(spark, files, d2, analyzer="standard",
+                          with_vectors=True)
+    segs = sorted(os.listdir(os.path.join(d1, "segments")))
+    assert segs == sorted(os.listdir(os.path.join(d2, "segments")))
+    for s in segs:
+        t1 = pq.read_table(os.path.join(d1, "segments", s, "term_vectors.parquet"))
+        t2 = pq.read_table(os.path.join(d2, "segments", s, "term_vectors.parquet"))
+        assert t1.equals(t2), s
+    store = SegmentStore(spark, d2)
+    assert store.has_term_vectors()
+    vec = store.term_vector(3)
+    assert vec and all(len(v) >= 3 for v in vec)
+
+
 def test_fielded_store_merge_preserves_fields(spark, tmp_path):
     """Compaction over a multi-field store: composite keys merge like any
     terms, per-field doc_lens survive, per-field stats and fielded WAND

@@ -48,6 +48,9 @@ def main() -> None:
                     help="aligned bulk load with python-side parquet reads "
                          "(file paths distributed, pyarrow opens each split "
                          "in the worker; JVM does scheduling only)")
+    ap.add_argument("--vectors", action="store_true",
+                    help="with --direct: also write offsets-bearing term "
+                         "vectors in the same single read of each file")
     ap.add_argument("--input-shard", default=None, metavar="I:K",
                     help="index only every Kth input part-file starting at "
                          "I (node i of a K-node fleet working one shared "
@@ -160,6 +163,7 @@ def main() -> None:
             text_col=args.text_col,
             doc_id_col=args.id_col,
             with_positions=not args.no_positions,
+            with_vectors=args.vectors,
             resume=not args.fresh,
         ).collect()
     elif args.aligned:
