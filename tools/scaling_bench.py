@@ -593,9 +593,11 @@ tokenizer, whose higher python share masked the host artifact).
 `python bench.py` prints the driver-contract JSON line (index build +
 BM25 top-10 latencies at $SPARK_GRAFT_SF_DIR); per-round snapshots live
 in BENCH_r{{N}}.json at the repo root. Peak measured indexing throughput
-on this box: ~36k docs/sec (16 cores as a 4x local[4] executor fleet,
-zero-shuffle aligned build, 500k-doc messy corpus, full StandardAnalyzer
-DFA). BM25 top-10 query latency p50 = 0.256s / p95 = 0.63s at 400k docs
+on this box (r4 direct plan): 112.5k docs/sec at local[32] and 88.7k
+docs/sec on a 16-core 4x local[4] executor fleet, 2M-doc messy corpus,
+full StandardAnalyzer DFA + positions (BENCH/large_corpus.json
+build_direct_2m; single-pass with offsets term vectors: 19.7k docs/s).
+BM25 top-10 query latency p50 = 0.256s / p95 = 0.63s at 400k docs
 (in-process serving, BENCH/query_latency.json).
 """
         )
