@@ -341,6 +341,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10),
+        # PhraseWeight::explain (PhraseQuery.cpp:379-460): Σidf over the
+        # phrase terms × tf(phraseFreq) × boost, component columns; the
+        # TestExplanations product==score invariant is pytest-gated in
+        # tests/test_search.py (new r4 late -> enters the window r5)
+        "explain_phrase": lambda spark, sf: _searcher(spark, sf)
+        .explain_phrase(PhraseQuery(terms=["batch", "batch"]))
+        .select(
+            "doc_id",
+            F.col("pfreq").cast("long").alias("pfreq"),
+            "dl",
+            F.round("idf", 4).alias("idf"),
+            F.round("tf_norm", 4).alias("tf_norm"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("doc_id"),
         "explain_term_classic": lambda spark, sf: _searcher(spark, sf, "classic")
         .explain(TermQuery(term="spark"))
         .select(
@@ -3344,6 +3359,30 @@ SELECT p.doc_id, p.tf, d.dl,
 FROM postings p
 JOIN term_dict t USING (term) JOIN doc_lens d USING (doc_id) CROSS JOIN stats s
 WHERE p.term = 'spark'
+ORDER BY doc_id
+""",
+        # PhraseWeight::explain components — the phrase_exact_topk pfreq
+        # CTE extended with the idf/tf_norm breakdown
+        "explain_phrase": _PRELUDE
+        + """
+, pfreq AS (
+  SELECT t1.doc_id, count(*) AS pf
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'batch' AND t2.term = 'batch'
+  GROUP BY t1.doc_id
+),
+idf AS (
+  SELECT 2.0 * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf_sum,
+         s.avgdl
+  FROM term_dict t CROSS JOIN stats s WHERE t.term = 'batch'
+)
+SELECT p.doc_id, p.pf AS pfreq, d.dl,
+       ROUND(i.idf_sum, 4) AS idf,
+       ROUND((p.pf * 2.2) / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS tf_norm,
+       ROUND(i.idf_sum * (p.pf * 2.2) / (p.pf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl)), 4) AS score
+FROM pfreq p JOIN doc_lens d USING (doc_id) CROSS JOIN idf i
+WHERE p.pf > 0
 ORDER BY doc_id
 """,
         # reference SloppyPhraseScorer walk replayed as a recursive CTE

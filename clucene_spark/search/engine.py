@@ -673,10 +673,36 @@ class Searcher:
         per doc over the joined position arrays through an Arrow-batched
         pandas UDF — see clucene_spark/search/sloppy.py.
         """
+        pf = self._phrase_freqs(query)
+        if pf is None:
+            return self._empty_scores()
+        scored, idf_sum = pf
+        scored = scored.join(self._doclens(query.field), "doc_id")
+        if self.similarity == "bm25":
+            score = (
+                F.lit(idf_sum)
+                * sim.bm25_tf(F.col("pfreq"), F.col("dl"),
+                              F.lit(self._avgdl(query.field)))
+                * F.lit(query.boost)
+            )
+        else:
+            scored, lnorm = self._lnorm(scored)
+            score = (
+                F.sqrt(F.col("pfreq"))
+                * F.lit(idf_sum * idf_sum * query.boost * query_norm)
+                * lnorm
+            )
+        return scored.select("doc_id", score.alias("score"))
+
+    def _phrase_freqs(self, query: PhraseQuery):
+        """(doc_id, pfreq) relation + Σidf for a phrase — the freq half of
+        PhraseWeight (reference PhraseQuery.cpp:200+ builds the scorer,
+        379+ explains it; both consume the same phraseFreq). Returns None
+        when any phrase term is absent (reference: no scorer)."""
         terms = query.terms
         dfs = self.doc_freqs(terms, field=query.field)
         if any(dfs[t] == 0 for t in terms):
-            return self._empty_scores()
+            return None
         parts = []
         for i, t in enumerate(terms):
             p = (
@@ -725,22 +751,7 @@ class Searcher:
             )
         idf_sum = sum(self._idf(dfs[t]) for t in terms)
         scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)
-        scored = scored.join(self._doclens(query.field), "doc_id")
-        if self.similarity == "bm25":
-            score = (
-                F.lit(idf_sum)
-                * sim.bm25_tf(F.col("pfreq"), F.col("dl"),
-                              F.lit(self._avgdl(query.field)))
-                * F.lit(query.boost)
-            )
-        else:
-            scored, lnorm = self._lnorm(scored)
-            score = (
-                F.sqrt(F.col("pfreq"))
-                * F.lit(idf_sum * idf_sum * query.boost * query_norm)
-                * lnorm
-            )
-        return scored.select("doc_id", score.alias("score"))
+        return scored.select("doc_id", "pfreq"), idf_sum
 
     def _score_multi_phrase(self, query: MultiPhraseQuery) -> DataFrame:
         """Union each slot's alternatives' positions per doc, then the same
@@ -1040,6 +1051,42 @@ class Searcher:
             lnorm.alias("length_norm"),
             F.lit(query.boost).alias("boost"),
             (F.sqrt("tf") * F.lit(idf * idf * qn * query.boost) * lnorm).alias("score"),
+        )
+
+    def explain_phrase(self, query: PhraseQuery) -> DataFrame:
+        """PhraseWeight::explain (reference PhraseQuery.cpp:379-460) as
+        columns: score = queryWeight · fieldWeight where queryWeight =
+        boost·idf·queryNorm and fieldWeight = tf(phraseFreq)·idf·fieldNorm
+        — idf is the SUM over the phrase terms, phraseFreq the exact
+        alignment count (slop=0) or the SloppyPhraseScorer payoff sum.
+        Same column convention as explain(): BM25 emits (idf, tf_norm),
+        classic emits (weight = idf²·queryNorm, tf_sqrt, length_norm); the
+        TestExplanations invariant is product(components)·boost == score."""
+        pf = self._phrase_freqs(query)
+        if pf is None:
+            return self._empty_scores()
+        p, idf_sum = pf
+        p = p.join(self._doclens(query.field), "doc_id")
+        if self.similarity == "bm25":
+            tf_comp = sim.bm25_tf(F.col("pfreq"), F.col("dl"),
+                                  F.lit(self._avgdl(query.field)))
+            return p.select(
+                "doc_id", "pfreq", "dl",
+                F.lit(idf_sum).alias("idf"),
+                tf_comp.alias("tf_norm"),
+                F.lit(query.boost).alias("boost"),
+                (F.lit(idf_sum) * tf_comp * query.boost).alias("score"),
+            )
+        qn = self.query_norm_for(query)
+        p, lnorm = self._lnorm(p)
+        return p.select(
+            "doc_id", "pfreq", "dl",
+            F.lit(idf_sum * idf_sum * qn).alias("weight"),
+            F.sqrt("pfreq").alias("tf_sqrt"),
+            lnorm.alias("length_norm"),
+            F.lit(query.boost).alias("boost"),
+            (F.sqrt("pfreq") * F.lit(idf_sum * idf_sum * qn * query.boost)
+             * lnorm).alias("score"),
         )
 
     def explain_boolean(self, query: BooleanQuery) -> DataFrame:

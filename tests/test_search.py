@@ -634,6 +634,78 @@ def test_explanation_value_equals_score(spark, index):
             assert abs(prod - e["score"]) < 1e-9
 
 
+def test_explanations_reference_corpus_matrix(spark):
+    """TestExplanations.cpp qtest contract over the reference's own 4-doc
+    corpus (src/test/search/TestExplanations.cpp:19-25 docFields, whitespace
+    analyzer): for every query shape with a Weight::explain analogue, the
+    matching doc SET is exactly the expected one and the explanation
+    component product equals the score for every matching doc, in both
+    similarities (CheckHits::checkExplanations)."""
+    from clucene_spark.index.build import InvertedIndex
+
+    rows = [
+        (0, "w1 w2 w3 w4 w5"),
+        (1, "w1 w3 w2 w3 zz"),
+        (2, "w1 xx w2 yy w3"),
+        (3, "w1 w3 xx w2 yy w3 zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedIndex(docs).cache()
+
+    def prod(e, simname):
+        if simname == "bm25":
+            return e["idf"] * e["tf_norm"] * e["boost"]
+        return e["weight"] * e["tf_sqrt"] * e["length_norm"] * e["boost"]
+
+    # (query, expected doc set) — term rows from the corpus anatomy;
+    # phrase rows match ExactPhraseScorer / SloppyPhraseScorer semantics
+    term_cases = [
+        (TermQuery(term="w1"), {0, 1, 2, 3}),
+        (TermQuery(term="zz"), {1, 3}),
+        (TermQuery(term="zz", boost=2.5), {1, 3}),
+    ]
+    phrase_cases = [
+        PhraseQuery(terms=["w1", "w2"]),
+        PhraseQuery(terms=["w2", "w3"]),
+        PhraseQuery(terms=["w1", "w2"], slop=1),
+        PhraseQuery(terms=["w1", "w3"], slop=2),
+        PhraseQuery(terms=["w3", "w3"], slop=2),
+        PhraseQuery(terms=["w1", "w2"], boost=1.5, slop=1),
+    ]
+    for simname in ("bm25", "classic"):
+        s = Searcher(idx, similarity=simname)
+        for q, expected in term_cases:
+            exp = {r["doc_id"]: r for r in s.explain(q).collect()}
+            assert set(exp) == expected, (str(q), simname)
+            scores = {
+                r["doc_id"]: r["score"]
+                for r in s.score(q, s.query_norm_for(q)).collect()
+            }
+            for d, e in exp.items():
+                assert abs(prod(e, simname) - e["score"]) < 1e-9
+                assert abs(scores[d] - e["score"]) < 1e-9
+        for q in phrase_cases:
+            scores = {
+                r["doc_id"]: r["score"]
+                for r in s.score(q, s.query_norm_for(q)).collect()
+            }
+            exp = {r["doc_id"]: r for r in s.explain_phrase(q).collect()}
+            assert set(exp) == set(scores), (str(q), simname)
+            for d, e in exp.items():
+                assert abs(prod(e, simname) - e["score"]) < 1e-9
+                assert abs(scores[d] - e["score"]) < 1e-9
+        # pinned expected sets where adjacency is hand-checkable
+        s0 = Searcher(idx, similarity=simname)
+        assert set(
+            r["doc_id"]
+            for r in s0.score(PhraseQuery(terms=["w1", "w2"])).collect()
+        ) == {0}
+        assert set(
+            r["doc_id"]
+            for r in s0.score(PhraseQuery(terms=["w2", "w3"])).collect()
+        ) == {0, 1}
+
+
 # ---------------------------------------------------------------------------
 # Highlighter (contrib Highlighter/SimpleFragmenter/QueryScorer analogue)
 # ---------------------------------------------------------------------------
