@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_stats": _q_stream_window,
         "multimodal_wav_stats": _q_wav_stats,
         "multimodal_png_stats": _q_png_stats,
+        "multimodal_jpeg_stats": _q_jpeg_stats,
         "text_lm_score": _q_lm_score,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
@@ -2325,6 +2326,58 @@ def _q_wav_stats(spark, sf):
 
 
 
+def _q_jpeg_stats(spark, sf):
+    """REAL baseline-JPEG codec end-to-end (pipeline/jpeg.py, ITU T.81
+    sequential DCT): per doc, build a smooth closed-form RGB gradient,
+    encode it as a genuine JFIF payload (4:4:4 for even doc_ids, 4:2:0
+    for odd — both MCU layouts exercised), decode it back through the
+    marker-walk + Huffman + dequant + IDCT path, and emit exact dims plus
+    a pixel-tolerance verdict (max abs error <= 2; measured worst over
+    this corpus = 1 at q95). JPEG is lossy, so the oracle pins the
+    SQL-computable facts — dims and the tolerance holding everywhere —
+    rather than a pixel hash; any corrupted byte in either codec half
+    breaks `ok` for some doc and flips the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from clucene_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 10 + did % 7
+                h = 9 + did % 5
+                base = did % 97
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = (20 + base + 3 * y + 2 * x + 11 * c).astype(np.uint8)
+                d = decode_jpeg(
+                    encode_jpeg(px, quality=95, subsample=(did % 2 == 1))
+                )
+                err = int(np.abs(d["pixels"].astype(int) - px.astype(int)).max())
+                ids.append(did)
+                ws.append(d["width"])
+                hs.append(d["height"])
+                oks.append(err <= 2)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _roundtrip, "media_id long, width int, height int, ok boolean"
+    ).orderBy("media_id")
+
+
 def _q_png_stats(spark, sf):
     """REAL PNG decode end-to-end: per doc, build a genuine PNG payload
     (RGB pixels from closed-form integer arithmetic, filter-0 scanlines,
@@ -4071,6 +4124,13 @@ SELECT doc_id AS media_id,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
        CAST(MAX(ABS(v)) AS INT) AS peak
 FROM s GROUP BY doc_id ORDER BY media_id
+""",
+        "multimodal_jpeg_stats": """
+SELECT doc_id AS media_id,
+       10 + CAST(doc_id % 7 AS INT) AS width,
+       9 + CAST(doc_id % 5 AS INT) AS height,
+       TRUE AS ok
+FROM documents ORDER BY media_id
 """,
         "multimodal_png_stats": """
 WITH dims AS (

@@ -7,13 +7,15 @@ parquet; metadata prunes without touching bytes). Decode / feature-extract
 mapInPandas — the Spark-side plumbing (schema, batching, partitioning) is
 real and tested.
 
-Decode itself is REAL for the formats the Python stdlib can parse — PCM
-WAV (`wave`), 24-bit uncompressed BMP (struct header parse), and PNG
-(zlib inflate + scanline unfilter + palette expansion; bit depth 8,
-color types 0/2/3/6) — with matching encoders so tests/gates build
-genuine payloads — and STUBBED (NotImplementedError, or a deterministic
-fake when `fake=True`) for formats that need external codec libraries
-(JPEG/MP3/MP4; none ship in this container).
+Decode itself is REAL for the formats pure stdlib+numpy arithmetic can
+parse — PCM WAV (`wave`), 24-bit uncompressed BMP (struct header parse),
+PNG (zlib inflate + scanline unfilter + palette expansion; bit depth 8,
+color types 0/2/3/6), and baseline JPEG (ITU T.81 sequential DCT:
+Huffman + dequant + IDCT + 4:2:0 upsample, `pipeline/jpeg.py`) — with
+matching encoders so tests/gates build genuine payloads — and STUBBED
+(NotImplementedError, or a deterministic fake when `fake=True`) for
+formats that need external codec libraries (MP3/MP4, progressive JPEG;
+none ship in this container).
 
 At 100 TB: payload columns dominate IO — always select metadata columns
 first and filter before touching `payload`; Parquet column pruning means
@@ -58,12 +60,13 @@ def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
 
 
 def _decode_real(payload: bytes, kind: str):
-    """Real decoder for the formats the Python stdlib can parse — WAV
-    (PCM, via `wave`), uncompressed BMP (struct header parse), and PNG
-    (zlib inflate + filter arithmetic, _decode_png). Formats that need
-    external codec libraries (JPEG/MP3/MP4 — none ship in this container)
-    still raise NotImplementedError; plug Pillow / torchaudio / pyav into
-    the dispatch below to widen it.
+    """Real decoder for the formats stdlib+numpy can parse — WAV (PCM,
+    via `wave`), uncompressed BMP (struct header parse), PNG (zlib
+    inflate + filter arithmetic, _decode_png), and baseline JPEG (T.81
+    sequential DCT, pipeline/jpeg.py). Formats that need external codec
+    libraries (MP3/MP4 — none ship in this container) still raise
+    NotImplementedError; plug torchaudio / pyav into the dispatch below
+    to widen it.
 
     Returns a dict:
       WAV -> {kind: 'audio', sample_rate, n_channels, sample_width,
@@ -121,8 +124,12 @@ def _decode_real(payload: bytes, kind: str):
         }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from clucene_spark.pipeline.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no stdlib decoder for this payload (JPEG/MP3/MP4/... need external "
+        "no stdlib decoder for this payload (MP3/MP4/... need external "
         "codec libraries); run with fake=True or install a decoder"
     )
 
@@ -411,12 +418,22 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 ids.append(int(mid))
                 ws.append(np.int32(width))
                 hs.append(np.int32(height))
-                if b[:2] == b"BM" or b[:8] == _PNG_SIG:
+                if b[:2] == b"BM" or b[:8] == _PNG_SIG or b[:2] == b"\xff\xd8":
                     d = _decode_real(b, "image")
                     yi = (np.arange(height) * d["height"]) // height
                     xi = (np.arange(width) * d["width"]) // width
                     px = np.ascontiguousarray(d["pixels"][yi][:, xi])
-                    enc = encode_png if b[:8] == _PNG_SIG else encode_bmp
+                    if b[:8] == _PNG_SIG:
+                        enc = encode_png
+                    elif b[:2] == b"\xff\xd8":
+                        from clucene_spark.pipeline.jpeg import encode_jpeg
+
+                        def enc(p):
+                            return encode_jpeg(
+                                p[:, :, 0] if p.shape[2] == 1 else p, quality=90
+                            )
+                    else:
+                        enc = encode_bmp
                     payloads.append(enc(px))
                     decoded.append(True)
                 else:

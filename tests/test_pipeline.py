@@ -1015,6 +1015,110 @@ def test_png_resize_roundtrip(spark):
     assert np.array_equal(d["pixels"], px[yi][:, xi])
 
 
+def test_jpeg_roundtrip_shapes_and_tolerance():
+    """Baseline JPEG codec (pipeline/jpeg.py, ITU T.81): encode/decode
+    round-trips for grayscale, RGB 4:4:4 and 4:2:0, odd dims, restart-free
+    baseline stream; smooth content stays within a tight pixel tolerance,
+    constant blocks are EXACT (DC-only, quantizer divides the level
+    shift), and the payload is genuine JFIF (SOI/APP0/DQT/SOF0/DHT/SOS)."""
+    import numpy as np
+
+    from clucene_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    # constant gray at q100: all-ones quant tables -> exact
+    px = np.full((16, 16), 128, dtype=np.uint8)
+    b = encode_jpeg(px, quality=100)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[6:11] == b"JFIF\x00"
+    d = decode_jpeg(b)
+    assert (d["width"], d["height"], d["channels"]) == (16, 16, 1)
+    assert np.array_equal(d["pixels"][:, :, 0], px)
+
+    # smooth RGB gradient, both samplings, odd dims
+    h, w = 23, 29
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                          indexing="ij")
+    grad = (30 + 4 * y + 3 * x + 9 * c).astype(np.uint8)
+    for sub in (False, True):
+        d = decode_jpeg(encode_jpeg(grad, quality=95, subsample=sub))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        err = np.abs(d["pixels"].astype(int) - grad.astype(int))
+        assert err.max() <= 4, (sub, err.max())
+
+    # determinism: same pixels+quality -> same bytes
+    assert encode_jpeg(grad, quality=90) == encode_jpeg(grad, quality=90)
+
+    # lossiness ordering: lower quality -> smaller payload
+    assert len(encode_jpeg(grad, quality=30)) < len(encode_jpeg(grad, 95))
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must take DQT/DHT from the byte stream, not assume the
+    encoder's constants: doctor the quantization table in-place and the
+    decoded output must track the doctored table (DC scales visibly)."""
+    import struct
+
+    import numpy as np
+
+    from clucene_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8), 200, dtype=np.uint8)
+    b = bytearray(encode_jpeg(px, quality=100))
+    # find the luma DQT segment and double its DC entry (zigzag slot 0)
+    i = b.find(b"\xff\xdb")
+    assert i >= 0
+    dc = b[i + 5]
+    b[i + 5] = dc * 2
+    d0 = decode_jpeg(bytes(encode_jpeg(px, quality=100)))
+    d1 = decode_jpeg(bytes(b))
+    # doubled dequant step -> decoded DC moves away from the original
+    assert not np.array_equal(d0["pixels"], d1["pixels"])
+    (seg_len,) = struct.unpack(">H", bytes(b[i + 2:i + 4]))
+    assert seg_len == 67  # 8-bit table framing intact
+
+
+def test_jpeg_nonbaseline_rejected():
+    """Progressive (SOF2) and non-JPEG payloads raise honestly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from clucene_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8), 99, dtype=np.uint8)
+    b = bytearray(encode_jpeg(px, quality=90))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_resize_dispatch(spark):
+    """resize_media dispatches JPEG payloads through decode -> nearest
+    neighbor -> re-encode (decoded=true), like BMP/PNG."""
+    import numpy as np
+
+    from clucene_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from clucene_spark.pipeline.multimodal import resize_media
+
+    y, x, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3),
+                          indexing="ij")
+    px = (40 + 5 * y + 5 * x + 8 * c).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_jpeg(px, quality=95)))],
+        "media_id long, payload binary",
+    )
+    out = resize_media(media, 8, 8).collect()[0]
+    assert out["decoded"] is True
+    d = decode_jpeg(bytes(out["payload"]))
+    assert (d["width"], d["height"]) == (8, 8)
+    yi = (np.arange(8) * 16) // 8
+    ref = px[yi][:, yi]
+    err = np.abs(d["pixels"].astype(int) - ref.astype(int))
+    assert err.max() <= 10  # two lossy q90/q95 hops
+
+
 def test_lm_score_hand_computed(spark):
     """Bigram LM with Laplace smoothing on a 3-doc corpus, checked
     against a hand-rolled python model; repeated-bigram doc scores higher
