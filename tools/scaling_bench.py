@@ -28,7 +28,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Build-kernel epoch: bump to the landing time of any change that shifts
 # per-node throughput materially, so the steady-state estimate never mixes
 # runs of different kernels (r4: the arrow-native segment encoder, +17%).
-KERNEL_EPOCH = 1787044955  # commit bf72cfa (task packing + C1-only JIT)
+# epoch boundary: runs before this measured a DIFFERENT system and must
+# not mix into the steady-state median. Bumped when the build kernel or
+# the bench protocol changes what either level executes. Current epoch:
+# the fleet-plan fix — run_fleet had "--aligned" hardcoded, so every
+# prior --plan=direct run paired a DIRECT low level against an ALIGNED
+# fleet (the slower JVM-scan plan burning ~1.4 of 4 node cores), which
+# understated raw efficiency by construction (fleet nodes 21-23s vs the
+# direct solo control's 12.8s in the same clean window).
+KERNEL_EPOCH = 1787064600  # fleet-plan fix (both levels on PLAN_FLAG)
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
@@ -119,7 +127,7 @@ def run_fleet(cpus_per_node: int, n_nodes: int, n_docs: int, corpus: str) -> dic
             os.path.join(REPO, "tools", "index_job.py"),
             "--input", corpus, "--input-shard", f"{i}:{n_nodes}",
             "--index-dir", idx, "--analyzer", "standard",
-            "--aligned", "--fresh",
+            PLAN_FLAG[0], "--fresh",
         ]
         procs.append(
             subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -497,9 +505,12 @@ Latest run: raw efficiency = {eff:.3f}; per-core workload calibration
 factor (identical python analyzer workload, plain multiprocessing, no
 Spark, same taskset) = {hw_factor:.3f}; normalized = {eff_hw:.3f}.
 
-**Steady-state estimate over current-kernel-epoch runs of this config
+**Steady-state estimate over current-epoch runs of this config
 (docs={args.n_docs}, {args.low}->{args.high}, {len(same)} runs since the
-packed-task direct kernel landed; best T_N = {best_lo:.1f}s, best T_4N =
+fleet-plan fix — before it, run_fleet had "--aligned" hardcoded, so
+every earlier --plan=direct row paired a direct low level against an
+aligned fleet and understated raw efficiency by construction;
+best T_N = {best_lo:.1f}s, best T_4N =
 {best_hi:.1f}s). Estimator = MEDIAN of per-run (same-pair)
 efficiencies, for the cluster-normalized metric too (r4 change: the r3
 estimator paired the epoch-BEST solo with median lows, which mixes
