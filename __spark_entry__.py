@@ -534,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ingest_webtext": _q_ingest_webtext,
         "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
+        # r4 late: link-graph family (anchor-text field + PageRank static
+        # rank) — enter the r5 window
+        "web_anchor_text": _q_anchor_text,
+        "web_pagerank": _q_pagerank,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1407,6 +1411,132 @@ SELECT doc_id,
 FROM n6 ORDER BY doc_id
 """
 
+
+def _q_anchor_text(spark, sf):
+    """Link-graph anchor-text aggregation (the extra searchable field a
+    web index attaches to each page): build a deterministic page per doc
+    — anchor 1 relative href with an entity-escaped query (&amp; must
+    unescape before URL resolution) and a nested <b> tag in the anchor
+    body, anchor 2 absolute with www./:80/trailing-slash/utm_ noise the
+    canonicalizer must strip, a self-link that the aggregator must drop,
+    and a javascript: href the extractor must skip — then run the full
+    extract_links -> anchor_text_agg path. The oracle states the
+    expected link set directly from the construction formula and
+    re-aggregates it in SQL."""
+    from clucene_spark.pipeline.links import anchor_text_agg, extract_links
+
+    docs = _docs(spark, sf).select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://site"), s(d % 7), F.lit(".example/p/"), s(d)
+    )
+    html = F.concat(
+        F.lit('<p>intro <a href="/p/'), s((d * 3 + 1) % 97),
+        F.lit('?b=2&amp;a=1"><b>Top</b> pick '), s(d % 5),
+        F.lit("</a> mid <a href='http://www.site"), s((d + 1) % 7),
+        F.lit(".example:80/p/"), s((d * 5 + 2) % 97),
+        F.lit("/?utm_source=feed'>read &amp; More</a>"),
+        F.lit(' <a href="/p/'), s(d), F.lit('">self</a>'),
+        F.lit(' <a href="javascript:void(0)">js</a></p>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return (
+        anchor_text_agg(extract_links(pages))
+        .select("dst", "n_inlinks", "n_src_domains", "anchor_terms")
+        .orderBy("dst")
+    )
+
+
+_ANCHOR_TEXT_SQL = """
+WITH docs AS (SELECT doc_id AS d FROM documents),
+l1 AS (SELECT
+    'site' || (d % 7) || '.example/p/' || d AS src,
+    'site' || (d % 7) || '.example' AS src_domain,
+    'site' || (d % 7) || '.example/p/' || ((d*3+1) % 97) || '?a=1&b=2' AS dst,
+    'top pick ' || (d % 5) AS anchor
+  FROM docs),
+l2 AS (SELECT
+    'site' || (d % 7) || '.example/p/' || d AS src,
+    'site' || (d % 7) || '.example' AS src_domain,
+    'site' || ((d+1) % 7) || '.example/p/' || ((d*5+2) % 97) AS dst,
+    'read & more' AS anchor
+  FROM docs),
+links AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+terms AS (SELECT dst, src, src_domain,
+          unnest(string_split(anchor, ' ')) AS term FROM links)
+SELECT dst, count(DISTINCT src) AS n_inlinks,
+       count(DISTINCT src_domain) AS n_src_domains,
+       array_to_string(list_sort(list(DISTINCT term)), ' ') AS anchor_terms
+FROM terms GROUP BY dst ORDER BY dst
+"""
+
+
+def _q_pagerank(spark, sf):
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over a deterministic
+    link graph derived from doc_ids: docs with doc_id % 4 != 0 each emit
+    two edges into the low-97 node range, so the % 4 == 0 nodes under 97
+    are pure sinks — the dangling-mass redistribution path is exercised,
+    as are duplicate-edge collapse and self-loop drop. The oracle
+    unrolls the identical power iteration in SQL (3 CTE rounds with a
+    scalar dangling aggregate per round)."""
+    from clucene_spark.pipeline.links import pagerank
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    srcs = _docs(spark, sf).select("doc_id").where(d % 4 != 0)
+    e1 = srcs.select(
+        F.concat(F.lit("u"), s(d)).alias("src"),
+        F.concat(F.lit("u"), s((d * 3 + 1) % 97)).alias("dst"),
+    )
+    e2 = srcs.select(
+        F.concat(F.lit("u"), s(d)).alias("src"),
+        F.concat(F.lit("u"), s((d * 5 + 2) % 97)).alias("dst"),
+    )
+    pr = pagerank(e1.unionAll(e2), iters=3, damping=0.85)
+    return pr.select("url", F.round("rank", 6).alias("rank")).orderBy("url")
+
+
+_PAGERANK_SQL = """
+WITH srcs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 4 <> 0),
+raw_edges AS (
+  SELECT 'u' || d AS src, 'u' || ((d*3+1) % 97) AS dst FROM srcs
+  UNION ALL
+  SELECT 'u' || d, 'u' || ((d*5+2) % 97) FROM srcs),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+r0 AS (SELECT url, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+d0 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r0 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c0 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r0 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r1 AS (SELECT n.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d0)/(SELECT n FROM nn)) AS rank
+       FROM nodes n LEFT JOIN c0 c ON n.url = c.url),
+d1 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r1 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c1 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r1 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r2 AS (SELECT n.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d1)/(SELECT n FROM nn)) AS rank
+       FROM nodes n LEFT JOIN c1 c ON n.url = c.url),
+d2 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r2 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c2 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r2 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r3 AS (SELECT n.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d2)/(SELECT n FROM nn)) AS rank
+       FROM nodes n LEFT JOIN c2 c ON n.url = c.url)
+SELECT url, round(rank, 6) AS rank FROM r3 ORDER BY url
+"""
 
 
 def _q_ingest_webtext(spark, sf):
@@ -3731,6 +3861,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "sample_domain_cap": _DOMAIN_CAP_SQL,
         "web_extract_text": _EXTRACT_TEXT_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
+        "web_anchor_text": _ANCHOR_TEXT_SQL,
+        "web_pagerank": _PAGERANK_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
