@@ -538,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank) — enter the r5 window
         "web_anchor_text": _q_anchor_text,
         "web_pagerank": _q_pagerank,
+        # r4 late: WARC/WET source readers (Common Crawl's on-disk format)
+        "warc_roundtrip": _q_warc_roundtrip,
+        "wet_records": _q_wet_records,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1536,6 +1539,156 @@ r3 AS (SELECT n.url, 0.15/(SELECT n FROM nn)
                  + (SELECT dmass FROM d2)/(SELECT n FROM nn)) AS rank
        FROM nodes n LEFT JOIN c2 c ON n.url = c.url)
 SELECT url, round(rank, 6) AS rank FROM r3 ORDER BY url
+"""
+
+
+def _q_warc_roundtrip(spark, sf):
+    """WARC source reader end-to-end (`data/warc.py`, ISO 28500 / the
+    Common-Crawl *.warc.gz convention): per doc, serialize a genuine
+    3-record WARC blob — warcinfo, then an HTTP 'response' record whose
+    body is the doc's text wrapped in minimal HTML, then a metadata
+    record — per-record-gzipped for even doc_ids and uncompressed for odd
+    (both decode paths in one gate), and parse it back through the
+    streaming record cutter + HTTP splitter. The oracle restates every
+    output column from the construction formula: a single corrupted byte
+    in framing, Content-Length accounting, gzip membering, or the HTTP
+    split shifts n_bytes/text_out for some doc."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from clucene_spark.data import warc as W
+    from clucene_spark.data.webtext import _escape
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = (
+                    "<html><body><p>" + _escape(text) + "</p></body></html>"
+                ).encode("utf-8")
+                url = f"https://warc{did % 13}.example/item/{did}"
+                ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=did * 7)
+                recs = [
+                    W._warcinfo(did),
+                    W.build_record(
+                        "response",
+                        W.http_response(
+                            html,
+                            status=200 + did % 3,
+                            reason="OK",
+                            extra=[("X-Crawl-Shard", str(did % 5))],
+                        ),
+                        url=url,
+                        date=ts,
+                        record_id=f"doc-{did}",
+                        content_type="application/http; msgtype=response",
+                    ),
+                    W.build_record("metadata", b"fetch: ok", url=url),
+                ]
+                wrap = W.gzip_member if did % 2 == 0 else (lambda x: x)
+                ids.append(did)
+                blobs.append(b"".join(wrap(r) for r in recs))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "warc": blobs})
+
+    blobs = docs.mapInPandas(_mk, "doc_id long, warc binary")
+    parsed = W.records_from_col(blobs, "warc")
+
+    # inverse of the builder's wrap+escape, pure Catalyst (the wrappers
+    # are fixed ASCII: 15 chars of <html><body><p>, 18 of the closer);
+    # entity order matters — &amp; must unescape LAST
+    s = F.col("html").cast("string")
+    inner = F.substring(s, F.lit(16), F.length(s) - 33)
+    text_out = F.replace(
+        F.replace(
+            F.replace(inner, F.lit("&gt;"), F.lit(">")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&amp;"), F.lit("&"),
+    )
+
+    return parsed.select(
+        "doc_id", "url", "warc_date",
+        F.col("http_status").cast("int").alias("http_status"),
+        "content_type",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        text_out.alias("text_out"),
+    ).orderBy("doc_id")
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+  'https://warc' || (doc_id % 13) || '.example/item/' || doc_id AS url,
+  strftime(TIMESTAMP '2024-01-01' + to_seconds(doc_id * 7),
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+  (200 + doc_id % 3)::INT AS http_status,
+  'text/html; charset=UTF-8' AS content_type,
+  strlen('<html><body><p>'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p></body></html>')::BIGINT AS n_bytes,
+  text AS text_out
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_wet_records(spark, sf):
+    """WET sidecar path (`data/warc.py`): 'conversion' records carry the
+    already-extracted plain text with no HTTP envelope — the OTHER record
+    shape the scan must handle. Per doc, build warcinfo + conversion
+    (gzip members), parse with the type filter, and emit the text plus
+    its byte length straight from the record payload."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from clucene_spark.data import warc as W
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                url = f"https://warc{did % 13}.example/item/{did}"
+                ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=did * 7)
+                blob = W.gzip_member(W._warcinfo(did)) + W.gzip_member(
+                    W.build_record(
+                        "conversion",
+                        text.encode("utf-8"),
+                        url=url,
+                        date=ts,
+                        record_id=f"wet-{did}",
+                        content_type="text/plain",
+                    )
+                )
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "warc": blobs})
+
+    blobs = docs.mapInPandas(_mk, "doc_id long, warc binary")
+    parsed = W.records_from_col(blobs, "warc", warc_types=("conversion",))
+    return parsed.select(
+        "doc_id", "url", "warc_type", "content_type",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.col("html").cast("string").alias("text_out"),
+    ).orderBy("doc_id")
+
+
+_WET_RECORDS_SQL = """
+SELECT doc_id,
+  'https://warc' || (doc_id % 13) || '.example/item/' || doc_id AS url,
+  'conversion' AS warc_type,
+  'text/plain' AS content_type,
+  strlen(text)::BIGINT AS n_bytes,
+  text AS text_out
+FROM documents ORDER BY doc_id
 """
 
 
@@ -3863,6 +4016,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "web_anchor_text": _ANCHOR_TEXT_SQL,
         "web_pagerank": _PAGERANK_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "wet_records": _WET_RECORDS_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

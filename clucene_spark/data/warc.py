@@ -1,0 +1,479 @@
+"""WARC 1.0 source reader/writer — the on-disk format of Common-Crawl crawls.
+
+The engine's input table (url, warc_ts, html, text, lang) is what a crawl
+DELIVERS; what a crawl SHIPS is WARC: a sequence of records, each a
+``WARC/1.0`` header block + Content-Length-delimited payload, each record
+its own gzip member so a reader can stream the file without decompressing
+it whole (ISO 28500; Common Crawl's ``*.warc.gz`` / WET ``*.warc.wet.gz``).
+This module is the ingest front door that turns those files into the
+engine's pages DataFrame:
+
+  * ``warc_scan(spark, paths)``   -> (path, url, warc_ts, warc_type,
+    http_status, content_type, html) for 'response' records (WARC proper);
+  * ``wet_scan(spark, paths)``    -> (path, url, warc_ts, text) for
+    'conversion' records (WET extracted-text sidecars);
+  * ``records_from_col(df, col)`` -> same parse over an in-memory binary
+    column (hermetic gates, message-bus payloads);
+  * ``webtext_warc_files`` / ``webtext_wet_files`` -> deterministic
+    distributed writers over the synthetic webtext corpus (fixtures,
+    audits; no external data).
+
+Scale notes (100 TB):
+  * Paths, not bytes, are distributed: ``warc_scan`` ships one row per
+    file and each python task ``open()``s its own file — the payload never
+    crosses the JVM, the exact pattern of the direct-read bulk index load
+    (``index/segments.py``). One Common-Crawl segment file (~1 GB gzip) =
+    one task; a crawl is ~64k files, so the scan parallelizes to any
+    cluster width with zero shuffle.
+  * The parser is STREAMING: multi-member gzip is inflated through one
+    ``zlib.decompressobj`` chain with ``unused_data`` handoff and records
+    are cut from a rolling buffer, so peak memory is O(largest record),
+    not O(file).
+  * Writers emit one file per task directly from the generator (no
+    exchange), mirroring how the corpus generator scales.
+
+Record framing and the per-record-gzip convention follow the public WARC
+spec and Common Crawl's published format docs; nothing here reads the
+reference engine (CLucene has no crawl layer — this sits upstream of
+`document/Document.cpp`'s field model, producing the rows it indexes).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import os
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# record building (writer side)
+# ---------------------------------------------------------------------------
+
+def build_record(
+    rec_type: str,
+    payload: bytes,
+    url: str | None = None,
+    date: _dt.datetime | None = None,
+    record_id: str | None = None,
+    content_type: str | None = None,
+    extra: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Serialize ONE uncompressed WARC 1.0 record (header block +
+    Content-Length payload + the spec's two trailing CRLFs)."""
+    h: list[tuple[str, str]] = [("WARC-Type", rec_type)]
+    if date is not None:
+        h.append(("WARC-Date", date.strftime("%Y-%m-%dT%H:%M:%SZ")))
+    if record_id is not None:
+        h.append(("WARC-Record-ID", f"<urn:uuid:{record_id}>"))
+    if url is not None:
+        h.append(("WARC-Target-URI", url))
+    if content_type is not None:
+        h.append(("Content-Type", content_type))
+    h.extend(extra or [])
+    h.append(("Content-Length", str(len(payload))))
+    head = b"WARC/1.0" + CRLF + CRLF.join(
+        f"{k}: {v}".encode("utf-8") for k, v in h
+    ) + _HDR_END
+    return head + payload + CRLF + CRLF
+
+
+def gzip_member(raw: bytes) -> bytes:
+    """One record -> one deterministic gzip member (mtime 0, the
+    per-record-member convention that makes `.warc.gz` streamable)."""
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(raw) + c.flush()
+
+
+def http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html; charset=UTF-8",
+    extra: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Wrap a page body as the HTTP/1.1 response block a 'response'
+    record carries (status line + headers + CRLFCRLF + body)."""
+    h = [("Content-Type", content_type), ("Content-Length", str(len(body)))]
+    h.extend(extra or [])
+    head = f"HTTP/1.1 {status} {reason}".encode() + CRLF + CRLF.join(
+        f"{k}: {v}".encode("utf-8") for k, v in h
+    ) + _HDR_END
+    return head + body
+
+
+def split_http_payload(block: bytes) -> tuple[int | None, dict, bytes]:
+    """(status, headers, body) from an HTTP response block. Binary-safe:
+    splits at the FIRST CRLFCRLF only; a body containing CRLFCRLF or
+    'WARC/1.0' is never re-interpreted."""
+    cut = block.find(_HDR_END)
+    if cut < 0 or not block.startswith(b"HTTP/"):
+        return None, {}, block
+    head, body = block[:cut], block[cut + 4:]
+    lines = head.split(CRLF)
+    try:
+        status = int(lines[0].split(b" ", 2)[1])
+    except (IndexError, ValueError):
+        status = None
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if _:
+            headers[k.decode("latin-1").strip().lower()] = (
+                v.decode("latin-1").strip()
+            )
+    return status, headers, body
+
+
+# ---------------------------------------------------------------------------
+# streaming parser (reader side)
+# ---------------------------------------------------------------------------
+
+def _gzip_chunks(fileobj, chunk: int) -> Iterator[bytes]:
+    """Inflate a possibly multi-member gzip stream incrementally; plain
+    (uncompressed) input passes through untouched. Constant memory: one
+    decompressobj at a time, ``unused_data`` handed to the next member."""
+    first = fileobj.read(2)
+    if first[:2] != b"\x1f\x8b":
+        if first:
+            yield first
+        while True:
+            buf = fileobj.read(chunk)
+            if not buf:
+                return
+            yield buf
+        return
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    pending = first
+    while True:
+        buf = pending or fileobj.read(chunk)
+        pending = b""
+        if not buf:
+            return
+        while buf:
+            out = d.decompress(buf)
+            if out:
+                yield out
+            if d.eof:  # member boundary: chain to the next member
+                buf = d.unused_data
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            else:
+                buf = b""
+
+
+def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
+    """Stream records out of a WARC file object (gzipped or plain):
+    yields ``{"headers": {lowercased-name: value}, "payload": bytes}``
+    per record. The rolling buffer holds at most one record + one chunk."""
+    buf = bytearray()
+    feed = _gzip_chunks(fileobj, chunk)
+
+    def fill() -> bool:
+        try:
+            buf.extend(next(feed))
+            return True
+        except StopIteration:
+            return False
+
+    while True:
+        # skip inter-record CRLFs, then demand a full header block
+        while True:
+            while buf[:2] == CRLF:
+                del buf[:2]
+            cut = buf.find(_HDR_END)
+            if cut >= 0 or not fill():
+                break
+        if cut < 0:
+            if buf.strip(b"\r\n"):
+                raise ValueError("truncated WARC header block")
+            return
+        head = bytes(buf[:cut])
+        del buf[:cut + 4]
+        lines = head.split(CRLF)
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(b":")
+            if sep:
+                headers[k.decode("utf-8").strip().lower()] = (
+                    v.decode("utf-8").strip()
+                )
+        n = int(headers["content-length"])
+        while len(buf) < n:
+            if not fill():
+                raise ValueError("truncated WARC payload")
+        payload = bytes(buf[:n])
+        del buf[:n]
+        yield {"headers": headers, "payload": payload}
+
+
+def parse_warc_date(s: str | None):
+    if not s:
+        return None
+    try:
+        return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# DataFrame scan (paths -> pages)
+# ---------------------------------------------------------------------------
+
+_SCAN_SCHEMA = (
+    "path string, url string, warc_ts timestamp, warc_type string, "
+    "http_status int, content_type string, html binary"
+)
+
+
+def list_warc_paths(directory: str) -> list[str]:
+    return sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if ".warc" in f
+    )
+
+
+def warc_scan(
+    spark: SparkSession,
+    paths: list[str],
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Distributed WARC scan: one row per path shipped, each task opens
+    and stream-parses its own files (payload never crosses the JVM).
+    'response' payloads are split into HTTP headers + body; the body is
+    the ``html`` column, matching the engine's input_hint schema."""
+    want = set(warc_types)
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    pdf = pdf.repartition(max(1, len(paths)), "path")
+
+    def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path in b["path"]:
+                rows = []
+                with open(path, "rb") as fh:
+                    for rec in parse_warc_stream(fh):
+                        h = rec["headers"]
+                        rtype = h.get("warc-type", "")
+                        if rtype not in want:
+                            continue
+                        if rtype == "response":
+                            status, hh, body = split_http_payload(
+                                rec["payload"]
+                            )
+                            ctype = hh.get("content-type")
+                        else:
+                            status, body = None, rec["payload"]
+                            ctype = h.get("content-type")
+                        rows.append(
+                            (
+                                path,
+                                h.get("warc-target-uri"),
+                                parse_warc_date(h.get("warc-date")),
+                                rtype,
+                                status,
+                                ctype,
+                                body,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "url", "warc_ts", "warc_type",
+                        "http_status", "content_type", "html",
+                    ],
+                )
+
+    return pdf.mapInPandas(scan, _SCAN_SCHEMA)
+
+
+def wet_scan(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """WET sidecar scan: 'conversion' records carry already-extracted
+    plain text -> (path, url, warc_ts, text)."""
+    df = warc_scan(spark, paths, warc_types=("conversion",))
+    return df.select(
+        "path", "url", "warc_ts",
+        F.col("html").cast("string").alias("text"),
+    )
+
+
+def records_from_col(
+    df: DataFrame,
+    bin_col: str = "warc",
+    id_col: str = "doc_id",
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Same parse over an in-memory binary column (each cell one WARC
+    blob, possibly multi-record and/or gzipped). Map-only."""
+    want = set(warc_types)
+    src = df.select(id_col, bin_col)
+
+    def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rid, blob in zip(b[id_col], b[bin_col]):
+                for rec in parse_warc_stream(io.BytesIO(bytes(blob))):
+                    h = rec["headers"]
+                    rtype = h.get("warc-type", "")
+                    if rtype not in want:
+                        continue
+                    if rtype == "response":
+                        status, hh, body = split_http_payload(rec["payload"])
+                        ctype = hh.get("content-type")
+                    else:
+                        status, body = None, rec["payload"]
+                        ctype = h.get("content-type")
+                    rows.append(
+                        (
+                            int(rid),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            rtype,
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "url", "warc_date", "warc_type",
+                    "http_status", "content_type", "html",
+                ],
+            )
+
+    return src.mapInPandas(
+        scan,
+        f"{id_col} long, url string, warc_date string, warc_type string, "
+        "http_status int, content_type string, html binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic distributed writers (fixtures / audits; no external data)
+# ---------------------------------------------------------------------------
+
+def _warcinfo(file_idx: int) -> bytes:
+    body = (
+        b"software: clucene_spark.data.warc\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+    return build_record(
+        "warcinfo",
+        body,
+        date=_dt.datetime(2024, 1, 1),
+        record_id=f"warcinfo-{file_idx}",
+        content_type="application/warc-fields",
+    )
+
+
+def webtext_warc_files(
+    spark: SparkSession,
+    n_docs: int,
+    out_dir: str,
+    docs_per_file: int = 1000,
+    compress: bool = True,
+) -> DataFrame:
+    """Write the synthetic webtext corpus as Common-Crawl-shaped
+    ``*.warc(.gz)`` files — warcinfo head record then one HTTP 'response'
+    record per page, each record its own gzip member. One file per task,
+    written straight from the generator (no shuffle, no driver data).
+    Returns the (path, n_records) manifest."""
+    from .webtext import make_doc
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = (n_docs + docs_per_file - 1) // docs_per_file
+    files = spark.createDataFrame(
+        [(i,) for i in range(n_files)], "file_idx int"
+    ).repartition(n_files, "file_idx")
+
+    def write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fi in b["file_idx"]:
+                fi = int(fi)
+                lo, hi = fi * docs_per_file, min((fi + 1) * docs_per_file, n_docs)
+                ext = ".warc.gz" if compress else ".warc"
+                path = os.path.join(out_dir, f"webtext-{fi:05d}{ext}")
+                wrap = gzip_member if compress else (lambda x: x)
+                n = 0
+                with open(path, "wb") as fh:
+                    fh.write(wrap(_warcinfo(fi)))
+                    for did in range(lo, hi):
+                        doc_id, url, ts, html, _text, _lang = make_doc(
+                            did, messy=True
+                        )
+                        rec = build_record(
+                            "response",
+                            http_response(html),
+                            url=url,
+                            date=ts,
+                            record_id=f"doc-{doc_id}",
+                            content_type=(
+                                "application/http; msgtype=response"
+                            ),
+                        )
+                        fh.write(wrap(rec))
+                        n += 1
+                rows.append((path, n))
+            yield pd.DataFrame(rows, columns=["path", "n_records"])
+
+    return files.mapInPandas(write, "path string, n_records long")
+
+
+def webtext_wet_files(
+    spark: SparkSession,
+    n_docs: int,
+    out_dir: str,
+    docs_per_file: int = 1000,
+    compress: bool = True,
+) -> DataFrame:
+    """WET sidecars for the same corpus: 'conversion' records whose
+    payload is the page's extracted plain text."""
+    from .webtext import make_doc
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = (n_docs + docs_per_file - 1) // docs_per_file
+    files = spark.createDataFrame(
+        [(i,) for i in range(n_files)], "file_idx int"
+    ).repartition(n_files, "file_idx")
+
+    def write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fi in b["file_idx"]:
+                fi = int(fi)
+                lo, hi = fi * docs_per_file, min((fi + 1) * docs_per_file, n_docs)
+                ext = ".warc.wet.gz" if compress else ".warc.wet"
+                path = os.path.join(out_dir, f"webtext-{fi:05d}{ext}")
+                wrap = gzip_member if compress else (lambda x: x)
+                n = 0
+                with open(path, "wb") as fh:
+                    fh.write(wrap(_warcinfo(fi)))
+                    for did in range(lo, hi):
+                        doc_id, url, ts, _html, text, _lang = make_doc(
+                            did, messy=True
+                        )
+                        rec = build_record(
+                            "conversion",
+                            text.encode("utf-8"),
+                            url=url,
+                            date=ts,
+                            record_id=f"wet-{doc_id}",
+                            content_type="text/plain",
+                        )
+                        fh.write(wrap(rec))
+                        n += 1
+                rows.append((path, n))
+            yield pd.DataFrame(rows, columns=["path", "n_records"])
+
+    return files.mapInPandas(write, "path string, n_records long")

@@ -1,0 +1,145 @@
+"""WARC 1.0 source reader/writer (`clucene_spark/data/warc.py`).
+
+The format is external (ISO 28500 / Common Crawl's *.warc.gz convention),
+so the oracle here is construction: files written by the deterministic
+writer must parse back byte-identically to the generator's rows, under
+both compressions, at any read-chunk size, and with adversarial payloads
+(bodies containing record framing bytes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+
+import pytest
+
+from clucene_spark.data import warc as W
+from clucene_spark.data.webtext import make_doc, webtext_df
+
+
+def _parse_all(blob: bytes, chunk: int = 1 << 20):
+    return list(W.parse_warc_stream(io.BytesIO(blob), chunk=chunk))
+
+
+def test_record_roundtrip_plain_and_gzip():
+    rec = W.build_record(
+        "response",
+        W.http_response(b"<html>x</html>"),
+        url="https://a.example/p",
+        date=dt.datetime(2024, 1, 2, 3, 4, 5),
+        record_id="r1",
+        content_type="application/http; msgtype=response",
+    )
+    for blob in (rec, W.gzip_member(rec)):
+        (r,) = _parse_all(blob)
+        assert r["headers"]["warc-type"] == "response"
+        assert r["headers"]["warc-target-uri"] == "https://a.example/p"
+        assert r["headers"]["warc-date"] == "2024-01-02T03:04:05Z"
+        status, hh, body = W.split_http_payload(r["payload"])
+        assert status == 200
+        assert hh["content-type"] == "text/html; charset=UTF-8"
+        assert body == b"<html>x</html>"
+
+
+def test_payload_containing_framing_bytes_is_not_resplit():
+    # a body that embeds both the WARC magic and the header terminator:
+    # Content-Length framing must win over any content sniffing
+    evil = b"pre\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\npost"
+    rec = W.build_record("resource", evil, url="https://e.example/")
+    follow = W.build_record("resource", b"tail", url="https://t.example/")
+    got = _parse_all(rec + follow)
+    assert [r["payload"] for r in got] == [evil, b"tail"]
+
+
+@pytest.mark.parametrize("chunk", [7, 64, 1 << 20])
+def test_chunk_size_invariance_multi_member(chunk):
+    recs = [
+        W.build_record("resource", bytes([i]) * (50 + i * 37), url=f"u{i}")
+        for i in range(8)
+    ]
+    blob = b"".join(W.gzip_member(r) for r in recs)
+    got = _parse_all(blob, chunk=chunk)
+    assert [r["payload"] for r in got] == [
+        bytes([i]) * (50 + i * 37) for i in range(8)
+    ]
+
+
+def test_truncated_payload_raises():
+    rec = W.build_record("resource", b"x" * 100)
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_all(rec[:-60])
+
+
+def test_warc_scan_matches_generator(spark, tmp_path):
+    n = 120
+    man = W.webtext_warc_files(
+        spark, n, str(tmp_path), docs_per_file=50
+    ).collect()
+    assert sorted(r["n_records"] for r in man) == [20, 50, 50]
+    paths = W.list_warc_paths(str(tmp_path))
+    got = W.warc_scan(spark, paths).select(
+        "url", "warc_ts", "http_status", "content_type", "html"
+    )
+    exp = webtext_df(spark, n, messy=True).select("url", "warc_ts", "html")
+    j = got.join(exp.withColumnRenamed("html", "want"), ["url", "warc_ts"])
+    rows = j.collect()
+    assert len(rows) == n and got.count() == n
+    assert all(bytes(r["html"]) == bytes(r["want"]) for r in rows)
+    assert all(r["http_status"] == 200 for r in rows)
+    assert all(r["content_type"] == "text/html; charset=UTF-8" for r in rows)
+
+
+def test_wet_scan_matches_generator(spark, tmp_path):
+    n = 90
+    W.webtext_wet_files(spark, n, str(tmp_path), docs_per_file=40).collect()
+    paths = W.list_warc_paths(str(tmp_path))
+    got = {
+        r["url"]: r["text"]
+        for r in W.wet_scan(spark, paths).collect()
+    }
+    for did in range(n):
+        _, url, _ts, _html, text, _lang = make_doc(did, messy=True)
+        assert got[url] == text
+    assert len(got) == n
+
+
+def test_uncompressed_files_parse_identically(spark, tmp_path):
+    n = 30
+    W.webtext_warc_files(
+        spark, n, str(tmp_path / "gz"), docs_per_file=30, compress=True
+    ).collect()
+    W.webtext_warc_files(
+        spark, n, str(tmp_path / "plain"), docs_per_file=30, compress=False
+    ).collect()
+    a = W.warc_scan(spark, W.list_warc_paths(str(tmp_path / "gz")))
+    b = W.warc_scan(spark, W.list_warc_paths(str(tmp_path / "plain")))
+    ka = sorted((r["url"], bytes(r["html"])) for r in a.collect())
+    kb = sorted((r["url"], bytes(r["html"])) for r in b.collect())
+    assert ka == kb and len(ka) == n
+
+
+def test_records_from_col_filters_types(spark):
+    def blob(did: int) -> bytes:
+        info = W._warcinfo(0)
+        resp = W.build_record(
+            "response",
+            W.http_response(f"<p>{did}</p>".encode(), status=200 + did % 2),
+            url=f"https://x.example/{did}",
+            date=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=did),
+            content_type="application/http; msgtype=response",
+        )
+        meta = W.build_record("metadata", b"k: v", url=f"https://x.example/{did}")
+        return W.gzip_member(info) + W.gzip_member(resp) + W.gzip_member(meta)
+
+    df = spark.createDataFrame(
+        [(i, blob(i)) for i in range(6)], "doc_id long, warc binary"
+    )
+    out = W.records_from_col(df, "warc").orderBy("doc_id").collect()
+    assert len(out) == 6  # warcinfo + metadata filtered out
+    for i, r in enumerate(out):
+        assert r["warc_type"] == "response"
+        assert r["http_status"] == 200 + i % 2
+        assert bytes(r["html"]) == f"<p>{i}</p>".encode()
+        assert r["warc_date"] == (
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
