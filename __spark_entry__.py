@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 late: WARC/WET source readers (Common Crawl's on-disk format)
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_records": _q_wet_records,
+        "warc_index_stats": _q_warc_index_stats,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1689,6 +1690,69 @@ SELECT doc_id,
   strlen(text)::BIGINT AS n_bytes,
   text AS text_out
 FROM documents ORDER BY doc_id
+"""
+
+
+def _q_warc_index_stats(spark, sf):
+    """Full crawl->index composition in one gate (`index/warc_build.py`):
+    the documents table is serialized as genuine per-record-gzip WARC
+    files (range-partitioned, doc-ordered, HTML-embedded pages), then
+    re-ingested by the zero-shuffle direct WARC build — each file task
+    opens its .warc.gz, cuts records, splits HTTP, extracts text,
+    tokenizes (whitespace), inverts and writes one segment — and the
+    committed index's corpus statistics are read back from the store.
+    The oracle recomputes all four stats from the raw text in SQL; a
+    divergence ANYWHERE in the write -> gzip -> parse -> extract ->
+    tokenize -> invert -> commit chain shifts at least one of them."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.data.warc import list_warc_paths, warc_files_from_docs
+    from clucene_spark.index.segments import SegmentStore
+    from clucene_spark.index.warc_build import build_segments_from_warc
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/clucene_warcidx_{tag}"
+    idx = os.path.join(base, "index")
+    try:
+        store = SegmentStore(spark, idx)
+    except FileNotFoundError:
+        crawl = os.path.join(base, "crawl")
+        warc_files_from_docs(
+            _docs(spark, sf).select("doc_id", "text"), crawl, n_files=4
+        ).collect()
+        build_segments_from_warc(
+            spark,
+            list_warc_paths(crawl),
+            idx,
+            analyzer="whitespace",
+            normalize=False,
+            resume=False,
+        ).collect()
+        store = SegmentStore(spark, idx)
+    dl = store.doc_lens().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    pt = store.postings().agg(
+        F.sum("df").cast("long").alias("n_postings"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+    return dl.crossJoin(pt)
+
+
+_WARC_INDEX_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents)
+SELECT
+  (SELECT count(DISTINCT doc_id) FROM toks)::BIGINT AS n_docs,
+  (SELECT count(*) FROM toks)::BIGINT AS n_tokens,
+  (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks))::BIGINT
+      AS n_postings,
+  (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms
 """
 
 
@@ -4018,6 +4082,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "web_pagerank": _PAGERANK_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_records": _WET_RECORDS_SQL,
+        "warc_index_stats": _WARC_INDEX_STATS_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -430,6 +430,78 @@ def webtext_warc_files(
     return files.mapInPandas(write, "path string, n_records long")
 
 
+def warc_files_from_docs(
+    docs: DataFrame,
+    out_dir: str,
+    n_files: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Write ANY (doc_id, text) DataFrame as response-record WARC files:
+    range-partitioned on doc_id into `n_files` doc-ordered files (one per
+    task, written directly from the partition — no driver data), each
+    page the minimal-HTML embedding of its text. Inverse of
+    `warc_scan` + extract for round-trip fixtures over real tables.
+    Returns the (path, n_records, min_doc, max_doc) manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    part = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wrap = gzip_member if compress else (lambda x: x)
+        fh = None
+        path = None
+        n = 0
+        lo = hi = None
+        for b in batches:
+            for did, text in zip(b["doc_id"], b["text"]):
+                did = int(did)
+                if fh is None:
+                    path = os.path.join(out_dir, f"part-{did:012d}{ext}")
+                    fh = open(path, "wb")
+                    fh.write(wrap(_warcinfo(did)))
+                    lo = did
+                esc = (
+                    (text or "")
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                html = (
+                    "<html><body><p>" + esc + "</p></body></html>"
+                ).encode("utf-8")
+                rec = build_record(
+                    "response",
+                    http_response(html),
+                    url=f"https://docs.example/{did}",
+                    date=_dt.datetime(2024, 1, 1)
+                    + _dt.timedelta(seconds=did * 7),
+                    record_id=f"doc-{did}",
+                    content_type="application/http; msgtype=response",
+                )
+                fh.write(wrap(rec))
+                n += 1
+                hi = did
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame(
+                [(path, n, lo, hi)],
+                columns=["path", "n_records", "min_doc", "max_doc"],
+            )
+
+    return part.mapInPandas(
+        write, "path string, n_records long, min_doc long, max_doc long"
+    )
+
+
 def webtext_wet_files(
     spark: SparkSession,
     n_docs: int,

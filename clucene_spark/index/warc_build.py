@@ -1,0 +1,203 @@
+"""Crawl-to-index direct build: WARC files in, index segments out, one
+task per file, ZERO shuffle, no JVM data path.
+
+This composes the WARC streaming parser (`data/warc.py`), HTML text
+extraction + normalization (`pipeline/extract.py`), and the direct bulk
+index kernel (`index/segments.py` `_analyze_docs`/`_invert_encode`) into
+the single-scan pipeline a production crawl ingest runs:
+
+    open .warc.gz -> cut records -> split HTTP -> extract text ->
+    normalize -> tokenize (StandardAnalyzer DFA) -> invert -> varbyte
+    encode -> write segment + checkpoint
+
+all inside ONE python task per WARC file. Spark distributes file paths
+and owns retries/speculation/commit exactly like `build_segments_direct`
+(`segments.py:1110`); the page bytes are decompressed, parsed and
+tokenized in the process that consumes them and never cross the JVM.
+Segments align with crawl files (the Common-Crawl unit, ~1 GB each), so
+a 64k-file crawl fans out to any cluster width with no exchange.
+
+DocIDs are synthesized deterministically as ``file_idx * stride + seq``
+(seq = record ordinal within the file), so every file owns a disjoint,
+contiguous, ascending doc range — the invariant the aligned/direct
+segment layout (seg_a_<min>_<max>) and the merge rebase rely on.
+
+Resume: a finished file's segment checkpoint starts exactly at
+``file_idx * stride``; re-runs skip those files without opening them
+(file-granular, the WARC analogue of the parquet-footer pruning in
+`build_segments_direct`).
+
+Reference analogue: IndexWriter.addDocuments over a crawl reader
+(`src/core/CLucene/index/IndexWriter.cpp`) — the reference tokenizes in
+the same process that reads the source bytes; this preserves that
+locality under Spark's distribution, upstream of the reference's scope
+(CLucene ships no crawl-format reader).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from ..data.warc import parse_warc_stream, split_http_payload
+from ..pipeline.extract import extract_text_py, normalize_text_py
+from .segments import (
+    CHECKPOINT_SCHEMA,
+    _analyze_docs,
+    _ckpt_dir,
+    _invert_encode,
+    _write_checkpoint,
+    _write_term_index,
+    commit_manifest,
+    read_checkpoints,
+)
+
+DEFAULT_STRIDE = 10_000_000  # docs per file ceiling; CC files hold ~30-150k
+
+
+def build_segments_from_warc(
+    spark: SparkSession,
+    warc_paths: list[str],
+    index_dir: str,
+    analyzer: str = "standard",
+    stride: int = DEFAULT_STRIDE,
+    wet: bool = False,
+    normalize: bool = True,
+    with_positions: bool = True,
+    resume: bool = True,
+) -> DataFrame:
+    """Build one index segment per WARC file; returns the checkpoint rows
+    of segments built THIS run (resumed files are skipped).
+
+    ``wet=True`` reads WET sidecars ('conversion' records, payload is
+    already-extracted text) and skips the HTML extract step."""
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
+
+    files = sorted(warc_paths)
+    if not files:
+        raise ValueError("no WARC paths given")
+    file_idx = {p: i for i, p in enumerate(files)}
+
+    done_starts: set[int] = set()
+    if resume:
+        done_starts = {
+            int(c["min_doc"]) for c in read_checkpoints(index_dir)
+        }
+
+    idx_dir = index_dir
+    an = analyzer
+    wp = with_positions
+    want = "conversion" if wet else "response"
+    norm = normalize
+    st = stride
+
+    def _one_file(batches):
+        import gc as _gc
+
+        _gc.disable()
+        for pdf in batches:
+            for path in pdf["path"]:
+                fi = file_idx[path]
+                lo0 = fi * st
+                if lo0 in done_starts:
+                    continue  # file fully indexed by a prior run
+                t0 = time.perf_counter()
+                texts, ids = [], []
+                with open(path, "rb") as fh:
+                    for rec in parse_warc_stream(fh):
+                        if rec["headers"].get("warc-type") != want:
+                            continue
+                        if wet:
+                            text = rec["payload"].decode("utf-8", "replace")
+                        else:
+                            _status, _hh, body = split_http_payload(
+                                rec["payload"]
+                            )
+                            text = extract_text_py(body)
+                        if norm:
+                            text = normalize_text_py(text)
+                        ids.append(lo0 + len(ids))
+                        texts.append(text)
+                if not ids:
+                    continue
+                if len(ids) > st:
+                    raise ValueError(
+                        f"{path}: {len(ids)} records exceed stride {st}"
+                    )
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                ids_a = np.asarray(ids, dtype=np.int64)
+                texts_a = np.asarray(texts, dtype=object)
+                per_doc, p, counts = _analyze_docs(texts_a, an)
+                seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
+                    ids_a, per_doc, p, counts, wp
+                )
+                lo, hi = int(ids_a[0]), int(ids_a[-1])
+                name = f"seg_a_{lo:012d}_{hi:012d}"
+                seg_path = os.path.join(idx_dir, "segments", name)
+                tmp_path = seg_path + "." + uuid.uuid4().hex + ".tmp"
+                os.makedirs(tmp_path, exist_ok=True)
+                _pq.write_table(
+                    seg_tab, os.path.join(tmp_path, "postings.parquet")
+                )
+                _pq.write_table(
+                    _pa.Table.from_pandas(
+                        pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts}),
+                        preserve_index=False,
+                    ),
+                    os.path.join(tmp_path, "doc_lens.parquet"),
+                )
+                if seg_tab.num_rows:
+                    _write_term_index(tmp_path, seg_tab.column("term"))
+                os.rename(tmp_path, seg_path)
+                ck = {
+                    "segment": name,
+                    "segment_id": lo,
+                    "min_doc": lo,
+                    "max_doc": hi,
+                    "n_docs": int(len(uniq_docs)),
+                    "n_tokens": int(n_tok),
+                    "n_postings": int(n_post),
+                    "n_terms": int(seg_tab.num_rows),
+                    "build_sec": round(time.perf_counter() - t0, 4),
+                }
+                _write_checkpoint(idx_dir, name, ck)
+                yield pd.DataFrame([ck])
+        _gc.enable()
+        _gc.collect()
+
+    n_tasks = min(
+        len(files), max(1, spark.sparkContext.defaultParallelism * 2)
+    )
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("path", T.StringType(), False)]),
+    ).repartition(n_tasks)
+    built_rows = paths_df.mapInPandas(_one_file, CHECKPOINT_SCHEMA).collect()
+
+    cks = read_checkpoints(index_dir)
+    segments = [
+        {
+            "name": c["segment"],
+            "min_doc": c["min_doc"],
+            "max_doc": c["max_doc"],
+            "n_docs": c["n_docs"],
+            "n_tokens": c["n_tokens"],
+            "n_terms": c["n_terms"],
+        }
+        for c in sorted(cks, key=lambda c: (c["min_doc"], c["segment"]))
+    ]
+    commit_manifest(
+        index_dir,
+        segments,
+        extra={"aligned": True, "analyzer": analyzer, "source": "warc"},
+    )
+    return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)

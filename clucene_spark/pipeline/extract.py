@@ -112,3 +112,23 @@ def normalize_text_col(text: Column, nfc: bool = True) -> Column:
     c = F.regexp_replace(c, r"[ \t]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
+
+
+_CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+
+def normalize_text_py(s: str, nfc: bool = True) -> str:
+    """Python twin of `normalize_text_col` (same 7-step spec) for the
+    python-only data paths \u2014 e.g. the WARC direct index build, where
+    extraction and normalization run inside the file task with no
+    DataFrame in sight. Parity with the Column form is pytest-pinned."""
+    import unicodedata
+
+    if nfc:
+        s = unicodedata.normalize("NFC", s)
+    s = _CTRL_RE.sub("", s)
+    s = s.replace("\u00a0", " ")
+    s = re.sub(r"\r\n?", "\n", s)
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    return re.sub(r"^[ \n]+|[ \n]+$", "", s)

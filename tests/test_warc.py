@@ -118,6 +118,26 @@ def test_uncompressed_files_parse_identically(spark, tmp_path):
     assert ka == kb and len(ka) == n
 
 
+def test_warc_files_from_docs_roundtrip(spark, tmp_path):
+    rows = [(i, f"text {i} with <tag> & amp {'x' * (i % 5)}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    man = W.warc_files_from_docs(docs, str(tmp_path), n_files=3).collect()
+    assert sum(r["n_records"] for r in man) == 40
+    # range partitioning keeps files doc-ordered and disjoint
+    spans = sorted((r["min_doc"], r["max_doc"]) for r in man)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    from clucene_spark.pipeline.extract import extract_text_py
+
+    got = {
+        int(r["url"].rsplit("/", 1)[1]): extract_text_py(bytes(r["html"]))
+        for r in W.warc_scan(spark, W.list_warc_paths(str(tmp_path))).collect()
+    }
+    # extract_text_py collapses edge whitespace by spec, so compare the
+    # whitespace-normalized form (the i%5==0 rows end in a space)
+    assert got == {i: " ".join(t.split()) for i, t in rows}
+
+
 def test_records_from_col_filters_types(spark):
     def blob(did: int) -> bytes:
         info = W._warcinfo(0)

@@ -1,0 +1,174 @@
+"""Crawl-to-index direct build (`index/warc_build.py`).
+
+Oracle is cross-path equality: the index built straight from WARC files
+(open -> cut records -> HTTP split -> extract -> normalize -> tokenize ->
+invert) must be logically identical to the index built from the
+already-materialized webtext parquet over the same docs — same corpus
+stats, same postings multiset, same BM25 top-k — because the generator
+guarantees extract_text(html) == text per row."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from clucene_spark.data import warc as W
+from clucene_spark.data.webtext import webtext_df
+from clucene_spark.index.segments import (
+    SegmentStore,
+    build_segments_aligned,
+    read_checkpoints,
+)
+from clucene_spark.index.warc_build import build_segments_from_warc
+from clucene_spark.search.wand import wand_query_direct
+
+N, PER_FILE = 120, 40
+
+
+@pytest.fixture(scope="module")
+def warc_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("warcidx")
+    W.webtext_warc_files(
+        spark, N, str(root / "crawl"), docs_per_file=PER_FILE
+    ).collect()
+    idx = str(root / "index")
+    built = build_segments_from_warc(
+        spark,
+        W.list_warc_paths(str(root / "crawl")),
+        idx,
+        stride=PER_FILE,
+    ).collect()
+    return idx, built
+
+
+@pytest.fixture(scope="module")
+def parquet_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pqidx")
+    docs = (
+        webtext_df(spark, N, messy=True)
+        .select("doc_id", "text")
+        .repartitionByRange(3, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    idx = str(root / "index")
+    build_segments_aligned(docs, idx, resume=False).collect()
+    return idx
+
+
+def _postings_multiset(spark, idx):
+    store = SegmentStore(spark, idx)
+    rows = store.postings().select("term", "df").collect()
+    return sorted((r["term"], r["df"]) for r in rows)
+
+
+def test_warc_build_segments_and_ranges(spark, warc_index):
+    idx, built = warc_index
+    assert len(built) == 3
+    assert sorted(r["min_doc"] for r in built) == [0, 40, 80]
+    assert sorted(r["max_doc"] for r in built) == [39, 79, 119]
+    assert sum(r["n_docs"] for r in built) == N
+
+
+def test_warc_index_matches_parquet_index(spark, warc_index, parquet_index):
+    idx_w, _ = warc_index
+    # term -> df multisets aggregate the whole inverted index; any
+    # extract/normalize/tokenize divergence between the two paths shifts
+    # some term's df
+    assert _postings_multiset(spark, idx_w) == _postings_multiset(
+        spark, parquet_index
+    )
+
+
+def test_warc_index_query_rank_identity(spark, warc_index, parquet_index):
+    from pyspark.sql import functions as F
+
+    idx_w, _ = warc_index
+    top2 = [
+        r["term"]
+        for r in SegmentStore(spark, idx_w)
+        .postings()
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(2)
+        .collect()
+    ]
+    for terms in (top2[:1], top2, ["usa"]):
+        a = wand_query_direct(
+            SegmentStore(spark, idx_w), terms, k=10
+        ).collect()
+        b = wand_query_direct(
+            SegmentStore(spark, parquet_index), terms, k=10
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+
+def test_warc_build_resume_skips_done_files(spark, warc_index):
+    idx, _ = warc_index
+    crawl = idx.replace("/index", "/crawl")
+    again = build_segments_from_warc(
+        spark, W.list_warc_paths(crawl), idx, stride=PER_FILE
+    ).collect()
+    assert again == []  # every file's range already checkpointed
+    assert len(read_checkpoints(idx)) == 3
+
+
+def test_wet_build_equals_warc_build(spark, tmp_path):
+    W.webtext_wet_files(
+        spark, 60, str(tmp_path / "wet"), docs_per_file=30
+    ).collect()
+    idx = str(tmp_path / "wetindex")
+    built = build_segments_from_warc(
+        spark,
+        W.list_warc_paths(str(tmp_path / "wet")),
+        idx,
+        stride=30,
+        wet=True,
+    ).collect()
+    assert sum(r["n_docs"] for r in built) == 60
+    # WET conversion payload == extracted html text for this corpus, so
+    # the index serves queries like any other; pick a real high-df term
+    # (stopwords are stripped at index time, so "the" would return empty)
+    store = SegmentStore(spark, idx)
+    import pyspark.sql.functions as F
+
+    term = (
+        store.postings()
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .first()["term"]
+    )
+    got = wand_query_direct(store, [term], k=5).collect()
+    assert len(got) == 5
+
+
+def test_normalize_py_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from clucene_spark.pipeline.extract import (
+        normalize_text_col,
+        normalize_text_py,
+    )
+
+    cases = [
+        "a\u0301bc  def",          # combining accent -> NFC composes
+        "x\x00y\x07z",            # control strip
+        "a\u00a0b",                # NBSP
+        "l1\r\nl2\rl3",          # CRLF / CR
+        "a \t  b",                 # run collapse
+        "a \n b",                  # newline-adjacent
+        "  lead and trail \n ",
+        "",
+        " \t\r\n mixe\u0301d \x1f all \r\n",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_text_col(F.col("t")).alias("n")
+        ).collect()
+    ]
+    assert got == [normalize_text_py(c) for c in cases]
