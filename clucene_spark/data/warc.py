@@ -172,11 +172,22 @@ def _gzip_chunks(fileobj, chunk: int) -> Iterator[bytes]:
 def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
     """Stream records out of a WARC file object (gzipped or plain):
     yields ``{"headers": {lowercased-name: value}, "payload": bytes}``
-    per record. The rolling buffer holds at most one record + one chunk."""
+    per record. The rolling buffer holds at most one record + one chunk.
+
+    Consumed bytes advance a cursor instead of being deleted per record
+    (``del buf[:n]`` memmoves the whole tail — O(bytes²) across a file's
+    records; the 1M-doc audit measured it as the dominant parse cost);
+    the buffer compacts only when the dead prefix outgrows the live
+    tail, which amortizes to O(bytes) total."""
     buf = bytearray()
+    pos = 0
     feed = _gzip_chunks(fileobj, chunk)
 
     def fill() -> bool:
+        nonlocal pos
+        if pos > chunk and pos > len(buf) - pos:
+            del buf[:pos]
+            pos = 0
         try:
             buf.extend(next(feed))
             return True
@@ -186,17 +197,17 @@ def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
     while True:
         # skip inter-record CRLFs, then demand a full header block
         while True:
-            while buf[:2] == CRLF:
-                del buf[:2]
-            cut = buf.find(_HDR_END)
+            while buf[pos:pos + 2] == CRLF:
+                pos += 2
+            cut = buf.find(_HDR_END, pos)
             if cut >= 0 or not fill():
                 break
         if cut < 0:
-            if buf.strip(b"\r\n"):
+            if buf[pos:].strip(b"\r\n"):
                 raise ValueError("truncated WARC header block")
             return
-        head = bytes(buf[:cut])
-        del buf[:cut + 4]
+        head = bytes(buf[pos:cut])
+        pos = cut + 4
         lines = head.split(CRLF)
         if not lines[0].startswith(b"WARC/"):
             raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
@@ -208,11 +219,11 @@ def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
                     v.decode("utf-8").strip()
                 )
         n = int(headers["content-length"])
-        while len(buf) < n:
+        while len(buf) - pos < n:
             if not fill():
                 raise ValueError("truncated WARC payload")
-        payload = bytes(buf[:n])
-        del buf[:n]
+        payload = bytes(buf[pos:pos + n])
+        pos += n
         yield {"headers": headers, "payload": payload}
 
 

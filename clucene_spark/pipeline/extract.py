@@ -115,6 +115,12 @@ def normalize_text_col(text: Column, nfc: bool = True) -> Column:
 
 
 _CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+# any char the 7-step spec would rewrite; one search decides whether the
+# four substitution passes can be skipped (most extracted web text is
+# already clean, and this check is ~4x cheaper than running the subs)
+_NORM_NEEDED_RE = re.compile(
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\u00a0\r\t]|  | \n|\n "
+)
 
 
 def normalize_text_py(s: str, nfc: bool = True) -> str:
@@ -124,8 +130,10 @@ def normalize_text_py(s: str, nfc: bool = True) -> str:
     DataFrame in sight. Parity with the Column form is pytest-pinned."""
     import unicodedata
 
-    if nfc:
+    if nfc and not s.isascii():  # NFC is the identity on ASCII
         s = unicodedata.normalize("NFC", s)
+    if _NORM_NEEDED_RE.search(s) is None:
+        return s.strip(" \n")
     s = _CTRL_RE.sub("", s)
     s = s.replace("\u00a0", " ")
     s = re.sub(r"\r\n?", "\n", s)
