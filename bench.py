@@ -298,6 +298,26 @@ def main() -> None:
     shutil.rmtree(crawl_dir, ignore_errors=True)
     shutil.rmtree(lined_dir, ignore_errors=True)
 
+    # WARC source scan (added round 4, off-headline): materialize the
+    # bench corpus as per-record-gzip .warc.gz files once (not timed),
+    # then time the full streaming record cut + HTTP split + aggregate
+    from clucene_spark.data.warc import list_warc_paths, warc_scan, webtext_warc_files
+
+    warc_dir = tempfile.mkdtemp(
+        prefix="bench_warc_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    webtext_warc_files(
+        spark, bench_docs, warc_dir,
+        docs_per_file=max(1, bench_docs // 32),
+    ).collect()
+    warc_paths = list_warc_paths(warc_dir)
+    timings["warc_scan"] = best_of(
+        lambda: warc_scan(spark, warc_paths).agg(
+            F.count("*"), F.sum(F.octet_length("html"))
+        ).collect()
+    )
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # the headline total stays the r1-r3 entry set for round-over-round
@@ -305,7 +325,7 @@ def main() -> None:
     # the r4 webtext curation ops) report their own numbers but do not
     # inflate the sum
     _extra = {"seg_build_fused_messy", "seg_build_direct_messy",
-              "url_dedup", "line_dedup"}
+              "url_dedup", "line_dedup", "warc_scan"}
     total = round(
         sum(v for k, v in timings.items() if k not in _extra), 4
     )
