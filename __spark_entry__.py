@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_records": _q_wet_records,
         "warc_index_stats": _q_warc_index_stats,
+        "robots_filter": _q_robots_filter,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1740,6 +1741,79 @@ def _q_warc_index_stats(spark, sf):
         F.count_distinct("term").alias("n_terms"),
     )
     return dl.crossJoin(pt)
+
+
+def _q_robots_filter(spark, sf):
+    """robots.txt crawl-politeness filter (`pipeline/robots.py`, RFC
+    9309): per domain build a robots file with a decoy group for a
+    DIFFERENT agent (Disallow: / — group selection must skip it), a
+    Disallow prefix for the domain's own category, an Allow exception
+    under it, and a Disallow for the next category; run the full
+    parse -> per-domain-rules -> broadcast-join -> longest-match path
+    over formula-built page URLs. The gate restricts itself to prefix
+    rules so the oracle can replay longest-match/tie-to-Allow in pure
+    SQL (wildcard '*'/'$' semantics are pytest-golden territory)."""
+    from clucene_spark.pipeline.robots import robots_filter
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), s(d % 7), F.lit(".example/cat"),
+            s(d % 10), F.lit("/item"), s(d),
+        ).alias("url"),
+    )
+    doms = spark.range(7).select(
+        F.concat(F.lit("site"), s(F.col("id")), F.lit(".example")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("User-agent: other\nDisallow: /\nUser-agent: *\n"),
+            F.lit("Disallow: /cat"), s(F.col("id")),
+            F.lit("\nAllow: /cat"), s(F.col("id")),
+            F.lit("/item"), s(F.col("id")),
+            F.lit("\nDisallow: /cat"), s((F.col("id") + 1) % 10),
+            F.lit("/\n"),
+        ).alias("robots_txt"),
+    )
+    return (
+        robots_filter(pages, doms, keep_denied=True)
+        .select(
+            "doc_id",
+            F.col("robots_allowed").alias("allowed"),
+            F.col("robots_rule").alias("rule"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ROBOTS_FILTER_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 7 AS d,
+         '/cat' || (doc_id % 10) || '/item' || doc_id AS path
+  FROM documents),
+r AS (
+  SELECT doc_id, path,
+         '/cat' || d AS r1,
+         '/cat' || d || '/item' || d AS r2,
+         '/cat' || ((d + 1) % 10) || '/' AS r3
+  FROM p),
+m AS (
+  SELECT doc_id, r1, r2, r3,
+         CASE WHEN path LIKE r1 || '%' THEN strlen(r1) ELSE -1 END AS l1,
+         CASE WHEN path LIKE r2 || '%' THEN strlen(r2) ELSE -1 END AS l2,
+         CASE WHEN path LIKE r3 || '%' THEN strlen(r3) ELSE -1 END AS l3
+  FROM r)
+SELECT doc_id,
+  (l2 >= 0 AND l2 >= l1 AND l2 >= l3)
+    OR (l1 < 0 AND l3 < 0) AS allowed,
+  CASE WHEN l2 >= 0 AND l2 >= l1 AND l2 >= l3 THEN r2
+       WHEN l1 >= l3 AND l1 >= 0 THEN r1
+       WHEN l3 >= 0 THEN r3
+       ELSE '' END AS rule
+FROM m ORDER BY doc_id
+"""
 
 
 _WARC_INDEX_STATS_SQL = """
@@ -4083,6 +4157,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_records": _WET_RECORDS_SQL,
         "warc_index_stats": _WARC_INDEX_STATS_SQL,
+        "robots_filter": _ROBOTS_FILTER_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
