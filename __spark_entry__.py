@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clucene_spark.index.build import InvertedIndex
@@ -543,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_records": _q_wet_records,
         "warc_index_stats": _q_warc_index_stats,
         "robots_filter": _q_robots_filter,
+        "warc_charset": _q_warc_charset,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1741,6 +1744,92 @@ def _q_warc_index_stats(spark, sf):
         F.count_distinct("term").alias("n_terms"),
     )
     return dl.crossJoin(pt)
+
+
+def _q_warc_charset(spark, sf):
+    """Charset-aware page decode (`data/warc.py decode_html` — real
+    crawls are not all UTF-8): per doc, serialize a WARC response whose
+    page BYTES rotate through three encodings with three different
+    charset signals — Latin-1 declared in the HTTP Content-Type (body
+    carries a planted 0xE9 é), UTF-16-LE declared only by its BOM (every
+    ASCII char becomes 2 bytes; a UTF-8 misread would shred it), and
+    cp1252 declared only by an in-page <meta charset> (planted 0x80 €,
+    an invalid UTF-8 lead byte) — then run parse -> decode -> extract.
+    The oracle states the expected text per doc from the construction
+    formula; any precedence or decode error corrupts text_out."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from clucene_spark.data import warc as W
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                mode = did % 3
+                if mode == 0:
+                    page = f"<html><body><p>{text} café</p></body></html>"
+                    body = page.encode("latin-1")
+                    ctype = "text/html; charset=ISO-8859-1"
+                elif mode == 1:
+                    page = f"<html><body><p>{text} bom16</p></body></html>"
+                    body = b"\xff\xfe" + page.encode("utf-16-le")
+                    ctype = "text/html"
+                else:
+                    page = (
+                        '<html><head><meta charset="windows-1252"></head>'
+                        f"<body><p>{text} €</p></body></html>"
+                    )
+                    body = page.encode("cp1252")
+                    ctype = "text/html"
+                rec = W.build_record(
+                    "response",
+                    W.http_response(body, content_type=ctype),
+                    url=f"https://cs{did % 5}.example/{did}",
+                    date=dt.datetime(2024, 1, 1),
+                    content_type="application/http; msgtype=response",
+                )
+                ids.append(did)
+                blobs.append(W.gzip_member(rec))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "warc": blobs})
+
+    blobs = docs.mapInPandas(_mk, "doc_id long, warc binary")
+    parsed = W.records_from_col(blobs, "warc")
+
+    @F.pandas_udf("string")
+    def _decode_extract(html: pd.Series, ctype: pd.Series) -> pd.Series:
+        from clucene_spark.data.warc import decode_html
+        from clucene_spark.pipeline.extract import extract_text_py
+
+        return pd.Series(
+            [
+                extract_text_py(decode_html(bytes(b), c))
+                for b, c in zip(html, ctype)
+            ]
+        )
+
+    return parsed.select(
+        "doc_id",
+        _decode_extract(F.col("html"), F.col("content_type")).alias(
+            "text_out"
+        ),
+    ).orderBy("doc_id")
+
+
+_WARC_CHARSET_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN text || ' caf' || chr(233)
+    WHEN 1 THEN text || ' bom16'
+    ELSE text || ' ' || chr(8364)
+  END AS text_out
+FROM documents ORDER BY doc_id
+"""
 
 
 def _q_robots_filter(spark, sf):
@@ -4158,6 +4247,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "wet_records": _WET_RECORDS_SQL,
         "warc_index_stats": _WARC_INDEX_STATS_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
+        "warc_charset": _WARC_CHARSET_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

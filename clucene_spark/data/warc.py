@@ -43,6 +43,7 @@ from __future__ import annotations
 import datetime as _dt
 import io
 import os
+import re
 import zlib
 from typing import Iterable, Iterator
 
@@ -131,6 +132,49 @@ def split_http_payload(block: bytes) -> tuple[int | None, dict, bytes]:
                 v.decode("latin-1").strip()
             )
     return status, headers, body
+
+
+_CT_CHARSET_RE = re.compile(r"(?i)charset\s*=\s*\"?([A-Za-z0-9_\-]+)")
+_META_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)"
+)
+
+
+def decode_html(body, content_type: str | None = None) -> str:
+    """Charset-aware page decode — real crawls are NOT all UTF-8.
+    Precedence (the WHATWG sniffing order, trimmed to its deterministic
+    core): byte-order mark > charset= in the HTTP Content-Type > <meta
+    charset> in the first 2 KiB > UTF-8, falling back to Latin-1 when
+    the bytes are not valid UTF-8 (Latin-1 decodes any byte, so the
+    fallback is total). Unknown declared charsets fall through rather
+    than raise."""
+    body = bytes(body)
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace")
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", "replace")
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", "replace")
+    enc = None
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        m = _META_CHARSET_RE.search(body[:2048])
+        if m:
+            enc = m.group(1).decode("ascii")
+    if enc:
+        import codecs
+
+        try:
+            return body.decode(codecs.lookup(enc).name, "replace")
+        except LookupError:
+            pass
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("latin-1")
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-from ..data.warc import parse_warc_stream, split_http_payload
+from ..data.warc import decode_html, parse_warc_stream, split_http_payload
 from ..pipeline.extract import extract_text_py, normalize_text_py
 from .segments import (
     CHECKPOINT_SCHEMA,
@@ -117,10 +117,12 @@ def build_segments_from_warc(
                         if wet:
                             text = rec["payload"].decode("utf-8", "replace")
                         else:
-                            _status, _hh, body = split_http_payload(
+                            _status, hh, body = split_http_payload(
                                 rec["payload"]
                             )
-                            text = extract_text_py(body)
+                            text = extract_text_py(
+                                decode_html(body, hh.get("content-type"))
+                            )
                         if norm:
                             text = normalize_text_py(text)
                         ids.append(lo0 + len(ids))

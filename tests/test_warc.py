@@ -118,6 +118,33 @@ def test_uncompressed_files_parse_identically(spark, tmp_path):
     assert ka == kb and len(ka) == n
 
 
+def test_decode_html_precedence_and_fallback():
+    page = "<p>café №</p>"
+    # BOM wins over a (wrong) declared charset
+    assert (
+        W.decode_html(b"\xff\xfe" + page.encode("utf-16-le"),
+                      "text/html; charset=latin-1")
+        == page
+    )
+    assert W.decode_html(b"\xfe\xff" + page.encode("utf-16-be")) == page
+    assert W.decode_html(b"\xef\xbb\xbf" + page.encode("utf-8")) == page
+    # HTTP charset param
+    assert (
+        W.decode_html("<p>café</p>".encode("latin-1"),
+                      'text/html; charset="ISO-8859-1"')
+        == "<p>café</p>"
+    )
+    # meta tag sniff (0x80 is an invalid UTF-8 lead byte; cp1252 €)
+    meta = '<meta charset="windows-1252"><p>€</p>'.encode("cp1252")
+    assert W.decode_html(meta) == '<meta charset="windows-1252"><p>€</p>'
+    # unknown declared charset falls through to utf-8
+    assert W.decode_html("ok é".encode("utf-8"),
+                         "text/html; charset=not-a-charset") == "ok é"
+    # no signal: valid utf-8 as utf-8, else total latin-1 fallback
+    assert W.decode_html("é".encode("utf-8")) == "é"
+    assert W.decode_html(b"caf\xe9") == "café"
+
+
 def test_warc_files_from_docs_roundtrip(spark, tmp_path):
     rows = [(i, f"text {i} with <tag> & amp {'x' * (i % 5)}") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
