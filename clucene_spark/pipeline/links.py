@@ -129,12 +129,27 @@ def anchor_text_agg(links: DataFrame) -> DataFrame:
             )
         ).alias("term"),
     )
-    return terms.groupBy("dst").agg(
-        F.count_distinct("src").alias("n_inlinks"),
-        F.count_distinct("src_domain").alias("n_src_domains"),
+    # two-level aggregation instead of one multi-distinct groupBy: a
+    # single groupBy with two count_distincts plans as Expand (3x the
+    # exploded-term volume through the shuffle); keying the first level
+    # by (dst, src, domain) dedupes terms map-side, and the second level
+    # aggregates the already-tiny per-inlink rows (src_domain is a
+    # function of src, so rows are unique per (dst, src) and count(*)
+    # IS the distinct-src count)
+    per_src = terms.groupBy("dst", "src", "src_domain").agg(
+        F.filter(F.collect_set("term"), lambda t: t.isNotNull()).alias("ts")
+    )
+    return per_src.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"),
+        # size(collect_set) not count_distinct: same value, but it folds
+        # into this agg's partial/final phases instead of planning a
+        # third distinct-rewrite exchange
+        F.size(F.collect_set("src_domain")).cast("long").alias(
+            "n_src_domains"
+        ),
         F.array_join(
             F.array_sort(
-                F.filter(F.collect_set("term"), lambda t: t.isNotNull())
+                F.array_distinct(F.flatten(F.collect_list("ts")))
             ),
             " ",
         ).alias("anchor_terms"),

@@ -167,13 +167,23 @@ def robots_filter(
     agent: str = "cluceneSparkBot",
     url_col: str = "url",
     keep_denied: bool = False,
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Annotate (and by default filter) pages by the robots decision of
     their domain. Pages with no robots row for their domain are allowed
     (a missing robots.txt allows everything). Adds ``robots_allowed``
     and ``robots_rule`` (the winning pattern, '' if none); with the
-    default ``keep_denied=False`` only allowed pages survive."""
+    default ``keep_denied=False`` only allowed pages survive.
+
+    ``broadcast_rules=True`` (default) pins a broadcast join — the
+    parsed side is one row per DOMAIN, so it fits for any realistic
+    robots table and the page side never shuffles (Catalyst has no
+    stats for the mapInPandas output, so without the hint the static
+    plan falls back to sort-merge). Pass False only for extreme domain
+    counts where the rules table genuinely exceeds broadcast limits."""
     parsed = parse_robots_df(robots, agent=agent)
+    if broadcast_rules:
+        parsed = F.broadcast(parsed)
     joined = pages.withColumn(
         "_rdom", domain_of(F.col(url_col))
     ).join(parsed, F.col("_rdom") == parsed["domain"], "left")

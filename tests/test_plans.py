@@ -245,3 +245,74 @@ def test_url_dedup_single_shuffle_no_python(spark):
     # one node in the tree (the formatted detail section repeats it)
     assert plan.count("+- Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_scan_no_exchange_no_corpus_scan(spark, tmp_path):
+    """warc_scan distributes PATHS: the only exchange spreads the (tiny)
+    path list; the crawl bytes never enter the JVM (no file scan of the
+    payloads, python opens each file)."""
+    import re
+
+    from clucene_spark.data.warc import (
+        list_warc_paths,
+        warc_scan,
+        webtext_warc_files,
+    )
+
+    webtext_warc_files(spark, 40, str(tmp_path), docs_per_file=20).collect()
+    plan = _plan(warc_scan(spark, list_warc_paths(str(tmp_path))))
+    assert "Scan parquet" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_robots_filter_broadcasts_rules_never_shuffles_pages(spark):
+    """The per-domain parsed-rules side broadcasts; the page table joins
+    in place — no exchange of pages, decision via one Arrow kernel."""
+    from clucene_spark.pipeline.robots import robots_filter
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), F.col("doc_id") % 5,
+            F.lit(".example/cat"), F.col("doc_id") % 3,
+            F.lit("/item"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"site{i}.example", "User-agent: *\nDisallow: /cat0\n")
+         for i in range(5)],
+        "domain string, robots_txt string",
+    )
+    import re
+
+    plan = _plan(robots_filter(pages, robots, keep_denied=True))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchange is the BroadcastExchange of the rules side —
+    # zero shuffle exchanges, so the page table never moves
+    assert "BroadcastExchange" in plan, plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, flags=re.M), plan
+
+
+def test_anchor_text_agg_single_shuffle(spark):
+    """anchor_text_agg: ONE aggregate shuffle on the canonical target
+    URL with map-side partial aggregation (the term explode happens
+    below the exchange)."""
+    from clucene_spark.pipeline.links import anchor_text_agg
+
+    links = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("https://s"), F.col("doc_id") % 7,
+                 F.lit(".example/p"), F.col("doc_id")).alias("src_url"),
+        F.concat(F.lit("https://s"), (F.col("doc_id") + 1) % 7,
+                 F.lit(".example/p"), F.col("doc_id") % 97).alias("dst_url"),
+        F.lit("some anchor words").alias("anchor_text"),
+    )
+    plan = _plan(anchor_text_agg(links))
+    # two-level aggregation: the big exploded-term shuffle keyed
+    # (dst, src, domain) + the tiny per-inlink rollup — and NO Expand
+    # (a single multi-distinct groupBy would push 3x the exploded rows
+    # through the wire)
+    assert plan.count("+- Exchange") == 2, plan
+    assert "Expand" not in plan, plan
+    assert "partial" in plan.lower(), plan
