@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_index_stats": _q_warc_index_stats,
         "robots_filter": _q_robots_filter,
         "warc_charset": _q_warc_charset,
+        "sitemap_gap": _q_sitemap_gap,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1744,6 +1745,76 @@ def _q_warc_index_stats(spark, sf):
         F.count_distinct("term").alias("n_terms"),
     )
     return dl.crossJoin(pt)
+
+
+def _q_sitemap_gap(spark, sf):
+    """Sitemap crawl-freshness gap (`pipeline/sitemaps.py`): per doc,
+    build a genuine sitemaps.org <urlset> blob (W3C date lastmod, an
+    entity-escaped query for every 4th loc, a priority hint), parse it
+    with the namespace-agnostic XML explode, and join against a
+    formula-built captured-pages table through the canonical-URL
+    pre-aggregated gap join. Docs with doc_id%3==0 are never crawled
+    (missing); the rest are stale exactly when their capture day
+    (doc_id%60) predates their declared lastmod day (doc_id%90). The
+    oracle restates entries, captures and the status CASE in SQL."""
+    from clucene_spark.pipeline.sitemaps import crawl_gap, sitemap_entries
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = F.lit("2024-01-01").cast("date")
+    loc = F.concat(
+        F.lit("https://sm"), s(d % 7), F.lit(".example/page/"), s(d),
+        F.when(d % 4 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>"),
+        F.replace(loc, F.lit("&"), F.lit("&amp;")),
+        F.lit("</loc><lastmod>"),
+        F.date_format(F.date_add(base, (d % 90).cast("int")), "yyyy-MM-dd"),
+        F.lit("</lastmod><priority>"),
+        F.format_string("%.1f", F.lit(0.5) + (d % 5).cast("double") / 10),
+        F.lit("</priority></url></urlset>"),
+    )
+    sitemaps = _docs(spark, sf).select(
+        F.concat(F.lit("sm"), s(d % 7), F.lit(".example")).alias("site"),
+        xml.alias("sitemap_xml"),
+    )
+    pages = (
+        _docs(spark, sf)
+        .where(d % 3 != 0)
+        .select(
+            loc.alias("url"),
+            F.date_add(base, (d % 60).cast("int"))
+            .cast("timestamp")
+            .alias("warc_ts"),
+        )
+    )
+    return crawl_gap(sitemap_entries(sitemaps), pages).select(
+        "site", "loc", "lastmod", "latest_ts",
+        F.round("priority", 1).alias("priority"), "status",
+    ).orderBy("loc")
+
+
+_SITEMAP_GAP_SQL = """
+WITH d AS (SELECT doc_id AS i FROM documents),
+e AS (SELECT i,
+  'sm' || (i % 7) || '.example' AS site,
+  'https://sm' || (i % 7) || '.example/page/' || i
+    || CASE WHEN i % 4 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+  TIMESTAMP '2024-01-01' + to_days((i % 90)::INT) AS lastmod,
+  round(0.5 + (i % 5) * 0.1, 1)::DOUBLE AS priority
+ FROM d),
+p AS (SELECT i,
+  CASE WHEN i % 3 <> 0
+       THEN TIMESTAMP '2024-01-01' + to_days((i % 60)::INT) END AS latest_ts
+ FROM d)
+SELECT e.site, e.loc, e.lastmod, p.latest_ts, e.priority,
+  CASE WHEN p.latest_ts IS NULL THEN 'missing'
+       WHEN p.latest_ts < e.lastmod THEN 'stale'
+       ELSE 'fresh' END AS status
+FROM e JOIN p USING (i) ORDER BY e.loc
+"""
 
 
 def _q_warc_charset(spark, sf):
@@ -4248,6 +4319,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "warc_index_stats": _WARC_INDEX_STATS_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "warc_charset": _WARC_CHARSET_SQL,
+        "sitemap_gap": _SITEMAP_GAP_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
