@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "warc_charset": _q_warc_charset,
         "sitemap_gap": _q_sitemap_gap,
+        "stream_warc_stats": _q_stream_warc_stats,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1735,6 +1736,55 @@ def _q_warc_index_stats(spark, sf):
             normalize=False,
             resume=False,
         ).collect()
+        store = SegmentStore(spark, idx)
+    dl = store.doc_lens().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    pt = store.postings().agg(
+        F.sum("df").cast("long").alias("n_postings"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+    return dl.crossJoin(pt)
+
+
+def _q_stream_warc_stats(spark, sf):
+    """Continuous crawl indexing (`streaming/crawl.py`): the documents
+    table serialized as WARC files becomes a drop directory drained by a
+    Structured Streaming binaryFile source at ONE FILE PER MICRO-BATCH —
+    four batches grow the persistent file ledger, each batch runs the
+    zero-shuffle per-file build through the exactly-once triple
+    (stream checkpoint + ledger + segment checkpoints) — and the
+    committed index's corpus statistics are read back. Same SQL oracle
+    as `warc_index_stats`: the streaming path must converge to the
+    identical index the batch path builds."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.data.warc import warc_files_from_docs
+    from clucene_spark.index.segments import SegmentStore
+    from clucene_spark.streaming.crawl import stream_warc_ingest
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/clucene_swarc_{tag}"
+    idx = os.path.join(base, "index")
+    try:
+        store = SegmentStore(spark, idx)
+    except FileNotFoundError:
+        crawl = os.path.join(base, "crawl")
+        warc_files_from_docs(
+            _docs(spark, sf).select("doc_id", "text"), crawl, n_files=4
+        ).collect()
+        stream_warc_ingest(
+            spark,
+            crawl,
+            idx,
+            analyzer="whitespace",
+            normalize=False,
+            checkpoint_dir=os.path.join(base, "ck"),
+            max_files_per_trigger=1,
+        )
         store = SegmentStore(spark, idx)
     dl = store.doc_lens().agg(
         F.count("*").alias("n_docs"),
@@ -4320,6 +4370,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "robots_filter": _ROBOTS_FILTER_SQL,
         "warc_charset": _WARC_CHARSET_SQL,
         "sitemap_gap": _SITEMAP_GAP_SQL,
+        "stream_warc_stats": _WARC_INDEX_STATS_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -71,19 +71,32 @@ def build_segments_from_warc(
     normalize: bool = True,
     with_positions: bool = True,
     resume: bool = True,
+    file_indices: dict[str, int] | None = None,
 ) -> DataFrame:
     """Build one index segment per WARC file; returns the checkpoint rows
     of segments built THIS run (resumed files are skipped).
 
     ``wet=True`` reads WET sidecars ('conversion' records, payload is
-    already-extracted text) and skips the HTML extract step."""
+    already-extracted text) and skips the HTML extract step.
+
+    ``file_indices`` overrides the default position-in-sorted-list docID
+    base per path — the streaming ingest passes its persistent ledger
+    here so files arriving in later micro-batches keep globally unique,
+    stable doc ranges across batches and replays."""
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     os.makedirs(_ckpt_dir(index_dir), exist_ok=True)
 
     files = sorted(warc_paths)
     if not files:
         raise ValueError("no WARC paths given")
-    file_idx = {p: i for i, p in enumerate(files)}
+    file_idx = (
+        dict(file_indices)
+        if file_indices is not None
+        else {p: i for i, p in enumerate(files)}
+    )
+    missing = [p for p in files if p not in file_idx]
+    if missing:
+        raise ValueError(f"paths missing from file_indices: {missing[:3]}")
 
     done_starts: set[int] = set()
     if resume:
