@@ -309,7 +309,13 @@ def warc_scan(
     the ``html`` column, matching the engine's input_hint schema."""
     want = set(warc_types)
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    pdf = pdf.repartition(max(1, len(paths)), "path")
+    # round-robin pack ~2 tasks/core (hash-by-path leaves empty
+    # partitions on collisions and one-file tasks churn at crawl scale;
+    # same packing rationale as the direct index build)
+    n_tasks = min(
+        len(paths), max(1, spark.sparkContext.defaultParallelism * 2)
+    )
+    pdf = pdf.repartition(n_tasks)
 
     def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
