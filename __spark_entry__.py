@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset": _q_warc_charset,
         "sitemap_gap": _q_sitemap_gap,
         "stream_warc_stats": _q_stream_warc_stats,
+        "wand_anchor_field_topk": _q_wand_anchor_field,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1746,6 +1747,100 @@ def _q_warc_index_stats(spark, sf):
         F.count_distinct("term").alias("n_terms"),
     )
     return dl.crossJoin(pt)
+
+
+def _q_wand_anchor_field(spark, sf):
+    """Anchor text as a SEARCHABLE INDEX FIELD — the classic web-index
+    composition (navigational queries rank on what other pages call you,
+    not your own body): formula-built inbound links (every doc anchors
+    to target (doc_id*3+1)%97 with text mixing target- and source-
+    derived words) aggregate per target into a sorted-distinct anchor
+    term string, which is indexed as a second field next to the body in
+    the composite-key segment store; BM25 OR-mode WAND then queries the
+    anchor field alone. The oracle rebuilds the anchor field relationally
+    and replays the fielded BM25 (per-field avgdl/df, global n_docs) in
+    SQL."""
+    import hashlib
+    import tempfile
+
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+    from clucene_spark.search.wand import wand_query_direct
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_anchor"
+    try:
+        store = SegmentStore(spark, d)
+    except FileNotFoundError:
+        docs = _docs(spark, sf).select("doc_id", "text")
+        did = F.col("doc_id")
+        dst = (did * 3 + 1) % 97
+        links = docs.select(
+            dst.alias("dst"),
+            F.concat(
+                F.lit("click doc "), (dst % 5).cast("string"),
+                F.lit(" best "), (did % 7).cast("string"),
+            ).alias("anchor_text"),
+        )
+        agg = (
+            links.select(
+                "dst", F.explode(F.split("anchor_text", " ")).alias("t")
+            )
+            .groupBy("dst")
+            .agg(
+                F.array_join(F.array_sort(F.collect_set("t")), " ").alias(
+                    "anchor"
+                )
+            )
+        )
+        two = docs.join(agg, docs["doc_id"] == agg["dst"], "left").select(
+            "doc_id", "text", F.coalesce("anchor", F.lit("")).alias("anchor")
+        )
+        build_segments_fused(
+            two, d, docs_per_segment=256,
+            fields=[("text", "text", "whitespace"),
+                    ("anchor", "anchor", "whitespace")],
+        )
+        store = SegmentStore(spark, d)
+    return wand_query_direct(store, ["click", "3"], k=10, field="anchor")
+
+
+_ANCHOR_FIELD_SQL = """
+WITH links AS (
+  SELECT ((doc_id * 3 + 1) % 97) AS dst,
+         'click doc ' || (((doc_id * 3 + 1) % 97) % 5)
+           || ' best ' || (doc_id % 7) AS anchor
+  FROM documents),
+aterms AS (
+  SELECT DISTINCT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term
+  FROM links),
+btoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tok AS (
+  SELECT doc_id, 'anchor' AS field, term FROM aterms
+  UNION ALL
+  SELECT doc_id, 'text' AS field, term FROM btoks),
+postings AS (SELECT field, term, doc_id, count(*) AS tf
+             FROM tok GROUP BY 1, 2, 3),
+doc_lens AS (SELECT doc_id, field, count(*) AS dl FROM tok GROUP BY 1, 2),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM doc_lens GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM doc_lens),
+term_dict AS (SELECT field, term, count(*) AS df FROM postings GROUP BY 1, 2)
+SELECT p.doc_id,
+       ROUND(SUM(ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 4) AS score
+FROM postings p
+JOIN term_dict t ON t.field = p.field AND t.term = p.term
+JOIN doc_lens d ON d.doc_id = p.doc_id AND d.field = p.field
+JOIN fstats s ON s.field = p.field
+CROSS JOIN nd n
+WHERE p.field = 'anchor' AND p.term IN ('click', '3')
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
 
 
 def _q_stream_warc_stats(spark, sf):
@@ -4371,6 +4466,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "warc_charset": _WARC_CHARSET_SQL,
         "sitemap_gap": _SITEMAP_GAP_SQL,
         "stream_warc_stats": _WARC_INDEX_STATS_SQL,
+        "wand_anchor_field_topk": _ANCHOR_FIELD_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
