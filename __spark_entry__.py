@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_gap": _q_sitemap_gap,
         "stream_warc_stats": _q_stream_warc_stats,
         "wand_anchor_field_topk": _q_wand_anchor_field,
+        "static_rank_topk": _q_static_rank,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1840,6 +1841,90 @@ CROSS JOIN nd n
 WHERE p.field = 'anchor' AND p.term IN ('click', '3')
 GROUP BY p.doc_id
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+
+
+def _q_static_rank(spark, sf):
+    """BM25 x PageRank static-rank blending — the other half of web
+    ranking next to anchor text: textual relevance from the body index,
+    authority from the link graph, final score a deterministic linear
+    blend (relevance + 100·rank; rank mass is O(1/N) so the factor
+    brings it to BM25 scale). The link graph is the `web_pagerank`
+    gate's formula graph over doc_ids; the oracle chains the _PRELUDE
+    BM25 with the 3-round power-iteration unroll and blends
+    identically."""
+    from clucene_spark.pipeline.links import pagerank
+
+    d = F.col("doc_id")
+    srcs = _docs(spark, sf).select("doc_id").where(d % 4 != 0)
+    e1 = srcs.select(
+        d.alias("src"), ((d * 3 + 1) % 97).alias("dst")
+    )
+    e2 = srcs.select(
+        d.alias("src"), ((d * 5 + 2) % 97).alias("dst")
+    )
+    pr = pagerank(e1.unionAll(e2), iters=3, damping=0.85)
+    rel = _searcher(spark, sf).topk(
+        TermQuery(term="spark"), k=1_000_000, round_to=None
+    )
+    return (
+        rel.join(pr, rel["doc_id"] == pr["url"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                + 100.0 * F.coalesce(F.col("rank"), F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+_STATIC_RANK_TAIL = """
+, srcs AS (SELECT doc_id AS i FROM documents WHERE doc_id % 4 <> 0),
+raw_edges AS (
+  SELECT i AS src, (i*3+1) % 97 AS dst FROM srcs
+  UNION ALL
+  SELECT i, (i*5+2) % 97 FROM srcs),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+r0 AS (SELECT url, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+d0 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r0 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c0 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r0 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r1 AS (SELECT n2.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d0)/(SELECT n FROM nn)) AS rank
+       FROM nodes n2 LEFT JOIN c0 c ON n2.url = c.url),
+d1 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r1 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c1 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r1 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r2 AS (SELECT n2.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d1)/(SELECT n FROM nn)) AS rank
+       FROM nodes n2 LEFT JOIN c1 c ON n2.url = c.url),
+d2 AS (SELECT coalesce(sum(r.rank), 0) AS dmass FROM r2 r
+       LEFT JOIN outd o ON r.url = o.src WHERE o.src IS NULL),
+c2 AS (SELECT e.dst AS url, sum(r.rank / o.od) AS inflow
+       FROM r2 r JOIN outd o ON r.url = o.src
+       JOIN edges e ON e.src = r.url GROUP BY e.dst),
+r3 AS (SELECT n2.url, 0.15/(SELECT n FROM nn)
+         + 0.85*(coalesce(c.inflow, 0)
+                 + (SELECT dmass FROM d2)/(SELECT n FROM nn)) AS rank
+       FROM nodes n2 LEFT JOIN c2 c ON n2.url = c.url)
+SELECT b.doc_id,
+       round(b.sc + 100.0 * coalesce(r3.rank, 0), 4) AS score
+FROM bm25 b LEFT JOIN r3 ON r3.url = b.doc_id
+WHERE b.term = 'spark'
+ORDER BY score DESC, b.doc_id ASC LIMIT 10
 """
 
 
@@ -4467,6 +4552,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "sitemap_gap": _SITEMAP_GAP_SQL,
         "stream_warc_stats": _WARC_INDEX_STATS_SQL,
         "wand_anchor_field_topk": _ANCHOR_FIELD_SQL,
+        "static_rank_topk": _PRELUDE + _STATIC_RANK_TAIL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
