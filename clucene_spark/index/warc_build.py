@@ -60,6 +60,34 @@ from .segments import (
 
 DEFAULT_STRIDE = 10_000_000  # docs per file ceiling; CC files hold ~30-150k
 
+_CJK_RANGES = (
+    (0x3040, 0x30FF),   # hiragana + katakana
+    (0x3400, 0x9FFF),   # CJK unified (+ext A)
+    (0xAC00, 0xD7AF),   # hangul syllables
+)
+
+
+def detect_lang(text: str, threshold: float = 0.2) -> str:
+    """Deterministic script-based language routing for the crawl path:
+    'zh' (CJK analyzer chain) when >= threshold of the non-space chars
+    are CJK codepoints, else 'en'. A crawl record carries no trusted
+    lang column, so the LanguageBasedAnalyzer dispatch
+    (`segments.py` analyzer='lang') needs content evidence; pure-ASCII
+    text short-circuits before any codepoint walk."""
+    if not text or text.isascii():
+        return "en"
+    n = cjk = 0
+    for ch in text:
+        if ch.isspace():
+            continue
+        n += 1
+        o = ord(ch)
+        for lo, hi in _CJK_RANGES:
+            if lo <= o <= hi:
+                cjk += 1
+                break
+    return "zh" if n and cjk / n >= threshold else "en"
+
 
 def build_segments_from_warc(
     spark: SparkSession,
@@ -151,7 +179,10 @@ def build_segments_from_warc(
 
                 ids_a = np.asarray(ids, dtype=np.int64)
                 texts_a = np.asarray(texts, dtype=object)
-                per_doc, p, counts = _analyze_docs(texts_a, an)
+                langs = (
+                    [detect_lang(t) for t in texts] if an == "lang" else None
+                )
+                per_doc, p, counts = _analyze_docs(texts_a, an, langs)
                 seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
                     ids_a, per_doc, p, counts, wp
                 )

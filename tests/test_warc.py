@@ -118,6 +118,35 @@ def test_uncompressed_files_parse_identically(spark, tmp_path):
     assert ka == kb and len(ka) == n
 
 
+def test_roundtrip_property_random_payloads():
+    """Property: ANY payload bytes (including framing look-alikes) and
+    any mix of per-record gzip/plain survive build->parse byte-exactly,
+    at adversarial chunk sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        payloads=st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                          max_size=6),
+        gz=st.booleans(),  # per-file, like real WARCs: all members or none
+        chunk=st.sampled_from([5, 37, 1 << 20]),
+    )
+    def run(payloads, gz, chunk):
+        wrap = W.gzip_member if gz else (lambda r: r)
+        blob = b"".join(
+            wrap(W.build_record("resource", p, url=f"u{i}"))
+            for i, p in enumerate(payloads)
+        )
+        got = _parse_all(blob, chunk=chunk)
+        assert [r["payload"] for r in got] == payloads
+        assert [r["headers"]["warc-target-uri"] for r in got] == [
+            f"u{i}" for i in range(len(payloads))
+        ]
+
+    run()
+
+
 def test_decode_html_precedence_and_fallback():
     page = "<p>café №</p>"
     # BOM wins over a (wrong) declared charset

@@ -145,6 +145,39 @@ def test_wet_build_equals_warc_build(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_lang_routed_crawl_build(spark, tmp_path):
+    """analyzer='lang' on the crawl path: CJK-heavy pages route through
+    the bigram chain (script detection — no lang column exists in a
+    crawl), ASCII pages through the StandardAnalyzer."""
+    from clucene_spark.index.warc_build import detect_lang
+
+    assert detect_lang("plain english words") == "en"
+    assert detect_lang("你好世界欢迎光临") == "zh"
+    assert detect_lang("mostly english 你") == "en"
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Quick brown foxes JUMPED over it"),
+            (1, "你好世界欢迎光临这里很好"),
+            (2, "plain words again here"),
+        ],
+        "doc_id long, text string",
+    )
+    crawl = str(tmp_path / "crawl")
+    W.warc_files_from_docs(docs, crawl, n_files=1).collect()
+    idx = str(tmp_path / "idx")
+    build_segments_from_warc(
+        spark, W.list_warc_paths(crawl), idx, analyzer="lang", stride=10
+    ).collect()
+    terms = {
+        r["term"] for r in SegmentStore(spark, idx).postings()
+        .select("term").collect()
+    }
+    assert "你好" in terms and "世界" in terms   # CJK bigrams
+    assert "quick" in terms and "jumped" in terms  # standard chain
+    assert "你好世界欢迎光临这里很好" not in terms  # not one whitespace token
+
+
 def test_normalize_py_matches_column_form(spark):
     from pyspark.sql import functions as F
 

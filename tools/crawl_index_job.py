@@ -45,7 +45,9 @@ def main() -> None:
                     help="read WET 'conversion' records (pre-extracted "
                          "text) instead of HTTP 'response' records")
     ap.add_argument("--analyzer", default="standard",
-                    choices=["standard", "whitespace"])
+                    choices=["standard", "whitespace", "lang"],
+                    help="'lang' routes CJK-heavy pages (script "
+                         "detection) through the CJK bigram chain")
     ap.add_argument("--no-normalize", action="store_true")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--stride", type=int, default=10_000_000,
