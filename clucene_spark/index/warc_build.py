@@ -45,10 +45,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+import re as _re
+
 from ..data.warc import decode_html, parse_warc_stream, split_http_payload
 from ..pipeline.extract import extract_text_py, normalize_text_py
 from .segments import (
     CHECKPOINT_SCHEMA,
+    FIELD_SEP,
     _analyze_docs,
     _ckpt_dir,
     _invert_encode,
@@ -57,6 +60,20 @@ from .segments import (
     commit_manifest,
     read_checkpoints,
 )
+
+_TITLE_RE = _re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+
+
+def extract_title_py(page: str) -> str:
+    """<title> text of a decoded page (whitespace-collapsed, entity-
+    unescaped) — the head-section field `extract_text_py` deliberately
+    drops; '' when absent."""
+    import html as _html
+
+    m = _TITLE_RE.search(page)
+    if not m:
+        return ""
+    return " ".join(_html.unescape(m.group(1)).split())
 
 DEFAULT_STRIDE = 10_000_000  # docs per file ceiling; CC files hold ~30-150k
 
@@ -100,12 +117,20 @@ def build_segments_from_warc(
     with_positions: bool = True,
     resume: bool = True,
     file_indices: dict[str, int] | None = None,
+    title_field: bool = False,
 ) -> DataFrame:
     """Build one index segment per WARC file; returns the checkpoint rows
     of segments built THIS run (resumed files are skipped).
 
     ``wet=True`` reads WET sidecars ('conversion' records, payload is
     already-extracted text) and skips the HTML extract step.
+
+    ``title_field=True`` additionally indexes each page's <title> as a
+    second field in the composite-key format (`FIELD_SEP`-prefixed
+    terms, per-field doc lengths), so fielded queries
+    (``wand_query_direct(..., field='title')``) work on crawl-built
+    indexes exactly like fused-built ones. Incompatible with wet=True
+    (WET records carry no markup).
 
     ``file_indices`` overrides the default position-in-sorted-list docID
     base per path — the streaming ingest passes its persistent ledger
@@ -132,12 +157,16 @@ def build_segments_from_warc(
             int(c["min_doc"]) for c in read_checkpoints(index_dir)
         }
 
+    if title_field and wet:
+        raise ValueError("title_field requires HTML pages (wet=False)")
+
     idx_dir = index_dir
     an = analyzer
     wp = with_positions
     want = "conversion" if wet else "response"
     norm = normalize
     st = stride
+    tfield = title_field
 
     def _one_file(batches):
         import gc as _gc
@@ -150,7 +179,7 @@ def build_segments_from_warc(
                 if lo0 in done_starts:
                     continue  # file fully indexed by a prior run
                 t0 = time.perf_counter()
-                texts, ids = [], []
+                texts, ids, titles = [], [], []
                 with open(path, "rb") as fh:
                     for rec in parse_warc_stream(fh):
                         if rec["headers"].get("warc-type") != want:
@@ -161,9 +190,10 @@ def build_segments_from_warc(
                             _status, hh, body = split_http_payload(
                                 rec["payload"]
                             )
-                            text = extract_text_py(
-                                decode_html(body, hh.get("content-type"))
-                            )
+                            page = decode_html(body, hh.get("content-type"))
+                            if tfield:
+                                titles.append(extract_title_py(page))
+                            text = extract_text_py(page)
                         if norm:
                             text = normalize_text_py(text)
                         ids.append(lo0 + len(ids))
@@ -182,10 +212,44 @@ def build_segments_from_warc(
                 langs = (
                     [detect_lang(t) for t in texts] if an == "lang" else None
                 )
-                per_doc, p, counts = _analyze_docs(texts_a, an, langs)
-                seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
-                    ids_a, per_doc, p, counts, wp
-                )
+                if tfield:
+                    # composite-key multi-field segment: one invert pass
+                    # per field, concatenated in sorted field-name order
+                    # so the FIELD_SEP-prefixed keys stay globally sorted
+                    # (the fused builder's exact shape, segments.py)
+                    frames, dl_frames = [], []
+                    n_tok = n_post = 0
+                    uniq_set: set = set()
+                    for fname, vals in sorted(
+                        (("text", texts_a),
+                         ("title", np.asarray(titles, dtype=object)))
+                    ):
+                        per_doc, p, counts = _analyze_docs(
+                            vals, an, langs if fname == "text" else None
+                        )
+                        seg_f, uq, dlc, nt, npst = _invert_encode(
+                            ids_a, per_doc, p, counts, wp,
+                            term_prefix=fname + FIELD_SEP,
+                        )
+                        frames.append(seg_f)
+                        dl_frames.append(
+                            pd.DataFrame(
+                                {"doc_id": uq, "field": fname, "dl": dlc}
+                            )
+                        )
+                        n_tok += nt
+                        n_post += npst
+                        uniq_set.update(uq.tolist())
+                    seg_tab = _pa.concat_tables(frames)
+                    dl_pdf = pd.concat(dl_frames, ignore_index=True)
+                    uniq_docs = np.array(sorted(uniq_set), dtype=np.int64)
+                else:
+                    per_doc, p, counts = _analyze_docs(texts_a, an, langs)
+                    (seg_tab, uniq_docs, dl_counts, n_tok,
+                     n_post) = _invert_encode(ids_a, per_doc, p, counts, wp)
+                    dl_pdf = pd.DataFrame(
+                        {"doc_id": uniq_docs, "dl": dl_counts}
+                    )
                 lo, hi = int(ids_a[0]), int(ids_a[-1])
                 name = f"seg_a_{lo:012d}_{hi:012d}"
                 seg_path = os.path.join(idx_dir, "segments", name)
@@ -195,10 +259,7 @@ def build_segments_from_warc(
                     seg_tab, os.path.join(tmp_path, "postings.parquet")
                 )
                 _pq.write_table(
-                    _pa.Table.from_pandas(
-                        pd.DataFrame({"doc_id": uniq_docs, "dl": dl_counts}),
-                        preserve_index=False,
-                    ),
+                    _pa.Table.from_pandas(dl_pdf, preserve_index=False),
                     os.path.join(tmp_path, "doc_lens.parquet"),
                 )
                 if seg_tab.num_rows:

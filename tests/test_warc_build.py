@@ -145,6 +145,57 @@ def test_wet_build_equals_warc_build(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_title_field_crawl_build_matches_fused(spark, tmp_path):
+    """title_field=True: the crawl build writes the composite-key
+    multi-field format, and fielded WAND over it is rank-identical to a
+    fused multi-field build over the same (text, title) columns — the
+    generator's pages carry <title>doc N</title>."""
+    from pyspark.sql import functions as F
+
+    from clucene_spark.index.segments import build_segments_fused
+
+    n, k = 80, 40
+    W.webtext_warc_files(
+        spark, n, str(tmp_path / "crawl"), docs_per_file=k
+    ).collect()
+    idx_w = str(tmp_path / "widx")
+    build_segments_from_warc(
+        spark, W.list_warc_paths(str(tmp_path / "crawl")), idx_w,
+        stride=k, title_field=True,
+    ).collect()
+
+    docs = webtext_df(spark, n, messy=True).select(
+        "doc_id", "text",
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("title"),
+    )
+    idx_f = str(tmp_path / "fidx")
+    build_segments_fused(
+        docs, idx_f, docs_per_segment=k,
+        fields=[("text", "text", "standard"),
+                ("title", "title", "standard")],
+    )
+
+    for field, terms in (("title", ["doc"]), ("text", ["usa"]),
+                         (None, None)):
+        if field is None:
+            continue
+        a = wand_query_direct(
+            SegmentStore(spark, idx_w), terms, k=10, field=field
+        ).collect()
+        b = wand_query_direct(
+            SegmentStore(spark, idx_f), terms, k=10, field=field
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], field
+    # the title query actually matched (every page has "doc" in title)
+    assert len(
+        wand_query_direct(
+            SegmentStore(spark, idx_w), ["doc"], k=10, field="title"
+        ).collect()
+    ) == 10
+
+
 def test_lang_routed_crawl_build(spark, tmp_path):
     """analyzer='lang' on the crawl path: CJK-heavy pages route through
     the bigram chain (script detection — no lang column exists in a

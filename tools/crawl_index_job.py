@@ -49,6 +49,9 @@ def main() -> None:
                     help="'lang' routes CJK-heavy pages (script "
                          "detection) through the CJK bigram chain")
     ap.add_argument("--no-normalize", action="store_true")
+    ap.add_argument("--title-field", action="store_true",
+                    help="also index each page's <title> as a second "
+                         "field (composite-key store; fielded queries)")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--stride", type=int, default=10_000_000,
                     help="docID stride per file (max records per file)")
@@ -114,6 +117,7 @@ def main() -> None:
         normalize=not args.no_normalize,
         with_positions=not args.no_positions,
         resume=not args.fresh,
+        title_field=args.title_field,
     ).collect()
     t_build = time.perf_counter() - t0
     n_docs = sum(r["n_docs"] for r in built)
