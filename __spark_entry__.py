@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_warc_stats": _q_stream_warc_stats,
         "wand_anchor_field_topk": _q_wand_anchor_field,
         "static_rank_topk": _q_static_rank,
+        "crawl_supersede": _q_crawl_supersede,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1841,6 +1842,71 @@ CROSS JOIN nd n
 WHERE p.field = 'anchor' AND p.term IN ('click', '3')
 GROUP BY p.doc_id
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+
+
+def _q_crawl_supersede(spark, sf):
+    """Re-crawl supersedence (`index/warc_build.py supersede_recrawls`):
+    write the documents table as WARC files where docs d and d+1 (even
+    d) capture the SAME url — the later capture (higher warc_ts, i.e.
+    the odd doc) must win — build the crawl index with URL sidecars,
+    run the latest-capture-wins pass into the deletes sidecar, and
+    return the LIVE docs (crawl metadata anti-joined against deletes).
+    The oracle states the winners from the pairing formula."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.data.warc import list_warc_paths, warc_files_from_docs
+    from clucene_spark.index.segments import read_deletes
+    from clucene_spark.index.warc_build import (
+        build_segments_from_warc,
+        crawl_urls,
+        supersede_recrawls,
+    )
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/clucene_recrawl_{tag}"
+    idx = os.path.join(base, "index")
+    d = F.col("doc_id")
+    if not os.path.exists(os.path.join(idx, "deletes.json")):
+        crawl = os.path.join(base, "crawl")
+        docs = _docs(spark, sf).select(
+            "doc_id", "text",
+            F.concat(
+                F.lit("https://d.example/p"), (d - d % 2).cast("string")
+            ).alias("url"),
+        )
+        warc_files_from_docs(
+            docs, crawl, n_files=4, url_col="url"
+        ).collect()
+        build_segments_from_warc(
+            spark, list_warc_paths(crawl), idx,
+            analyzer="whitespace", normalize=False, resume=False,
+        ).collect()
+        supersede_recrawls(spark, idx)
+    dels = spark.createDataFrame(
+        [(int(i),) for i in read_deletes(idx)] or [(-1,)], "doc_id long"
+    )
+    live = crawl_urls(spark, idx).join(
+        F.broadcast(dels), "doc_id", "left_anti"
+    )
+    # the sidecar warc_ts carries the ORIGINAL capture identity (the
+    # writer stamps base + orig_doc_id*7s), so the output proves WHICH
+    # capture survived, not just how many
+    return live.select("url", F.col("warc_ts").alias("live_ts")).orderBy(
+        "url"
+    )
+
+
+_CRAWL_SUPERSEDE_SQL = """
+SELECT 'https://d.example/p' || (doc_id - doc_id % 2) AS url,
+       TIMESTAMP '2024-01-01' + to_seconds(doc_id * 7) AS live_ts
+FROM documents
+WHERE doc_id % 2 = 1
+   OR NOT EXISTS (SELECT 1 FROM documents t2
+                  WHERE t2.doc_id = documents.doc_id + 1)
+ORDER BY url
 """
 
 
@@ -4553,6 +4619,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "stream_warc_stats": _WARC_INDEX_STATS_SQL,
         "wand_anchor_field_topk": _ANCHOR_FIELD_SQL,
         "static_rank_topk": _PRELUDE + _STATIC_RANK_TAIL,
+        "crawl_supersede": _CRAWL_SUPERSEDE_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

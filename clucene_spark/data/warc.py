@@ -498,6 +498,8 @@ def warc_files_from_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     compress: bool = True,
+    url_col: str | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Write ANY (doc_id, text) DataFrame as response-record WARC files:
     range-partitioned on doc_id into `n_files` doc-ordered files (one per
@@ -506,11 +508,16 @@ def warc_files_from_docs(
     `warc_scan` + extract for round-trip fixtures over real tables.
     Returns the (path, n_records, min_doc, max_doc) manifest."""
     os.makedirs(out_dir, exist_ok=True)
+    cols = [
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.col(url_col) if url_col else F.lit(None).cast("string"))
+        .alias("url_in"),
+        (F.col(ts_col) if ts_col else F.lit(None).cast("timestamp"))
+        .alias("ts_in"),
+    ]
     part = (
-        docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).alias("text"),
-        )
+        docs.select(*cols)
         .repartitionByRange(n_files, "doc_id")
         .sortWithinPartitions("doc_id")
     )
@@ -523,7 +530,9 @@ def warc_files_from_docs(
         n = 0
         lo = hi = None
         for b in batches:
-            for did, text in zip(b["doc_id"], b["text"]):
+            for did, text, u_in, t_in in zip(
+                b["doc_id"], b["text"], b["url_in"], b["ts_in"]
+            ):
                 did = int(did)
                 if fh is None:
                     path = os.path.join(out_dir, f"part-{did:012d}{ext}")
@@ -542,9 +551,16 @@ def warc_files_from_docs(
                 rec = build_record(
                     "response",
                     http_response(html),
-                    url=f"https://docs.example/{did}",
-                    date=_dt.datetime(2024, 1, 1)
-                    + _dt.timedelta(seconds=did * 7),
+                    url=(
+                        u_in if u_in is not None and not pd.isna(u_in)
+                        else f"https://docs.example/{did}"
+                    ),
+                    date=(
+                        t_in.to_pydatetime()
+                        if t_in is not None and not pd.isna(t_in)
+                        else _dt.datetime(2024, 1, 1)
+                        + _dt.timedelta(seconds=did * 7)
+                    ),
                     record_id=f"doc-{did}",
                     content_type="application/http; msgtype=response",
                 )

@@ -47,7 +47,12 @@ from pyspark.sql import DataFrame, SparkSession, types as T
 
 import re as _re
 
-from ..data.warc import decode_html, parse_warc_stream, split_http_payload
+from ..data.warc import (
+    decode_html,
+    parse_warc_date,
+    parse_warc_stream,
+    split_http_payload,
+)
 from ..pipeline.extract import extract_text_py, normalize_text_py
 from .segments import (
     CHECKPOINT_SCHEMA,
@@ -180,9 +185,11 @@ def build_segments_from_warc(
                     continue  # file fully indexed by a prior run
                 t0 = time.perf_counter()
                 texts, ids, titles = [], [], []
+                urls, tss = [], []
                 with open(path, "rb") as fh:
                     for rec in parse_warc_stream(fh):
-                        if rec["headers"].get("warc-type") != want:
+                        h = rec["headers"]
+                        if h.get("warc-type") != want:
                             continue
                         if wet:
                             text = rec["payload"].decode("utf-8", "replace")
@@ -198,6 +205,8 @@ def build_segments_from_warc(
                             text = normalize_text_py(text)
                         ids.append(lo0 + len(ids))
                         texts.append(text)
+                        urls.append(h.get("warc-target-uri"))
+                        tss.append(parse_warc_date(h.get("warc-date")))
                 if not ids:
                     continue
                 if len(ids) > st:
@@ -264,6 +273,20 @@ def build_segments_from_warc(
                 )
                 if seg_tab.num_rows:
                     _write_term_index(tmp_path, seg_tab.column("term"))
+                # URL sidecar: the crawl metadata a re-crawl supersedence
+                # pass needs (doc_id -> capture url + time); one tiny file
+                # per segment, the stored-fields role for the crawl key
+                _pq.write_table(
+                    _pa.Table.from_pandas(
+                        pd.DataFrame(
+                            {"doc_id": ids_a, "url": urls,
+                             "warc_ts": pd.Series(
+                                 tss, dtype="datetime64[us]")}
+                        ),
+                        preserve_index=False,
+                    ),
+                    os.path.join(tmp_path, "urls.parquet"),
+                )
                 os.rename(tmp_path, seg_path)
                 ck = {
                     "segment": name,
@@ -308,3 +331,54 @@ def build_segments_from_warc(
         extra={"aligned": True, "analyzer": analyzer, "source": "warc"},
     )
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
+
+
+def crawl_urls(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The index's crawl metadata: (doc_id, url, warc_ts) unioned from
+    every segment's urls.parquet sidecar."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(index_dir, "segments", "*", "urls.parquet"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no urls.parquet sidecars in {index_dir}")
+    return spark.read.parquet(*paths)
+
+
+def supersede_recrawls(spark: SparkSession, index_dir: str) -> list[int]:
+    """Latest capture wins across crawl waves: for every CANONICAL url
+    captured more than once, keep the newest (warc_ts, doc_id) and
+    buffer deletions for the rest (the IndexWriter updateDocument model
+    — delete + the add that already happened; postings purge at the
+    next merge). Returns the superseded doc_ids.
+
+    Scale note: only (canon, ts, id) triples shuffle (one groupBy); the
+    loser id list that reaches the driver is bounded by the re-crawl
+    overlap, and lands in the same deletes sidecar every delete path
+    uses. Idempotent — a second pass finds no new losers."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline.urls import canonicalize_url
+    from .segments import delete_docs, read_deletes
+
+    canon = crawl_urls(spark, index_dir).select(
+        "doc_id", "warc_ts", canonicalize_url(F.col("url")).alias("canon")
+    )
+    keep = (
+        canon.groupBy("canon")
+        .agg(F.max(F.struct("warc_ts", "doc_id")).alias("w"))
+        .select(F.col("w.doc_id").alias("keep_id"))
+    )
+    losers = canon.join(
+        keep, canon["doc_id"] == keep["keep_id"], "left_anti"
+    ).select("doc_id")
+    already = set(read_deletes(index_dir))
+    ids = sorted(
+        int(r["doc_id"])
+        for r in losers.collect()
+        if int(r["doc_id"]) not in already
+    )
+    if ids:
+        delete_docs(index_dir, ids)
+    return ids

@@ -229,6 +229,55 @@ def test_lang_routed_crawl_build(spark, tmp_path):
     assert "你好世界欢迎光临这里很好" not in terms  # not one whitespace token
 
 
+def test_supersede_recrawls_latest_capture_wins(spark, tmp_path):
+    """Incremental crawl waves: a later capture of the same canonical
+    URL (www./utm noise included) supersedes the earlier doc via the
+    deletes sidecar; queries stop returning superseded docs; the pass is
+    idempotent."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from clucene_spark.index.warc_build import (
+        crawl_urls,
+        supersede_recrawls,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    wave1 = spark.createDataFrame(
+        [(i, f"wave one body {i}", f"https://s.example/p{i}", t0)
+         for i in range(20)],
+        "doc_id long, text string, url string, ts timestamp",
+    )
+    # re-crawl p0..p4 a day later under noisy variants of the same URLs
+    wave2 = spark.createDataFrame(
+        [(100 + i, f"wave two body {i}",
+          f"http://www.s.example/p{i}?utm_source=feed",
+          t0 + dt.timedelta(days=1))
+         for i in range(5)],
+        "doc_id long, text string, url string, ts timestamp",
+    )
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    W.warc_files_from_docs(wave1, d1, 1, url_col="url", ts_col="ts").collect()
+    W.warc_files_from_docs(wave2, d2, 1, url_col="url", ts_col="ts").collect()
+    idx = str(tmp_path / "idx")
+    p1, p2 = W.list_warc_paths(d1)[0], W.list_warc_paths(d2)[0]
+    build_segments_from_warc(
+        spark, [p1, p2], idx, stride=100,
+        file_indices={p1: 0, p2: 1},
+    ).collect()
+
+    assert crawl_urls(spark, idx).count() == 25
+    deleted = supersede_recrawls(spark, idx)
+    assert deleted == [0, 1, 2, 3, 4]
+    # wave-one bodies of the superseded docs no longer surface
+    got = wand_query_direct(SegmentStore(spark, idx), ["one"], k=25).collect()
+    assert {r["doc_id"] for r in got} == set(range(5, 20))
+    got2 = wand_query_direct(SegmentStore(spark, idx), ["two"], k=25).collect()
+    assert {r["doc_id"] for r in got2} == {100, 101, 102, 103, 104}
+    assert supersede_recrawls(spark, idx) == []  # idempotent
+
+
 def test_normalize_py_matches_column_form(spark):
     from pyspark.sql import functions as F
 
