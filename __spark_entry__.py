@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_anchor_field_topk": _q_wand_anchor_field,
         "static_rank_topk": _q_static_rank,
         "crawl_supersede": _q_crawl_supersede,
+        "web_main_content": _q_main_content,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1842,6 +1843,48 @@ CROSS JOIN nd n
 WHERE p.field = 'anchor' AND p.term IN ('click', '3')
 GROUP BY p.doc_id
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+
+
+def _q_main_content(spark, sf):
+    """Boilerplate removal (`pipeline/extract.py extract_main_text_py`,
+    the jusText/readability-style block classifier): per doc, build a
+    page whose body plants every boilerplate shape around the real text
+    — a link-dense nav (drops on BOTH axes), the main <p> with the doc's
+    text (long, link-light: kept), a >=10-word block that is 100% link
+    text (drops on density alone), and a short footer (drops on length
+    alone) — then extract. The oracle is exact: text_out must equal the
+    raw text for every doc; ANY leaked boilerplate or lost prose breaks
+    the hash."""
+    from clucene_spark.pipeline.extract import extract_main_text_col
+
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">home</a> <a href="/a">about'
+            '</a> <a href="/c">contact</a></nav><p>'
+        ),
+        esc,
+        F.lit(
+            '</p><div><a href="/t">one two three four five six seven '
+            'eight nine ten eleven</a></div>'
+            "<footer>copyright twenty twenty four</footer></body></html>"
+        ),
+    )
+    return (
+        _docs(spark, sf)
+        .select("doc_id", html.alias("html"))
+        .select(
+            "doc_id", extract_main_text_col(F.col("html")).alias("text_out")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MAIN_CONTENT_SQL = """
+SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
 """
 
 
@@ -4620,6 +4663,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "wand_anchor_field_topk": _ANCHOR_FIELD_SQL,
         "static_rank_topk": _PRELUDE + _STATIC_RANK_TAIL,
         "crawl_supersede": _CRAWL_SUPERSEDE_SQL,
+        "web_main_content": _MAIN_CONTENT_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -114,6 +114,67 @@ def normalize_text_col(text: Column, nfc: bool = True) -> Column:
     return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
 
 
+_A_TEXT_RE = re.compile(r"(?is)<a\b[^>]*>(.*?)</a>")
+_BLOCK_SPLIT_RE = re.compile(
+    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|table|tr|br|nav|footer|header|aside|"
+    r"section|article)\b[^>]*>"
+)
+
+
+def extract_main_text_py(
+    raw,
+    min_words: int = 10,
+    max_link_density: float = 0.4,
+) -> str:
+    """Boilerplate removal (jusText/readability-style, deterministic
+    core): split the body into block-level chunks, keep a block only if
+    it has >= ``min_words`` words AND its LINK DENSITY (fraction of its
+    characters inside <a> tags) is below ``max_link_density``. Nav bars,
+    footers, tag clouds and sidebars are short and link-heavy — main
+    prose is long and link-light; these two axes are the classic
+    separators. Kept blocks join with newlines in document order.
+
+    The rules are fixed and stated so an oracle can replay the decision
+    per planted block; a production pipeline would tune the two
+    thresholds per corpus."""
+    s = (
+        raw.decode("utf-8", "replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    s = _SCRIPT_RE.sub(" ", s)
+    m = _BODY_RE.search(s)
+    if m:
+        s = m.group(1)
+    out = []
+    for block in _BLOCK_SPLIT_RE.split(s):
+        link_chars = sum(
+            len(" ".join(_TAG_RE.sub(" ", t).split()))
+            for t in _A_TEXT_RE.findall(block)
+        )
+        text = _html.unescape(_TAG_RE.sub(" ", block))
+        text = " ".join(text.split())
+        if not text:
+            continue
+        words = text.count(" ") + 1
+        density = link_chars / len(text)
+        if words >= min_words and density < max_link_density:
+            out.append(text)
+    return "\n".join(out)
+
+
+def extract_main_text_col(html_col: Column) -> Column:
+    """Column form of `extract_main_text_py` (Arrow-batched; fuses into
+    the page scan like `extract_text_col`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(h: pd.Series) -> pd.Series:
+        return h.map(extract_main_text_py)
+
+    return _run(html_col)
+
+
 _CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
 # any char the 7-step spec would rewrite; one search decides whether the
 # four substitution passes can be skipped (most extracted web text is

@@ -144,3 +144,65 @@ def test_normalize_text_spec(spark):
         normalize_text_col(F.col("text"), nfc=False).alias("c")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (extract_main_text_py) — r4 late
+# ---------------------------------------------------------------------------
+
+def test_main_text_keeps_prose_drops_boilerplate():
+    from clucene_spark.pipeline.extract import extract_main_text_py
+
+    page = (
+        "<html><body>"
+        '<nav><a href="/">home</a> <a href="/x">about</a></nav>'
+        "<p>this paragraph has clearly more than ten plain words of real "
+        "prose content</p>"
+        '<div><a href="/t">one two three four five six seven eight nine '
+        "ten eleven</a></div>"
+        "<footer>copyright</footer>"
+        "</body></html>"
+    )
+    assert extract_main_text_py(page) == (
+        "this paragraph has clearly more than ten plain words of real "
+        "prose content"
+    )
+
+
+def test_main_text_thresholds_and_mixed_blocks():
+    from clucene_spark.pipeline.extract import extract_main_text_py
+
+    nine = "a b c d e f g h i"
+    ten = nine + " j"
+    # word threshold is inclusive at min_words
+    assert extract_main_text_py(f"<p>{nine}</p>") == ""
+    assert extract_main_text_py(f"<p>{ten}</p>") == ten
+    # a long block with a minority link is kept; link chars count toward
+    # density but the prose dominates
+    mixed = (
+        "<p>plenty of ordinary words surround "
+        '<a href="/l">a link</a> '
+        "in this long paragraph of honest text</p>"
+    )
+    assert extract_main_text_py(mixed) == (
+        "plenty of ordinary words surround a link in this long "
+        "paragraph of honest text"
+    )
+    # density >= max drops even long blocks
+    linky = '<p><a href="/l">' + ten + "</a></p>"
+    assert extract_main_text_py(linky) == ""
+    # multiple kept blocks join in document order
+    two = f"<p>{ten}</p><div>{ten} extra words here now</div>"
+    assert extract_main_text_py(two) == f"{ten}\n{ten} extra words here now"
+
+
+def test_main_text_entities_and_bytes():
+    from clucene_spark.pipeline.extract import extract_main_text_py
+
+    page = (
+        "<p>entity &amp; test with enough plain words to pass the "
+        "threshold fine</p>"
+    ).encode("utf-8")
+    assert extract_main_text_py(page) == (
+        "entity & test with enough plain words to pass the threshold fine"
+    )
