@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "static_rank_topk": _q_static_rank,
         "crawl_supersede": _q_crawl_supersede,
         "web_main_content": _q_main_content,
+        "dedup_url_hinted": _q_url_dedup_hinted,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1885,6 +1886,54 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_url_dedup_hinted(spark, sf):
+    """Canonical-hint URL dedup (`pipeline/urls.py url_dedup_hinted`):
+    every doc is fetched from a syntactically UNIQUE url
+    (?session={doc_id} — string canonicalization cannot collapse these),
+    but docs declare `<link rel="canonical" href="/canon/{doc_id%97}">`
+    (relative — must resolve against the page URL), so declared groups
+    of ~n/97 docs collapse; every 5th doc declares nothing and falls
+    back to its fetched url (singleton, filtered by n_copies>1). The
+    oracle replays the grouping formula; keep_doc = max doc_id (ts
+    increases with doc_id)."""
+    from clucene_spark.pipeline.urls import url_dedup_hinted
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://h.example/p/"), s(d), F.lit("?session="), s(d)
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="/canon/'),
+                s(d % 97), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        url.alias("url"),
+        html.cast("binary").alias("html"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(secs=d * 7)).alias("warc_ts"),
+    )
+    return url_dedup_hinted(pages).orderBy("canon_url")
+
+
+_URL_DEDUP_HINTED_SQL = """
+WITH e AS (
+  SELECT doc_id, doc_id % 97 AS g FROM documents WHERE doc_id % 5 <> 0)
+SELECT 'h.example/canon/' || g AS canon_url,
+       count(*) AS n_copies,
+       max(doc_id) AS keep_doc
+FROM e GROUP BY g HAVING count(*) > 1 ORDER BY canon_url
 """
 
 
@@ -4664,6 +4713,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "static_rank_topk": _PRELUDE + _STATIC_RANK_TAIL,
         "crawl_supersede": _CRAWL_SUPERSEDE_SQL,
         "web_main_content": _MAIN_CONTENT_SQL,
+        "dedup_url_hinted": _URL_DEDUP_HINTED_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

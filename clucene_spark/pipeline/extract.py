@@ -175,6 +175,57 @@ def extract_main_text_col(html_col: Column) -> Column:
     return _run(html_col)
 
 
+_CANONICAL_RE = re.compile(
+    r"(?is)<link\b[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*>"
+)
+_HREF_RE = re.compile(r"(?i)href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+
+
+def extract_canonical_py(raw, base_url: str | None = None) -> str | None:
+    """The page's declared ``<link rel="canonical">`` target (entity-
+    unescaped, resolved against the page URL when relative), or None.
+    This is the SITE's statement of which URL is authoritative — URL
+    dedup should honor it over syntactic canonicalization when present
+    (a page served from /p?sess=123 declaring /p collapses every session
+    variant into one group)."""
+    s = (
+        raw.decode("utf-8", "replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    m = _CANONICAL_RE.search(s)
+    if not m:
+        return None
+    h = _HREF_RE.search(m.group(0))
+    if not h:
+        return None
+    href = _html.unescape(h.group(2) or h.group(3) or h.group(4) or "").strip()
+    if not href:
+        return None
+    if base_url and "://" not in href:
+        from urllib.parse import urljoin
+
+        try:
+            return urljoin(base_url, href)
+        except ValueError:
+            return href
+    return href
+
+
+def canonical_hint_col(html_col: Column, url_col: Column) -> Column:
+    """Column form: declared canonical resolved against the page URL,
+    null when the page declares none."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(h: pd.Series, u: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_canonical_py(x, base) for x, base in zip(h, u)]
+        )
+
+    return _run(html_col, url_col)
+
+
 _CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
 # any char the 7-step spec would rewrite; one search decides whether the
 # four substitution passes can be skipped (most extracted web text is

@@ -128,6 +128,46 @@ def url_dedup_survivors(
     return pages.join(keep, id_col, "left_semi")
 
 
+def url_dedup_hinted(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """URL dedup honoring the page's DECLARED canonical
+    (``<link rel="canonical">``) over syntactic canonicalization: the
+    group key is canonicalize(coalesce(declared, fetched_url)), so every
+    session/tracking variant that declares the same canonical collapses
+    into one group even when the fetched URLs differ beyond what string
+    rules can see. Returns (canon_url, n_copies, keep_doc) like
+    `url_dedup`.
+
+    Same scale shape: the hint extraction fuses into the page scan
+    (Arrow-batched), then one shuffle of (canon, ts, id) triples — the
+    page payload never moves."""
+    from .extract import canonical_hint_col
+
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        canonicalize_url(
+            F.coalesce(
+                canonical_hint_col(F.col(html_col), F.col(url_col)),
+                F.col(url_col),
+            )
+        ).alias("canon_url"),
+    )
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max(F.struct("ts", "doc_id"))["doc_id"].alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def domain_of(url: Column) -> Column:
     """Registrable-host key (lowercased host, www. stripped, port
     stripped) — the stratification key for per-domain caps and corpus-mix

@@ -206,3 +206,26 @@ def test_main_text_entities_and_bytes():
     assert extract_main_text_py(page) == (
         "entity & test with enough plain words to pass the threshold fine"
     )
+
+
+def test_extract_canonical_hint():
+    from clucene_spark.pipeline.extract import extract_canonical_py
+
+    page = (
+        '<html><head><link rel="canonical" '
+        'href="/real?b=2&amp;a=1"></head><body/></html>'
+    )
+    # relative resolves against the page url; entity unescaped first
+    assert extract_canonical_py(page, "https://w.example/p?session=9") == (
+        "https://w.example/real?b=2&a=1"
+    )
+    assert extract_canonical_py(
+        "<link rel='canonical' href='https://abs.example/x'>", "https://b/"
+    ) == "https://abs.example/x"
+    assert extract_canonical_py("<p>no link</p>", "https://b/") is None
+    assert extract_canonical_py(
+        '<link rel="canonical">', "https://b/"
+    ) is None
+    assert extract_canonical_py(
+        b'<LINK REL="CANONICAL" HREF="/up">', "https://b.example/d/e"
+    ) == "https://b.example/up"
