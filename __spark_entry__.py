@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_supersede": _q_crawl_supersede,
         "web_main_content": _q_main_content,
         "dedup_url_hinted": _q_url_dedup_hinted,
+        "crawl_fetch_plan": _q_fetch_plan,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1886,6 +1887,51 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_fetch_plan(spark, sf):
+    """Politeness fetch planning (`pipeline/robots.py fetch_plan`): per
+    domain, page count x the robots Crawl-delay of the governing group
+    (a decoy group declares delay 99 for a different agent; domains
+    d%3==0 declare none and take the 1s default) -> the per-domain
+    serial fetch time a crawl scheduler shards by. Oracle replays the
+    count and delay formulas."""
+    from clucene_spark.pipeline.robots import fetch_plan
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pages = _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://fp"), s(d % 7), F.lit(".example/p/"), s(d)
+        ).alias("url")
+    )
+    i = F.col("id")
+    doms = spark.range(7).select(
+        F.concat(F.lit("fp"), s(i), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: other\nCrawl-delay: 99\nUser-agent: *\n"),
+            F.when(
+                i % 3 != 0,
+                F.concat(F.lit("Crawl-delay: "), s(i + 2), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("Disallow: /never\n"),
+        ).alias("robots_txt"),
+    )
+    return fetch_plan(pages, doms).orderBy("domain")
+
+
+_FETCH_PLAN_SQL = """
+WITH c AS (
+  SELECT 'fp' || (doc_id % 7) || '.example' AS domain, count(*) AS n_pages
+  FROM documents GROUP BY 1),
+dl AS (
+  SELECT 'fp' || i || '.example' AS domain,
+         CASE WHEN i % 3 <> 0 THEN (i + 2)::DOUBLE ELSE 1.0 END AS crawl_delay
+  FROM range(7) t(i))
+SELECT c.domain, c.n_pages, dl.crawl_delay,
+       round(c.n_pages * dl.crawl_delay, 1) AS est_sec
+FROM c JOIN dl USING (domain) ORDER BY c.domain
 """
 
 
@@ -4714,6 +4760,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "crawl_supersede": _CRAWL_SUPERSEDE_SQL,
         "web_main_content": _MAIN_CONTENT_SQL,
         "dedup_url_hinted": _URL_DEDUP_HINTED_SQL,
+        "crawl_fetch_plan": _FETCH_PLAN_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -87,6 +87,99 @@ def parse_robots(content: str, agent: str) -> list[tuple[bool, str]]:
     return star_rules if star_rules is not None else []
 
 
+def crawl_delay(content: str, agent: str) -> float | None:
+    """The governing group's ``Crawl-delay`` (seconds), or None. Group
+    selection is identical to `parse_robots` (most-specific UA token,
+    '*' fallback); a non-numeric value is ignored like a missing one."""
+    groups: list[tuple[list[str], float | None]] = []
+    cur_uas: list[str] = []
+    cur_delay: float | None = None
+    in_rules = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((cur_uas, cur_delay))
+                cur_uas, cur_delay, in_rules = [], None, False
+            cur_uas.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            if not cur_uas:
+                continue
+            in_rules = True
+            if key == "crawl-delay":
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+    if cur_uas:
+        groups.append((cur_uas, cur_delay))
+
+    agent_l = agent.lower()
+    best_len, best = -1, None
+    star: tuple[bool, float | None] = (False, None)
+    for uas, delay in groups:
+        for ua in uas:
+            if ua == "*":
+                if not star[0]:
+                    star = (True, delay)
+            elif ua in agent_l and len(ua) > best_len:
+                best_len, best = len(ua), delay
+    if best_len >= 0:
+        return best
+    return star[1] if star[0] else None
+
+
+def fetch_plan(
+    pages: DataFrame,
+    robots: DataFrame,
+    agent: str = "cluceneSparkBot",
+    url_col: str = "url",
+    default_delay: float = 1.0,
+    domain_col: str = "domain",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """Politeness-bounded fetch schedule per domain: page count, the
+    site's Crawl-delay (default when undeclared), and the serial fetch
+    time `n_pages * delay` — the number a crawl scheduler shards its
+    frontier by (a domain's pages CANNOT be parallelized past its
+    delay, so est_sec is the per-domain critical path). One groupBy
+    shuffle of (domain) keys; delays ride a broadcast."""
+    delays_src = robots.select(
+        F.col(domain_col).alias("domain"), F.col(content_col).alias("txt")
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "domain": b["domain"],
+                    "delay": [
+                        crawl_delay(t or "", agent) for t in b["txt"]
+                    ],
+                }
+            )
+
+    delays = delays_src.mapInPandas(run, "domain string, delay double")
+    counts = (
+        pages.select(domain_of(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    j = counts.join(F.broadcast(delays), "domain", "left")
+    eff = F.coalesce(F.col("delay"), F.lit(float(default_delay)))
+    return j.select(
+        "domain",
+        "n_pages",
+        eff.alias("crawl_delay"),
+        F.round(F.col("n_pages") * eff, 1).alias("est_sec"),
+    )
+
+
 def _compile_pattern(pattern: str):
     """robots path pattern -> compiled regex (match from path start).
     ``*`` -> ``.*``; a trailing ``$`` anchors the end; everything else is

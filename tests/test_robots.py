@@ -124,3 +124,36 @@ def test_robots_filter_drops_denied_by_default(spark, crawl, robots_df):
     n_allowed = sum(1 for r in annotated if r["robots_allowed"])
     assert len(kept) == n_allowed < 60
     assert "robots_allowed" not in kept[0].asDict()
+
+
+def test_crawl_delay_group_selection_and_parsing():
+    from clucene_spark.pipeline.robots import crawl_delay
+
+    txt = (
+        "User-agent: other\nCrawl-delay: 99\n"
+        "User-agent: GoodBot\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 7\n"
+    )
+    assert crawl_delay(txt, "GoodBot/1.0") == 2.5
+    assert crawl_delay(txt, "SomethingElse") == 7.0
+    assert crawl_delay("User-agent: *\nDisallow: /a\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n", "x") is None
+
+
+def test_fetch_plan(spark):
+    from clucene_spark.pipeline.robots import fetch_plan
+
+    pages = spark.createDataFrame(
+        [(f"https://s{i % 2}.example/p{i}",) for i in range(10)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("s0.example", "User-agent: *\nCrawl-delay: 3\n")],
+        "domain string, robots_txt string",
+    )
+    got = {r["domain"]: r for r in fetch_plan(pages, robots).collect()}
+    assert got["s0.example"]["n_pages"] == 5
+    assert got["s0.example"]["crawl_delay"] == 3.0
+    assert got["s0.example"]["est_sec"] == 15.0
+    assert got["s1.example"]["crawl_delay"] == 1.0  # default
+    assert got["s1.example"]["est_sec"] == 5.0
