@@ -271,6 +271,128 @@ def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
         yield {"headers": headers, "payload": payload}
 
 
+def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
+    """Iterate a multi-member gzip stream ONE MEMBER at a time, yielding
+    each member's decompressed bytes — or ``None`` for a member that
+    fails to inflate, after resyncing to the next gzip magic. The
+    per-record-member convention makes WARC self-healing: one flipped
+    bit costs one record, not the file. Constant memory (one member +
+    one chunk)."""
+    buf = bytearray()
+    pos = 0
+    in_member = False
+
+    def fill() -> bool:
+        nonlocal pos
+        # never compact while inside a member: the error-resync path
+        # needs the member's START offset to stay valid (memory bound
+        # becomes one member + one chunk, same as the payload itself)
+        if not in_member and pos > chunk and pos > len(buf) - pos:
+            del buf[:pos]
+            pos = 0
+        b = fileobj.read(chunk)
+        if not b:
+            return False
+        buf.extend(b)
+        return True
+
+    while True:
+        while len(buf) - pos < 2:
+            if not fill():
+                if len(buf) - pos > 0:
+                    yield None  # trailing garbage / truncated magic
+                return
+        if buf[pos:pos + 2] != b"\x1f\x8b":
+            nxt = buf.find(b"\x1f\x8b", pos + 1)
+            while nxt < 0:
+                tail = max(pos, len(buf) - 1)
+                if not fill():
+                    yield None
+                    return
+                nxt = buf.find(b"\x1f\x8b", tail)
+            pos = nxt
+            yield None  # bytes between members were garbage
+            continue
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = bytearray()
+        if pos > chunk and pos > len(buf) - pos:  # compact BEFORE pinning
+            del buf[:pos]
+            pos = 0
+        start = pos
+        in_member = True
+        try:
+            while not d.eof:
+                if len(buf) - pos == 0 and not fill():
+                    raise zlib.error("truncated member")
+                out.extend(d.decompress(bytes(buf[pos:])))
+                pos = len(buf)
+            # hand back the next member's bytes the decompressor over-read
+            pos = len(buf) - len(d.unused_data)
+            in_member = False
+            yield bytes(out)
+        except zlib.error:
+            # corrupt member: resync at the next magic AFTER this one
+            nxt = buf.find(b"\x1f\x8b", start + 2)
+            while nxt < 0:
+                tail = max(start + 2, len(buf) - 1)
+                if not fill():
+                    in_member = False
+                    yield None
+                    return
+                nxt = buf.find(b"\x1f\x8b", tail)
+            pos = nxt
+            in_member = False
+            yield None
+
+
+def parse_warc_stream_tolerant(
+    fileobj, chunk: int = 1 << 20
+) -> Iterator[dict]:
+    """Corruption-tolerant record iterator for per-record-gzip WARC:
+    each gzip member parses independently; members that fail to inflate
+    OR whose framing is malformed are counted and skipped, and parsing
+    continues at the next member. Yields the same dicts as
+    `parse_warc_stream`, each with an extra ``"skipped_before"`` count
+    (corrupt members encountered since the previous good record).
+    Requires the gzip convention (first bytes must be the magic) —
+    falls back to the strict parser for uncompressed input."""
+    head = fileobj.read(2)
+    if head[:2] != b"\x1f\x8b":
+        # no member boundaries to resync on: strict parse
+        yield from (
+            {**r, "skipped_before": 0}
+            for r in parse_warc_stream(_Prepend(head, fileobj), chunk)
+        )
+        return
+    skipped = 0
+    for member in _gzip_members(_Prepend(head, fileobj), chunk):
+        if member is None:
+            skipped += 1
+            continue
+        try:
+            for rec in parse_warc_stream(io.BytesIO(member), chunk):
+                rec["skipped_before"] = skipped
+                skipped = 0
+                yield rec
+        except ValueError:
+            skipped += 1
+
+
+class _Prepend:
+    """Tiny read-wrapper pushing peeked bytes back onto a stream."""
+
+    def __init__(self, head: bytes, fileobj):
+        self._head = head
+        self._f = fileobj
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            h, self._head = self._head, b""
+            rest = self._f.read(n - len(h)) if n and n > len(h) else b""
+            return h + rest
+        return self._f.read(n)
+
+
 def parse_warc_date(s: str | None):
     if not s:
         return None
@@ -302,6 +424,7 @@ def warc_scan(
     spark: SparkSession,
     paths: list[str],
     warc_types: tuple[str, ...] = ("response",),
+    tolerant: bool = False,
 ) -> DataFrame:
     """Distributed WARC scan: one row per path shipped, each task opens
     and stream-parses its own files (payload never crosses the JVM).
@@ -317,12 +440,14 @@ def warc_scan(
     )
     pdf = pdf.repartition(n_tasks)
 
+    parse = parse_warc_stream_tolerant if tolerant else parse_warc_stream
+
     def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path in b["path"]:
                 rows = []
                 with open(path, "rb") as fh:
-                    for rec in parse_warc_stream(fh):
+                    for rec in parse(fh):
                         h = rec["headers"]
                         rtype = h.get("warc-type", "")
                         if rtype not in want:

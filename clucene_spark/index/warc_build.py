@@ -51,6 +51,7 @@ from ..data.warc import (
     decode_html,
     parse_warc_date,
     parse_warc_stream,
+    parse_warc_stream_tolerant,
     split_http_payload,
 )
 from ..pipeline.extract import extract_text_py, normalize_text_py
@@ -123,6 +124,7 @@ def build_segments_from_warc(
     resume: bool = True,
     file_indices: dict[str, int] | None = None,
     title_field: bool = False,
+    tolerant: bool = False,
 ) -> DataFrame:
     """Build one index segment per WARC file; returns the checkpoint rows
     of segments built THIS run (resumed files are skipped).
@@ -172,6 +174,7 @@ def build_segments_from_warc(
     norm = normalize
     st = stride
     tfield = title_field
+    parse = parse_warc_stream_tolerant if tolerant else parse_warc_stream
 
     def _one_file(batches):
         import gc as _gc
@@ -187,7 +190,7 @@ def build_segments_from_warc(
                 texts, ids, titles = [], [], []
                 urls, tss = [], []
                 with open(path, "rb") as fh:
-                    for rec in parse_warc_stream(fh):
+                    for rec in parse(fh):
                         h = rec["headers"]
                         if h.get("warc-type") != want:
                             continue

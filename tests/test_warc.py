@@ -219,3 +219,56 @@ def test_records_from_col_filters_types(spark):
         assert r["warc_date"] == (
             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
         ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def test_tolerant_parse_survives_corrupt_members(spark, tmp_path):
+    recs = [
+        W.build_record("resource", f"payload {i}".encode() * 40, url=f"u{i}")
+        for i in range(6)
+    ]
+    members = [bytearray(W.gzip_member(r)) for r in recs]
+    # flip a deflate byte mid-member 1 and truncate member 3's tail
+    members[1][len(members[1]) // 2] ^= 0xFF
+    members[3] = members[3][:-6]
+    blob = b"".join(bytes(m) for m in members)
+
+    import io as _io
+
+    from clucene_spark.data.warc import parse_warc_stream_tolerant
+
+    got = list(parse_warc_stream_tolerant(_io.BytesIO(blob), chunk=64))
+    assert [r["headers"]["warc-target-uri"] for r in got] == [
+        "u0", "u2", "u4", "u5"
+    ]
+    # the skip counter attributes the two corrupt members to the records
+    # that follow them
+    assert [r["skipped_before"] for r in got] == [0, 1, 1, 0]
+    # strict parser refuses the same blob
+    with pytest.raises(Exception):
+        list(W.parse_warc_stream(_io.BytesIO(blob)))
+
+    # end-to-end: a corrupt file still scans in tolerant mode
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(blob)
+    rows = W.warc_scan(
+        spark, [str(p)], warc_types=("resource",), tolerant=True
+    ).collect()
+    assert len(rows) == 4
+
+
+def test_tolerant_parse_clean_file_identical(tmp_path):
+    import io as _io
+
+    from clucene_spark.data.warc import parse_warc_stream_tolerant
+
+    recs = [W.build_record("resource", bytes([i]) * 99, url=f"u{i}")
+            for i in range(5)]
+    blob = b"".join(W.gzip_member(r) for r in recs)
+    a = list(W.parse_warc_stream(_io.BytesIO(blob)))
+    b = list(parse_warc_stream_tolerant(_io.BytesIO(blob)))
+    assert [r["payload"] for r in b] == [r["payload"] for r in a]
+    assert all(r["skipped_before"] == 0 for r in b)
+    # uncompressed input falls back to the strict parser transparently
+    plain = b"".join(recs)
+    c = list(parse_warc_stream_tolerant(_io.BytesIO(plain)))
+    assert [r["payload"] for r in c] == [r["payload"] for r in a]
