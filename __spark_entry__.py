@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_main_content": _q_main_content,
         "dedup_url_hinted": _q_url_dedup_hinted,
         "crawl_fetch_plan": _q_fetch_plan,
+        "web_redirects": _q_redirects,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1887,6 +1888,42 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_redirects(spark, sf):
+    """HTTP redirect-chain resolution (`pipeline/links.py
+    resolve_redirects`, pointer doubling in ceil(log2(max_hops))
+    rounds): formula edges u(d) -> u(d-1) for d%4 != 0 form 3-hop
+    chains ending at the d%4 == 0 terminals; every alias must resolve
+    to its chain's end with the exact hop count and terminal=true
+    (edges into absent docs can't occur by construction). Oracle states
+    final/hops from the residue formula."""
+    from clucene_spark.pipeline.links import resolve_redirects
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    edges = (
+        _docs(spark, sf)
+        .where(d % 4 != 0)
+        .select(
+            F.concat(F.lit("u"), s(d)).alias("src"),
+            F.concat(F.lit("u"), s(d - 1)).alias("dst"),
+        )
+    )
+    return (
+        resolve_redirects(edges, max_hops=8)
+        .select("src", "final", "n_hops", "terminal")
+        .orderBy("src")
+    )
+
+
+_REDIRECTS_SQL = """
+SELECT 'u' || doc_id AS src,
+       'u' || (doc_id - doc_id % 4) AS final,
+       (doc_id % 4)::INT AS n_hops,
+       TRUE AS terminal
+FROM documents WHERE doc_id % 4 <> 0 ORDER BY src
 """
 
 
@@ -4761,6 +4798,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "web_main_content": _MAIN_CONTENT_SQL,
         "dedup_url_hinted": _URL_DEDUP_HINTED_SQL,
         "crawl_fetch_plan": _FETCH_PLAN_SQL,
+        "web_redirects": _REDIRECTS_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -408,7 +408,7 @@ def parse_warc_date(s: str | None):
 
 _SCAN_SCHEMA = (
     "path string, url string, warc_ts timestamp, warc_type string, "
-    "http_status int, content_type string, html binary"
+    "http_status int, content_type string, location string, html binary"
 )
 
 
@@ -457,9 +457,11 @@ def warc_scan(
                                 rec["payload"]
                             )
                             ctype = hh.get("content-type")
+                            loc = hh.get("location")
                         else:
                             status, body = None, rec["payload"]
                             ctype = h.get("content-type")
+                            loc = None
                         rows.append(
                             (
                                 path,
@@ -468,6 +470,7 @@ def warc_scan(
                                 rtype,
                                 status,
                                 ctype,
+                                loc,
                                 body,
                             )
                         )
@@ -475,7 +478,7 @@ def warc_scan(
                     rows,
                     columns=[
                         "path", "url", "warc_ts", "warc_type",
-                        "http_status", "content_type", "html",
+                        "http_status", "content_type", "location", "html",
                     ],
                 )
 

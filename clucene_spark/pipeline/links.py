@@ -240,3 +240,60 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def resolve_redirects(
+    redirects: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Collapse HTTP redirect chains: (src, dst) edges from 3xx
+    responses -> (src, final, n_hops, terminal). A crawl stores aliases
+    under every hop URL; dedup and link analysis should key on the
+    chain's end.
+
+    Pointer doubling: each round substitutes final(x) := final(dst(x)),
+    so chains up to 2^k collapse in k self-join rounds —
+    ceil(log2(max_hops)) shuffles instead of max_hops (the
+    `connected_components` recipe). ``terminal`` is False for cycles and
+    chains longer than max_hops (their resolved target still redirects);
+    lineage is truncated per round with localCheckpoint."""
+    import math
+
+    m = redirects.select(
+        F.col("src").alias("m_src"),
+        F.col("dst").alias("m_dst"),
+        F.lit(1).alias("hops"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("m_src").alias("j_src"),
+            F.col("m_dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        m = (
+            m.join(nxt, m["m_dst"] == nxt["j_src"], "left")
+            .select(
+                "m_src",
+                F.coalesce("j_dst", "m_dst").alias("m_dst"),
+                F.when(
+                    F.col("j_dst").isNotNull(),
+                    F.least(
+                        F.col("hops") + F.col("j_hops"),
+                        F.lit(max_hops + 1),
+                    ),
+                ).otherwise(F.col("hops")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    srcs = redirects.select(F.col("src").alias("s")).distinct()
+    return (
+        m.join(srcs, m["m_dst"] == srcs["s"], "left")
+        .select(
+            F.col("m_src").alias("src"),
+            F.col("m_dst").alias("final"),
+            F.col("hops").cast("int").alias("n_hops"),
+            (F.col("s").isNull() & (F.col("hops") <= max_hops)).alias(
+                "terminal"
+            ),
+        )
+    )

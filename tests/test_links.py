@@ -130,3 +130,49 @@ def test_pagerank_matches_numpy_with_dangling_and_dupes(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, iters=2).count() == 0
+
+
+def test_resolve_redirects_chains_cycles_caps(spark):
+    from clucene_spark.pipeline.links import resolve_redirects
+
+    edges = [("u3", "u2"), ("u2", "u1"), ("u1", "u0"),   # chain -> u0
+             ("ca", "cb"), ("cb", "ca")]                 # 2-cycle
+    edges += [(f"L{i}", f"L{i+1}") for i in range(12)]   # 12-hop chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: r for r in resolve_redirects(df, max_hops=8).collect()}
+
+    assert (got["u3"]["final"], got["u3"]["n_hops"],
+            got["u3"]["terminal"]) == ("u0", 3, True)
+    assert got["u2"]["final"] == "u0" and got["u2"]["n_hops"] == 2
+    assert got["u1"]["final"] == "u0" and got["u1"]["n_hops"] == 1
+    # cycle members never terminate
+    assert got["ca"]["terminal"] is False
+    assert got["cb"]["terminal"] is False
+    # a chain longer than max_hops is not certified terminal...
+    assert got["L0"]["terminal"] is False
+    # ...but hops within the cap resolve fully
+    assert (got["L8"]["final"], got["L8"]["terminal"]) == ("L12", True)
+
+
+def test_warc_scan_surfaces_redirect_location(spark, tmp_path):
+    import io
+
+    from clucene_spark.data import warc as W
+
+    rec = W.build_record(
+        "response",
+        W.http_response(
+            b"", status=301, reason="Moved",
+            extra=[("Location", "https://t.example/new")],
+        ),
+        url="https://t.example/old",
+    )
+    ok = W.build_record(
+        "response", W.http_response(b"<p>x</p>"), url="https://t.example/new"
+    )
+    p = tmp_path / "r.warc.gz"
+    p.write_bytes(W.gzip_member(rec) + W.gzip_member(ok))
+    rows = {r["url"]: r for r in W.warc_scan(spark, [str(p)]).collect()}
+    assert rows["https://t.example/old"]["http_status"] == 301
+    assert rows["https://t.example/old"]["location"] == "https://t.example/new"
+    assert rows["https://t.example/new"]["location"] is None
