@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_hinted": _q_url_dedup_hinted,
         "crawl_fetch_plan": _q_fetch_plan,
         "web_redirects": _q_redirects,
+        "url_blocklist": _q_blocklist,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1888,6 +1889,42 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_blocklist(spark, sf):
+    """Domain blocklist filtering with suffix semantics
+    (`pipeline/urls.py blocklist_filter`): pages live on
+    sub{d%3}.host{d%50}.example; the blocklist bans host7.example (so
+    EVERY subdomain of it must match via the suffix chain) and the
+    single subdomain sub1.host11.example (which must NOT drag the other
+    host11 subdomains). Annotated form; oracle replays the two formulas."""
+    from clucene_spark.pipeline.urls import blocklist_filter
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), s(d % 3), F.lit(".host"), s(d % 50),
+            F.lit(".example/p/"), s(d),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("host7.example",), ("sub1.host11.example",)], "domain string"
+    )
+    return (
+        blocklist_filter(pages, bl, keep_blocked=True)
+        .select("doc_id", "blocked")
+        .orderBy("doc_id")
+    )
+
+
+_BLOCKLIST_SQL = """
+SELECT doc_id,
+       (doc_id % 50 = 7)
+       OR (doc_id % 50 = 11 AND doc_id % 3 = 1) AS blocked
+FROM documents ORDER BY doc_id
 """
 
 
@@ -4799,6 +4836,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "dedup_url_hinted": _URL_DEDUP_HINTED_SQL,
         "crawl_fetch_plan": _FETCH_PLAN_SQL,
         "web_redirects": _REDIRECTS_SQL,
+        "url_blocklist": _BLOCKLIST_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -194,3 +194,46 @@ def domain_stats(
             F.max(id_col).alias("max_doc"),
         )
     )
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Domain blocklist filtering with SUFFIX semantics: a blocklist
+    entry ``bad.example`` blocks the domain itself and every subdomain
+    (``ads.bad.example``), the convention of public blocklists. Each
+    page's host explodes into its suffix chain (a.b.c -> a.b.c, b.c, c
+    — bounded by label count, ~4-6 rows) and semi-joins the broadcast
+    blocklist, so the page table never shuffles and matching is exact
+    equality, not LIKE scans. ``keep_blocked=True`` annotates with
+    ``blocked`` instead of filtering."""
+    host = domain_of(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("_bl_domain")).distinct()
+    )
+    exploded = pages.withColumn("_sfx", F.explode(suffixes))
+    hits = (
+        exploded.join(bl, exploded["_sfx"] == F.col("_bl_domain"), "inner")
+        .select(*pages.columns)
+        .distinct()
+    )
+    if keep_blocked:
+        marked = pages.join(
+            hits.select(*pages.columns).withColumn("blocked", F.lit(True)),
+            pages.columns,
+            "left",
+        )
+        return marked.withColumn(
+            "blocked", F.coalesce("blocked", F.lit(False))
+        )
+    return pages.join(hits, pages.columns, "left_anti")

@@ -229,3 +229,28 @@ def test_extract_canonical_hint():
     assert extract_canonical_py(
         b'<LINK REL="CANONICAL" HREF="/up">', "https://b.example/d/e"
     ) == "https://b.example/up"
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from clucene_spark.pipeline.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://ads.bad.example/x"),
+            (1, "https://bad.example/y"),
+            (2, "https://notbad.example/z"),     # NOT a suffix match
+            (3, "https://good.example/w"),
+            (4, "https://deep.sub.bad.example/v"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    kept = sorted(
+        r["doc_id"] for r in blocklist_filter(pages, bl).collect()
+    )
+    assert kept == [2, 3]
+    marked = {
+        r["doc_id"]: r["blocked"]
+        for r in blocklist_filter(pages, bl, keep_blocked=True).collect()
+    }
+    assert marked == {0: True, 1: True, 2: False, 3: False, 4: True}
