@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_plan": _q_fetch_plan,
         "web_redirects": _q_redirects,
         "url_blocklist": _q_blocklist,
+        "time_travel_stats": _q_time_travel,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1889,6 +1890,66 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_time_travel(spark, sf):
+    """Commit-point time travel (`index/segments.py` manifest
+    generations — the reference's IndexReader-on-a-commit /
+    segments_N MVCC model, Iceberg-snapshot analogue): commit #0 indexes
+    only the even docs, commit #1 appends the odds; opening the store AT
+    generation 0 must still see exactly the even-doc corpus while the
+    latest sees everything — generations are immutable, so both reads
+    run against one physical index. Oracle restates both corpus sizes
+    and token totals from the parity formula."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_ttravel"
+    if not os.path.exists(os.path.join(d, "manifest", "segments_1.json")):
+        docs = _docs(spark, sf).select("doc_id", "text")
+        build_segments_fused(
+            docs.where(F.col("doc_id") % 2 == 0), d,
+            docs_per_segment=64, analyzer="whitespace",
+        )
+        build_segments_fused(
+            docs, d, docs_per_segment=64, analyzer="whitespace",
+        )
+    past = SegmentStore(spark, d, generation=0)
+    latest = SegmentStore(spark, d)
+    a = past.doc_lens().agg(
+        F.count("*").alias("gen0_docs"),
+        F.sum("dl").cast("long").alias("gen0_tokens"),
+    )
+    b = latest.doc_lens().agg(
+        F.count("*").alias("latest_docs"),
+        F.sum("dl").cast("long").alias("latest_tokens"),
+    )
+    return a.crossJoin(b).select(
+        "gen0_docs", "gen0_tokens", "latest_docs", "latest_tokens",
+        F.lit(int(latest.manifest["generation"])).cast("long").alias(
+            "latest_gen"
+        ),
+    )
+
+
+_TIME_TRAVEL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents)
+SELECT
+  (SELECT count(*) FROM toks WHERE doc_id % 2 = 0 AND n > 0)::BIGINT
+      AS gen0_docs,
+  (SELECT coalesce(sum(n), 0) FROM toks WHERE doc_id % 2 = 0)::BIGINT
+      AS gen0_tokens,
+  (SELECT count(*) FROM toks WHERE n > 0)::BIGINT AS latest_docs,
+  (SELECT coalesce(sum(n), 0) FROM toks)::BIGINT AS latest_tokens,
+  1::BIGINT AS latest_gen
 """
 
 
@@ -4837,6 +4898,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "crawl_fetch_plan": _FETCH_PLAN_SQL,
         "web_redirects": _REDIRECTS_SQL,
         "url_blocklist": _BLOCKLIST_SQL,
+        "time_travel_stats": _TIME_TRAVEL_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

@@ -270,11 +270,21 @@ def latest_generation(index_dir: str) -> int:
     return max(gens) if gens else -1
 
 
-def read_manifest(index_dir: str) -> dict:
-    gen = latest_generation(index_dir)
+def read_manifest(index_dir: str, generation: int | None = None) -> dict:
+    """The committed segment list — latest generation by default, or a
+    specific PAST generation for point-in-time reads (the reference's
+    IndexReader-on-a-commit-point / Iceberg snapshot time travel:
+    generations are immutable once written, so any un-GC'd commit stays
+    queryable)."""
+    gen = latest_generation(index_dir) if generation is None else generation
     if gen < 0:
         return {"generation": -1, "segments": []}
-    with open(os.path.join(_manifest_dir(index_dir), f"segments_{gen}.json")) as f:
+    path = os.path.join(_manifest_dir(index_dir), f"segments_{gen}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no committed generation {gen} in {index_dir}"
+        )
+    with open(path) as f:
         return json.load(f)
 
 
@@ -797,10 +807,17 @@ def update_documents(
 class SegmentStore:
     """Read side of the on-disk index (the IndexReader analogue)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        generation: int | None = None,
+    ):
+        """generation=None reads the latest commit; a specific value
+        opens that PAST commit point (time travel — see read_manifest)."""
         self.spark = spark
         self.index_dir = index_dir
-        self.manifest = read_manifest(index_dir)
+        self.manifest = read_manifest(index_dir, generation)
         if not self.manifest["segments"]:
             raise FileNotFoundError(f"no committed manifest in {index_dir}")
         self._names = [s["name"] for s in self.manifest["segments"]]

@@ -706,3 +706,30 @@ def test_term_vectors_offsets_on_aligned_and_pieced_index(spark, tmp_path):
     assert store2.has_term_vectors()
     assert store2.term_vectors().select("doc_id").distinct().count() == 10
     assert store2.term_vector(39) == []
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """Generations are immutable commit points: a past generation stays
+    queryable after appends (IndexReader-on-a-commit / snapshot reads),
+    and asking for a generation that never existed raises."""
+    import pytest as _pytest
+
+    from clucene_spark.index.segments import SegmentStore, build_segments_fused
+
+    d = str(tmp_path / "tt")
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text") for i in range(40)],
+        "doc_id long, text string",
+    )
+    build_segments_fused(docs.where("doc_id < 20"), d,
+                         docs_per_segment=8, analyzer="whitespace")
+    build_segments_fused(docs, d, docs_per_segment=8,
+                         analyzer="whitespace")
+    past = SegmentStore(spark, d, generation=0)
+    latest = SegmentStore(spark, d)
+    assert past.doc_lens().count() == 20
+    assert latest.doc_lens().count() == 40
+    assert past.manifest["generation"] == 0
+    assert latest.manifest["generation"] == 1
+    with _pytest.raises(FileNotFoundError):
+        SegmentStore(spark, d, generation=5)
