@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirects": _q_redirects,
         "url_blocklist": _q_blocklist,
         "time_travel_stats": _q_time_travel,
+        "pipeline_ingest_crawl": _q_ingest_crawl,
         "pipeline_decontaminate": _q_decontaminate,
         "decontaminate_fraction": _q_decontaminate_frac,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1890,6 +1891,90 @@ def _q_main_content(spark, sf):
 
 _MAIN_CONTENT_SQL = """
 SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id
+"""
+
+
+def _q_ingest_crawl(spark, sf):
+    """The composed crawl-admission cascade (`pipeline/clean.py
+    ingest_crawl`): docs pair up on one canonical URL per (d - d%2);
+    robots fully denies domains p%7 in {0,5} (Disallow: /), the
+    blocklist bans site3.example (p%7==3), docs with d%13==0 serve
+    boilerplate-only pages (nav+footer, no main block), and of each
+    surviving pair the EARLIER capture (even d; ts grows with d) loses
+    latest-wins. The oracle replays the cascade as one CASE over the
+    residue formulas — any mis-ordered or leaking stage shifts some
+    doc's fate."""
+    from clucene_spark.pipeline.clean import ingest_crawl
+
+    d = F.col("doc_id")
+    p = d - d % 2
+    s = lambda c: c.cast("string")  # noqa: E731
+    boiler = (
+        '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+        "<footer>copyright twenty</footer>"
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit(boiler.split("<footer>")[0]),
+        F.when(
+            d % 13 != 0,
+            F.concat(F.lit("<p>"),
+                     F.replace(
+                         F.replace(
+                             F.replace(F.col("text"), F.lit("&"),
+                                       F.lit("&amp;")),
+                             F.lit("<"), F.lit("&lt;")),
+                         F.lit(">"), F.lit("&gt;")),
+                     F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.lit("<footer>" + boiler.split("<footer>")[1]),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), s(p % 7), F.lit(".example/item/"), s(p)
+        ).alias("url"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(secs=d * 7)).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        "text",
+    )
+    robots = spark.createDataFrame(
+        [(f"site{k}.example",
+          "User-agent: *\nDisallow: /\n" if k % 5 == 0
+          else "User-agent: *\nDisallow: /never\n")
+         for k in range(7)],
+        "domain string, robots_txt string",
+    )
+    bl = spark.createDataFrame([("site3.example",)], "domain string")
+    return ingest_crawl(
+        pages.select("doc_id", "url", "warc_ts", "html"), robots, bl
+    ).orderBy("doc_id")
+
+
+_INGEST_CRAWL_SQL = """
+WITH d AS (
+  SELECT doc_id, text, doc_id - doc_id % 2 AS p,
+         (doc_id - doc_id % 2) % 7 AS k
+  FROM documents),
+f AS (
+  SELECT doc_id, text, p, k,
+    CASE
+      WHEN k IN (0, 5) THEN 'robots_denied'
+      WHEN k = 3 THEN 'blocked_domain'
+      WHEN doc_id % 13 = 0 THEN 'no_content'
+      WHEN doc_id % 2 = 0
+           AND (doc_id + 1) % 13 <> 0
+           AND EXISTS (SELECT 1 FROM documents t2
+                       WHERE t2.doc_id = d.doc_id + 1)
+        THEN 'url_dup'
+      ELSE 'kept'
+    END AS fate
+  FROM d)
+SELECT doc_id, fate,
+       CASE WHEN fate = 'kept' THEN text END AS text_out
+FROM f ORDER BY doc_id
 """
 
 
@@ -4899,6 +4984,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "web_redirects": _REDIRECTS_SQL,
         "url_blocklist": _BLOCKLIST_SQL,
         "time_travel_stats": _TIME_TRAVEL_SQL,
+        "pipeline_ingest_crawl": _INGEST_CRAWL_SQL,
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,

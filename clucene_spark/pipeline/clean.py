@@ -209,3 +209,78 @@ def ingest_webtext(
         ).otherwise(F.lit("")).alias("text_clean"),
     )
     return labeled.unionByName(url_dups)
+
+
+def ingest_crawl(
+    pages: DataFrame,
+    robots: DataFrame,
+    blocklist: DataFrame,
+    agent: str = "cluceneSparkBot",
+) -> DataFrame:
+    """The crawl-side admission cascade composed end-to-end, every input
+    page labeled with its fate:
+
+        robots_denied   — the domain's robots.txt disallows the path
+        blocked_domain  — domain (or a parent) is blocklisted
+        no_content      — boilerplate removal leaves no main text
+        url_dup         — an earlier capture of a canonical URL whose
+                          latest capture also survived admission
+        kept            — survives everything; text_out carries the
+                          extracted main text
+
+    Stage order is the cheap-to-expensive crawl convention: policy
+    filters (robots, blocklist — broadcast joins, page table never
+    shuffles) run before content work (Arrow-batched extraction), and
+    URL dedup runs LAST so only admitted pages contest latest-wins.
+    Input: (doc_id, url, warc_ts, html). Output: (doc_id, fate,
+    text_out) — text_out null except for kept rows."""
+    from clucene_spark.pipeline.extract import extract_main_text_col
+    from clucene_spark.pipeline.robots import robots_filter
+    from clucene_spark.pipeline.urls import blocklist_filter, canonicalize_url
+
+    src = pages.select("doc_id", "url", "warc_ts", "html")
+
+    r = robots_filter(src, robots, agent=agent, keep_denied=True)
+    f_robots = r.where(~F.col("robots_allowed")).select(
+        "doc_id", F.lit("robots_denied").alias("fate"),
+        F.lit(None).cast("string").alias("text_out"),
+    )
+    s1 = r.where(F.col("robots_allowed")).drop(
+        "robots_allowed", "robots_rule"
+    )
+
+    b = blocklist_filter(s1, blocklist, keep_blocked=True)
+    f_blocked = b.where(F.col("blocked")).select(
+        "doc_id", F.lit("blocked_domain").alias("fate"),
+        F.lit(None).cast("string").alias("text_out"),
+    )
+    s2 = b.where(~F.col("blocked")).drop("blocked").withColumn(
+        "main_text", extract_main_text_col(F.col("html"))
+    )
+
+    f_nocontent = s2.where(F.col("main_text") == "").select(
+        "doc_id", F.lit("no_content").alias("fate"),
+        F.lit(None).cast("string").alias("text_out"),
+    )
+    s3 = s2.where(F.col("main_text") != "")
+
+    canon = s3.select(
+        "doc_id", "warc_ts", "main_text",
+        canonicalize_url(F.col("url")).alias("canon"),
+    )
+    keep = (
+        canon.groupBy("canon")
+        .agg(F.max(F.struct("warc_ts", "doc_id"))["doc_id"].alias("doc_id"))
+        .select("doc_id")
+    )
+    f_dup = canon.join(keep, "doc_id", "left_anti").select(
+        "doc_id", F.lit("url_dup").alias("fate"),
+        F.lit(None).cast("string").alias("text_out"),
+    )
+    f_kept = canon.join(keep, "doc_id", "left_semi").select(
+        "doc_id", F.lit("kept").alias("fate"),
+        F.col("main_text").alias("text_out"),
+    )
+    return f_robots.unionByName(f_blocked).unionByName(
+        f_nocontent
+    ).unionByName(f_dup).unionByName(f_kept)

@@ -1323,3 +1323,72 @@ def test_ingest_webtext_fates_and_lineage(spark):
     for r in by_fate["kept"]:
         assert r["n_kept"] == r["n_lines"] > 0
         assert r["text_clean"] != ""
+
+
+def test_ingest_crawl_fates_and_stage_order(spark):
+    """The crawl-side admission cascade (`ingest_crawl`) labels every
+    page exactly once and the stages fire in policy→content→dedup
+    order: a robots-denied page on a blocklisted domain reports
+    robots_denied (policy precedence); a boilerplate-only later capture
+    never contests latest-wins (dedup sees only admitted pages), so the
+    EARLIER capture with real content is kept, not url_dup."""
+    import datetime as dt
+
+    from clucene_spark.pipeline.clean import ingest_crawl
+
+    prose = ("The quick brown fox jumps over the lazy dog near the "
+             "riverbank every single morning without fail.")
+    nav = '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+    foot = "<footer>copyright twenty twenty four</footer>"
+
+    def page(body_para):
+        main = f"<p>{body_para}</p>" if body_para else ""
+        return f"<html><body>{nav}{main}{foot}</body></html>".encode()
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 0: clean keep on an allowed domain
+        (0, "https://ok.example/a", t0, page(prose)),
+        # 1: robots-denied AND blocklisted -> robots wins (stage order)
+        (1, "https://deny.example/x", t0, page(prose)),
+        # 2: blocklisted only
+        (2, "https://blocked.example/y", t0, page(prose)),
+        # 3: boilerplate-only page on an allowed domain
+        (3, "https://ok.example/empty", t0, page("")),
+        # 4+5: same canonical URL (?utm_source strips), later capture wins
+        (4, "https://ok.example/dup?utm_source=feed",
+         t0, page(prose + " first capture.")),
+        (5, "https://ok.example/dup",
+         t0 + dt.timedelta(hours=1), page(prose + " second capture.")),
+        # 6: earlier capture whose LATER twin (7) is boilerplate-only ->
+        #    6 must be kept because 7 never reaches the dedup stage
+        (6, "https://ok.example/ghost", t0, page(prose + " survives.")),
+        (7, "https://ok.example/ghost", t0 + dt.timedelta(hours=2),
+         page("")),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, html binary"
+    )
+    robots = spark.createDataFrame(
+        [("ok.example", "User-agent: *\nDisallow: /never\n"),
+         ("deny.example", "User-agent: *\nDisallow: /\n"),
+         ("blocked.example", "User-agent: *\nDisallow: /never\n")],
+        "domain string, robots_txt string",
+    )
+    bl = spark.createDataFrame(
+        [("deny.example",), ("blocked.example",)], "domain string"
+    )
+    out = {r["doc_id"]: r for r in
+           ingest_crawl(pages, robots, bl).collect()}
+    assert len(out) == 8
+    fates = {d: out[d]["fate"] for d in out}
+    assert fates == {
+        0: "kept", 1: "robots_denied", 2: "blocked_domain",
+        3: "no_content", 4: "url_dup", 5: "kept",
+        6: "kept", 7: "no_content",
+    }
+    # kept rows carry extracted main text, dropped rows carry null
+    assert "second capture" in out[5]["text_out"]
+    assert "survives" in out[6]["text_out"]
+    for d in (1, 2, 3, 4, 7):
+        assert out[d]["text_out"] is None
