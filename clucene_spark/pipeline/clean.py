@@ -216,6 +216,7 @@ def ingest_crawl(
     robots: DataFrame,
     blocklist: DataFrame,
     agent: str = "cluceneSparkBot",
+    max_host_labels: int = 10,
 ) -> DataFrame:
     """The crawl-side admission cascade composed end-to-end, every input
     page labeled with its fate:
@@ -228,59 +229,94 @@ def ingest_crawl(
         kept            — survives everything; text_out carries the
                           extracted main text
 
-    Stage order is the cheap-to-expensive crawl convention: policy
-    filters (robots, blocklist — broadcast joins, page table never
-    shuffles) run before content work (Arrow-batched extraction), and
-    URL dedup runs LAST so only admitted pages contest latest-wins.
+    Single-pass plan (this is the 100-TB shape — the naive per-fate
+    branch-and-union recomputes the whole upstream cascade once per
+    fate: 24 Python UDF evals, 44 exchanges, and a sort-merge join
+    keyed on the raw html bytes at gate scale):
+
+      1. robots decision  — one broadcast rules join + one Arrow batch
+                            pass (robots_filter, keep_denied);
+      2. blocklist        — suffix semantics via one broadcast hash
+                            join PER HOST LABEL LEVEL (<= max_host_labels)
+                            instead of explode+join-back, so the page
+                            table neither explodes nor shuffles and the
+                            html column never enters a join key;
+      3. extraction       — ONE Arrow-batched main-text pass, html
+                            masked to b'' for policy-dropped pages so
+                            the expensive parse runs only on admitted
+                            bytes (cheap-to-expensive crawl order);
+      4. latest-wins      — the only shuffle: a window over the
+                            canonical URL (policy-dropped rows get a
+                            per-row key so they never contest), winner
+                            = max(struct(warc_ts, doc_id)).
+
     Input: (doc_id, url, warc_ts, html). Output: (doc_id, fate,
-    text_out) — text_out null except for kept rows."""
+    text_out) — text_out null except for kept rows. Hosts with more
+    than ``max_host_labels`` labels only have their first
+    ``max_host_labels`` suffix levels checked."""
     from clucene_spark.pipeline.extract import extract_main_text_col
     from clucene_spark.pipeline.robots import robots_filter
-    from clucene_spark.pipeline.urls import blocklist_filter, canonicalize_url
+    from clucene_spark.pipeline.urls import canonicalize_url, domain_of
 
     src = pages.select("doc_id", "url", "warc_ts", "html")
-
     r = robots_filter(src, robots, agent=agent, keep_denied=True)
-    f_robots = r.where(~F.col("robots_allowed")).select(
-        "doc_id", F.lit("robots_denied").alias("fate"),
-        F.lit(None).cast("string").alias("text_out"),
-    )
-    s1 = r.where(F.col("robots_allowed")).drop(
-        "robots_allowed", "robots_rule"
-    )
 
-    b = blocklist_filter(s1, blocklist, keep_blocked=True)
-    f_blocked = b.where(F.col("blocked")).select(
-        "doc_id", F.lit("blocked_domain").alias("fate"),
-        F.lit(None).cast("string").alias("text_out"),
+    labels = F.split(domain_of(F.col("url")), r"\.")
+    n = F.size(labels)
+    # distinct() once and materialize lazily: each of the <=10 per-level
+    # broadcasts below re-plans its input, and without the checkpoint the
+    # (small) blocklist would be re-scanned and re-shuffled per level.
+    bl = (
+        blocklist.select(F.lower(F.col("domain")).alias("_bld"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    s2 = b.where(~F.col("blocked")).drop("blocked").withColumn(
-        "main_text", extract_main_text_col(F.col("html"))
-    )
+    marked = r
+    hit_cols = []
+    for i in range(max_host_labels):
+        bli = F.broadcast(bl.select(F.col("_bld").alias(f"_bld{i}")))
+        sfx = F.when(n > i, F.array_join(F.slice(labels, i + 1, n), "."))
+        marked = marked.join(bli, sfx == F.col(f"_bld{i}"), "left")
+        hit_cols.append(F.col(f"_bld{i}").isNotNull())
+    blocked = hit_cols[0]
+    for h in hit_cols[1:]:
+        blocked = blocked | h
 
-    f_nocontent = s2.where(F.col("main_text") == "").select(
-        "doc_id", F.lit("no_content").alias("fate"),
-        F.lit(None).cast("string").alias("text_out"),
-    )
-    s3 = s2.where(F.col("main_text") != "")
-
-    canon = s3.select(
-        "doc_id", "warc_ts", "main_text",
+    policy_ok = F.col("robots_allowed") & ~blocked
+    step = marked.select(
+        "doc_id",
+        "warc_ts",
+        F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
+        .when(blocked, F.lit("blocked_domain"))
+        .alias("policy_fate"),
+        extract_main_text_col(
+            F.when(policy_ok, F.col("html")).otherwise(F.lit(b""))
+        ).alias("main_text"),
         canonicalize_url(F.col("url")).alias("canon"),
     )
-    keep = (
-        canon.groupBy("canon")
-        .agg(F.max(F.struct("warc_ts", "doc_id"))["doc_id"].alias("doc_id"))
-        .select("doc_id")
+    pre = step.select(
+        "doc_id",
+        "warc_ts",
+        "main_text",
+        F.coalesce(
+            F.col("policy_fate"),
+            F.when(F.col("main_text") == "", F.lit("no_content")),
+        ).alias("pre_fate"),
+        "canon",
     )
-    f_dup = canon.join(keep, "doc_id", "left_anti").select(
-        "doc_id", F.lit("url_dup").alias("fate"),
-        F.lit(None).cast("string").alias("text_out"),
+    # Admitted rows group by canonical URL; dropped rows get a per-row
+    # key (canon never contains NUL) so each forms a singleton group.
+    group_key = F.when(F.col("pre_fate").isNull(), F.col("canon")).otherwise(
+        F.concat(F.lit("\x00drop\x00"), F.col("doc_id").cast("string"))
     )
-    f_kept = canon.join(keep, "doc_id", "left_semi").select(
-        "doc_id", F.lit("kept").alias("fate"),
-        F.col("main_text").alias("text_out"),
+    w = Window.partitionBy(group_key)
+    winner = F.max(F.struct("warc_ts", "doc_id")).over(w)
+    is_kept = F.col("pre_fate").isNull() & (winner["doc_id"] == F.col("doc_id"))
+    return pre.select(
+        "doc_id",
+        F.coalesce(
+            F.col("pre_fate"),
+            F.when(is_kept, F.lit("kept")).otherwise(F.lit("url_dup")),
+        ).alias("fate"),
+        F.when(is_kept, F.col("main_text")).alias("text_out"),
     )
-    return f_robots.unionByName(f_blocked).unionByName(
-        f_nocontent
-    ).unionByName(f_dup).unionByName(f_kept)

@@ -316,3 +316,34 @@ def test_anchor_text_agg_single_shuffle(spark):
     assert plan.count("+- Exchange") == 2, plan
     assert "Expand" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_ingest_crawl_single_pass_single_shuffle(spark):
+    """ingest_crawl: the whole admission cascade is ONE pass over the
+    page table — one source scan, exactly TWO Arrow evals (robots
+    decide + masked main-text extraction), blocklist as per-level
+    broadcast hash joins (html never in a join key, no SortMergeJoin),
+    and exactly ONE shuffle (the latest-wins window)."""
+    import re
+
+    from clucene_spark.pipeline.clean import ingest_crawl
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://s"), F.col("doc_id") % 7,
+                 F.lit(".example/p"), F.col("doc_id") % 97).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "utf-8").alias("html"),
+    )
+    robots = spark.createDataFrame(
+        [("s0.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    bl = spark.createDataFrame([("s3.example",)], "domain string")
+    plan = _plan(ingest_crawl(pages, robots, bl))
+    # formatted mode lists each node twice (tree + details); count tree nodes
+    assert len(re.findall(r"ArrowEvalPython \(\d+\)", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"[+:]- Exchange \(\d+\)", plan)) == 1, plan
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
