@@ -181,10 +181,23 @@ def decode_html(body, content_type: str | None = None) -> str:
 # streaming parser (reader side)
 # ---------------------------------------------------------------------------
 
+# max bytes handed to decompressobj per call. zlib copies everything
+# past a member's end into `unused_data` (a fresh bytes object) — feed
+# it a whole 1 MiB read chunk and a per-record-member WARC (the Common
+# Crawl convention, ~100k members in a 1 GB file) pays
+# members x chunk/2 of allocation+memmove per file: ~50 GB for that
+# 1 GB file. Bounding the feed caps the over-read copy at _FEED bytes
+# per member; the 1M-doc audit measured inflate 0.54s -> 0.12s per
+# 15.6k-record file.
+_FEED = 1 << 13
+
+
 def _gzip_chunks(fileobj, chunk: int) -> Iterator[bytes]:
     """Inflate a possibly multi-member gzip stream incrementally; plain
     (uncompressed) input passes through untouched. Constant memory: one
-    decompressobj at a time, ``unused_data`` handed to the next member."""
+    decompressobj at a time, one read chunk, ``_FEED``-bounded handoff
+    at member boundaries (over-read bytes stay in the chunk — the
+    cursor rewinds instead of copying ``unused_data`` forward)."""
     first = fileobj.read(2)
     if first[:2] != b"\x1f\x8b":
         if first:
@@ -202,15 +215,18 @@ def _gzip_chunks(fileobj, chunk: int) -> Iterator[bytes]:
         pending = b""
         if not buf:
             return
-        while buf:
-            out = d.decompress(buf)
+        mv = memoryview(buf)  # bytes: zero-copy slices, nothing resizes
+        pos, n = 0, len(buf)
+        while pos < n:
+            fed = min(_FEED, n - pos)
+            out = d.decompress(mv[pos : pos + fed])
             if out:
                 yield out
-            if d.eof:  # member boundary: chain to the next member
-                buf = d.unused_data
+            if d.eof:  # member boundary: rewind past the over-read
+                pos += fed - len(d.unused_data)
                 d = zlib.decompressobj(16 + zlib.MAX_WBITS)
             else:
-                buf = b""
+                pos += fed
 
 
 def parse_warc_stream(fileobj, chunk: int = 1 << 20) -> Iterator[dict]:
@@ -324,10 +340,16 @@ def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
             while not d.eof:
                 if len(buf) - pos == 0 and not fill():
                     raise zlib.error("truncated member")
-                out.extend(d.decompress(bytes(buf[pos:])))
-                pos = len(buf)
+                # feed _FEED-bounded slices: handing the whole tail makes
+                # zlib copy everything past the member end into
+                # unused_data — members x tail/2 of memmove per file
+                # (bytes() not memoryview: fill() resizes the bytearray)
+                while pos < len(buf) and not d.eof:
+                    fed = min(_FEED, len(buf) - pos)
+                    out.extend(d.decompress(bytes(buf[pos : pos + fed])))
+                    pos += fed
             # hand back the next member's bytes the decompressor over-read
-            pos = len(buf) - len(d.unused_data)
+            pos -= len(d.unused_data)
             in_member = False
             yield bytes(out)
         except zlib.error:

@@ -272,3 +272,29 @@ def test_tolerant_parse_clean_file_identical(tmp_path):
     plain = b"".join(recs)
     c = list(parse_warc_stream_tolerant(_io.BytesIO(plain)))
     assert [r["payload"] for r in c] == [r["payload"] for r in a]
+
+
+def test_feed_bounded_inflate_member_shapes():
+    # members around the _FEED handoff bound: many tiny members inside
+    # one feed slice, one straddling the bound, one many times larger —
+    # inflate must equal gzip.decompress and both parsers must cut the
+    # same records (regression for the unbounded unused_data copy: the
+    # old loop fed whole read chunks, so every member boundary copied
+    # the rest of the chunk — members x chunk/2 memmove per file)
+    import gzip
+
+    sizes = [1, 17, W._FEED - 3, W._FEED, W._FEED + 3, 5 * W._FEED, 2, 9]
+    recs = [
+        W.build_record("resource", bytes([65 + i % 26]) * n, url=f"u{i}")
+        for i, n in enumerate(sizes)
+    ]
+    blob = b"".join(W.gzip_member(r) for r in recs)
+    assert b"".join(
+        W._gzip_chunks(io.BytesIO(blob), 1 << 20)
+    ) == gzip.decompress(blob)
+    for chunk in (W._FEED - 1, 1 << 20):
+        for fn in (W.parse_warc_stream, W.parse_warc_stream_tolerant):
+            got = list(fn(io.BytesIO(blob), chunk=chunk))
+            assert [r["payload"] for r in got] == [
+                bytes([65 + i % 26]) * n for i, n in enumerate(sizes)
+            ], (fn.__name__, chunk)
