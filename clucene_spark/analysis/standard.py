@@ -411,6 +411,25 @@ _FAST_BAD2 = _re.compile(
     r"[.,][^ ]|(?:(?<= )|^)[0-9][A-Za-z0-9]*[A-Za-z]|[A-Za-z0-9]{256}"
 )
 _PUNCT_DEL = str.maketrans("", "", ".,")
+# terms-only piecewise scan: ONE finditer pass yields exactly the chunks
+# the DFA must see — a whitespace-delimited chunk is "bad" iff it has a
+# 256+ alnum run, is digit-led with a letter in the run, or its
+# post-alnum-prefix remainder is anything but "" / one final '.'/','
+# (internal punct, doubled punct, or a non-[A-Za-z0-9.,] char). Every
+# maximal clean span between bad chunks then degenerates to
+# lower().translate(drop .,).split() in C (same proof as _FAST_OK2: case
+# never splits an alpha run, final '.'/',' is shaved/dropped). Anchored
+# at chunk starts with possessive quantifiers so a clean chunk is
+# rejected in one linear scan, no backtracking — the pass replaces both
+# whole-text prechecks AND the per-chunk Python dispatch. Fuzz-pinned to
+# the DFA in tests/test_analysis.py.
+_BAD_CHUNK = _re.compile(
+    r"(?:(?<=\s)|^)"
+    r"(?:[A-Za-z0-9]{256}"
+    r"|[0-9]++[A-Za-z]"
+    r"|[A-Za-z0-9]*+(?:[.,]\S|[^A-Za-z0-9.,\s]))"
+    r"\S*"
+)
 
 
 def standard_analyze(
@@ -492,37 +511,37 @@ def standard_analyze_terms(
     """Terms-only variant for the indexing hot path: same output terms in
     the same order as standard_analyze (positions are dense 0..n-1, so the
     caller derives them with arange) but without building a tuple per
-    token — the allocation cost dominates the fused segment build."""
-    if _FAST_OK.match(text) and not _FAST_BAD.search(text):
-        return [w for w in text.split(" ") if w and w not in stop_words]
-    if _FAST_OK2.match(text) and not _FAST_BAD2.search(text):
-        return [
-            w
-            for w in text.lower().translate(_PUNCT_DEL).split(" ")
-            if w and w not in stop_words
-        ]
+    token — the allocation cost dominates the fused segment build.
+
+    One _BAD_CHUNK scan partitions the text: DFA only on the bad chunks,
+    C string ops on the (dominant) clean spans between them."""
     out = []
+    last = 0
     n = len(text)
-    for m in _CHUNK_RE.finditer(text):
+    for m in _BAD_CHUNK.finditer(text):
+        span = text[last:m.start()]
+        if span:
+            out.extend(
+                w
+                for w in span.lower().translate(_PUNCT_DEL).split()
+                if w not in stop_words
+            )
         chunk = m.group()
-        if (
-            len(chunk) <= MAX_WORD_LEN
-            and _TOKEN_FAST.match(chunk)
-            and not (chunk[0].isdigit() and not chunk.isdigit())
-        ):
-            if chunk not in stop_words:
-                out.append(chunk)
-            continue
-        if len(chunk) <= MAX_WORD_LEN and _TOKEN_FAST_ALPHA.match(chunk):
-            w = chunk.rstrip(".,").lower()
-            if w not in stop_words:
-                out.append(w)
-            continue
+        # the DFA's lookahead distinguishes EOS from a following space
+        # (e.g. "0_" vs "0_ "): feed the real next char class
         piece = chunk if m.end() == n else chunk + " "
         for tok in StandardTokenizer(piece).tokens():
             tok = lower_case_filter(standard_filter(tok))
             if tok.term not in stop_words:
                 out.append(tok.term)
+        last = m.end()
+    span = text[last:]
+    if span:
+        out.extend(
+            w
+            for w in span.lower().translate(_PUNCT_DEL).split()
+            if w not in stop_words
+        )
     return out
 
 

@@ -33,71 +33,43 @@ import numpy as np
 
 def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """vbyte_encode + the per-value encoded byte length (for slicing a
-    concatenated stream back into sub-blobs)."""
+    concatenated stream back into sub-blobs).
+
+    Index streams are gap/tf/dl/position-delta values, overwhelmingly
+    < 128: the all-1-byte case is a straight uint8 cast, and the general
+    case writes byte position k only for the values that still need it
+    (the active set shrinks geometrically), instead of carrying
+    rem/idx/left state over every value each pass."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    if int(v.max()) < 128:
+        return v.astype(np.uint8).tobytes(), np.ones(v.shape, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
         nbytes += (tmp > 0).astype(np.int64)
         tmp >>= np.uint64(7)
     total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
+    out = np.empty(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    rem = v.copy()
-    idx = starts.copy()
-    left = nbytes.copy()
-    for _ in range(10):
-        mask = left > 0
-        if not mask.any():
-            break
-        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        more = (left[mask] > 1).astype(np.uint8) << 7
-        out[idx[mask]] = byte | more
-        rem[mask] >>= np.uint64(7)
-        idx[mask] += 1
-        left[mask] -= 1
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    k = 1
+    idx = np.flatnonzero(nbytes > 1)
+    while idx.size:
+        vk = ((v[idx] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        more = nbytes[idx] > k + 1
+        out[starts[idx] + k] = vk | (more.astype(np.uint8) << 7)
+        idx = idx[more]
+        k += 1
     return out.tobytes(), nbytes
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as LEB128 varints (7 bits/byte, msb=more).
-
-    Vectorized: computes per-value byte length, then fills each byte slot
-    for all values at once (≤10 passes, one per possible byte position).
-    """
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length = number of 7-bit groups
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # bit_length via successive shifts (max 64 bits -> 10 groups)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    del nbits
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    # offsets of each value's first byte
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    rem = v.copy()
-    idx = starts.copy()
-    left = nbytes.copy()
-    for _ in range(10):
-        mask = left > 0
-        if not mask.any():
-            break
-        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        more = (left[mask] > 1).astype(np.uint8) << 7
-        out[idx[mask]] = byte | more
-        rem[mask] >>= np.uint64(7)
-        idx[mask] += 1
-        left[mask] -= 1
-    return out.tobytes()
+    """Encode a uint64 array as LEB128 varints (7 bits/byte, msb=more)."""
+    return vbyte_encode_with_lengths(values)[0]
 
 
 def vbyte_decode(blob: bytes) -> np.ndarray:
@@ -385,12 +357,13 @@ def encode_postings_frame(
 
 
 def encode_postings_table(
-    terms_per_run: np.ndarray,
+    terms_per_run: np.ndarray | None,
     term_change: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     positions_flat: np.ndarray | None = None,
+    terms_at_starts: np.ndarray | None = None,
 ):
     """Arrow-native twin of :func:`encode_postings_frame`: encode ALL terms
     of a segment and return a ``pyarrow.Table`` in the postings schema
@@ -407,7 +380,10 @@ def encode_postings_table(
     Property-tested equal to encode_postings_frame in tests/test_codec.py.
 
     terms_per_run: per-posting term array (sorted runs); only rows where
-    ``term_change`` is True are emitted as the term column.
+    ``term_change`` is True are emitted as the term column. Callers that
+    already hold the boundary terms (the int-code invert kernel) pass
+    ``terms_at_starts`` instead — vocab-sized, skipping the per-posting
+    object gather — and may pass terms_per_run=None.
     """
     import pyarrow as pa
 
@@ -478,11 +454,12 @@ def encode_postings_table(
     def _list_col(vals: np.ndarray) -> pa.Array:
         return pa.ListArray.from_arrays(blk_offs, pa.array(vals, pa.int64()))
 
-    terms_out = (
-        np.asarray(terms_per_run, dtype=object)[term_starts]
-        if n_terms
-        else np.zeros(0, dtype=object)
-    )
+    if terms_at_starts is not None:
+        terms_out = np.asarray(terms_at_starts, dtype=object)
+    elif n_terms:
+        terms_out = np.asarray(terms_per_run, dtype=object)[term_starts]
+    else:
+        terms_out = np.zeros(0, dtype=object)
     return pa.table(
         {
             "term": pa.array(terms_out, pa.string()),

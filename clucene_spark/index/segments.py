@@ -163,35 +163,42 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     TermVectorsReader). It reuses the same sorted run boundaries as the
     inverted encode, so the extra cost is one np.split + a sort by doc."""
     total = int(counts.sum())
-    if term_prefix:
-        t_arr = np.array(
-            [term_prefix + w for ws in per_doc for w in ws], dtype=object
-        )
-    else:
-        t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+    t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
     d = np.repeat(doc_ids_in, counts)
     # stable sort by term keeps (doc asc, pos asc) inside each term run.
     # factorize (C hash) + rank of the ~small unique-term set avoids a
-    # python-compare sort over every token. Term rank uses UTF-16
-    # code-unit order (reference TermInfosWriter.cpp:108-140 parity;
-    # plain argsort unless a term contains a char >= U+E000).
+    # python-compare sort over every token; after that, EVERY per-token
+    # operation runs on int64 codes — the object strings are only touched
+    # again at term-run boundaries (vocab-sized, ~2 orders smaller).
+    # Term rank uses UTF-16 code-unit order (reference
+    # TermInfosWriter.cpp:108-140 parity; plain argsort unless a term
+    # contains a char >= U+E000). term_prefix (fielded terms) is applied
+    # to the vocab, never per token.
     codes, uniques = pd.factorize(t_arr)
+    del t_arr
+    if term_prefix:
+        uniques = np.array([term_prefix + u for u in uniques], dtype=object)
+    else:
+        uniques = np.asarray(uniques, dtype=object)
+    u_order = utf16_argsort(uniques)
     rank_of_code = np.empty(len(uniques), dtype=np.int64)
-    rank_of_code[utf16_argsort(uniques)] = np.arange(len(uniques))
-    order = np.argsort(rank_of_code[codes], kind="stable")
-    t_arr, d, p = t_arr[order], d[order], p[order]
+    rank_of_code[u_order] = np.arange(len(uniques))
+    sorted_uniques = uniques[u_order]
+    ranks = rank_of_code[codes]
+    order = np.argsort(ranks, kind="stable")
+    r, d, p = ranks[order], d[order], p[order]
 
     n_tok = total
     post_change = np.ones(n_tok, dtype=bool)
     if n_tok > 1:
-        post_change[1:] = (t_arr[1:] != t_arr[:-1]) | (d[1:] != d[:-1])
+        post_change[1:] = (r[1:] != r[:-1]) | (d[1:] != d[:-1])
     post_idx = np.flatnonzero(post_change)
     docs_p = d[post_idx]
     tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
-    terms_p = t_arr[post_idx]
+    ranks_p = r[post_idx]
     term_change = np.ones(len(post_idx), dtype=bool)
     if len(post_idx) > 1:
-        term_change[1:] = terms_p[1:] != terms_p[:-1]
+        term_change[1:] = ranks_p[1:] != ranks_p[:-1]
     uniq_docs = doc_ids_in[counts > 0]
     dl_counts = counts[counts > 0]
     dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
@@ -199,11 +206,13 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     # arrow-native encode: the vbyte streams/offsets map straight onto
     # Arrow binary+list buffers — no per-term bytes slices or .tolist()
     seg_tab = encode_postings_table(
-        terms_p, term_change, docs_p, tfs, dls_p,
+        None, term_change, docs_p, tfs, dls_p,
         positions_flat=p if wp else None,
+        terms_at_starts=sorted_uniques[ranks_p[term_change]],
     )
     if not build_tv:
         return seg_tab, uniq_docs, dl_counts, n_tok, int(len(post_idx))
+    terms_p = sorted_uniques[ranks_p]
     pos_runs = np.split(p, post_idx[1:]) if n_tok else []
     tv_pdf = sort_terms_pdf(
         pd.DataFrame(
@@ -211,7 +220,7 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
                 "doc_id": docs_p,
                 "term": terms_p.astype(str),
                 "tf": tfs,
-                "positions": [r.tolist() for r in pos_runs],
+                "positions": [r_.tolist() for r_ in pos_runs],
             }
         ),
         ["doc_id", "term"],
