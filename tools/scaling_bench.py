@@ -30,13 +30,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # runs of different kernels (r4: the arrow-native segment encoder, +17%).
 # epoch boundary: runs before this measured a DIFFERENT system and must
 # not mix into the steady-state median. Bumped when the build kernel or
-# the bench protocol changes what either level executes. Current epoch:
-# the fleet-plan fix — run_fleet had "--aligned" hardcoded, so every
-# prior --plan=direct run paired a DIRECT low level against an ALIGNED
-# fleet (the slower JVM-scan plan burning ~1.4 of 4 node cores), which
-# understated raw efficiency by construction (fleet nodes 21-23s vs the
-# direct solo control's 12.8s in the same clean window).
-KERNEL_EPOCH = 1787064600  # fleet-plan fix (both levels on PLAN_FLAG)
+# the bench protocol changes what either level executes. Prior epoch:
+# the fleet-plan fix (1787064600) — run_fleet had "--aligned" hardcoded,
+# so every prior --plan=direct run paired a DIRECT low level against an
+# ALIGNED fleet, understating raw efficiency by construction. Current
+# epoch: the int-code invert kernel + scatter vbyte + piecewise-DFA
+# tokenizer scan (commit 635dd72) — per-node throughput +47% at
+# local[32] (112.5k -> 165.9k docs/s), a different kernel again.
+KERNEL_EPOCH = 1787131445  # int-code invert kernel landing
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
