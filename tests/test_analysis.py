@@ -297,6 +297,44 @@ def test_hybrid_chunk_path_equivalent_to_whole_text_dfa(text):
     assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
 
 
+@given(st.text(alphabet="ab3Z.,.. ,\t\n é90", max_size=120))
+@settings(max_examples=400, deadline=None)
+def test_piecewise_bad_chunk_scan_equivalent_to_dfa(text):
+    """The terms-only piecewise scan (_BAD_CHUNK partitions text into
+    DFA-needing chunks vs C-path clean spans) must be term-identical to
+    the whole-text DFA. Alphabet is punctuation/digit-heavy to stress
+    the chunk-boundary cases: doubled punct, punct-led chunks, digit-led
+    alnum, mixed whitespace (tab/newline/NBSP), non-ASCII letters."""
+    from clucene_spark.analysis.standard import standard_analyze_terms
+
+    assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
+
+
+def test_piecewise_bad_chunk_scan_edges():
+    """Deterministic edge pins for the piecewise scan: 256-char alnum
+    runs (MAX_WORD_LEN split), digit-led-with-letter chunks, and
+    bad-chunk-at-EOS (the DFA lookahead distinguishes EOS from space)."""
+    from clucene_spark.analysis.standard import standard_analyze_terms
+
+    for text in [
+        "",
+        " ",
+        "a" * 255,
+        "a" * 256,
+        "a" * 256 + " ok",
+        "3x end",
+        "end 3x",
+        "a.. b",
+        ",lead trail,",
+        "dot.inside",
+        "1,000.5",
+        "tab\tsep nl\nsep",
+    ]:
+        assert standard_analyze_terms(text) == [
+            t for t, *_ in _dfa_analyze(text)
+        ], repr(text)
+
+
 GERMAN_GOLDENS = [
     # reference src/test/data/contribs-lib/analysis/de/data.txt (behavior
     # goldens of TestGermanStemFilter.cpp, embedded so the repo stands alone)
