@@ -376,53 +376,25 @@ def lower_case_filter(tok: Token) -> Token:
 
 import re as _re
 
-# Fast-path eligibility: ONLY lowercase ascii letters/digits/spaces, no
-# token >= 256 chars (LUCENE_MAX_WORD_LEN+1), and no digit-led token that
-# contains a letter (the DFA splits "3x" -> "3","x" via ReadNumber, while
-# letter-led "x3" stays one ALPHANUM token). Under these conditions the
-# DFA provably degenerates to split-on-space: every token is a single
-# alnum run, StandardFilter and LowerCaseFilter are identity, and token
-# type is NUM iff the run starts with a digit (then is all digits).
-# Equivalence is property-tested in tests/test_analysis.py.
-_FAST_OK = _re.compile(r"[a-z0-9 ]*\Z")
-_FAST_BAD = _re.compile(r"(?:(?<= )|^)[0-9][a-z0-9]*[a-z]|[a-z0-9]{256}")
-# hybrid-path helpers: whitespace chunks + per-chunk fast eligibility
-_CHUNK_RE = _re.compile(r"\S+")
-_TOKEN_FAST = _re.compile(r"[a-z0-9]+\Z")
-# terms-only widening: an ASCII alpha run with at most ONE trailing '.'
-# or ',' — the dominant messy-webtext chunk shapes (sentence case, UPPER,
-# clause punctuation). The DFA provably emits exactly one token for the
-# run (case never splits an alpha run), the trailing ',' is discarded as
-# a non-token char, the trailing '.' is dot-shaved (or acronym-stripped
-# by StandardFilter for single letters), and LowerCaseFilter lowercases —
-# so term == chunk.rstrip('.,').lower(). 20k-case fuzz vs the DFA in
-# tests/test_analysis.py. Terms-only: offsets/types are not produced
-# here, so standard_analyze (the query/highlight path) still runs the
-# DFA for these chunks.
-_TOKEN_FAST_ALPHA = _re.compile(r"[A-Za-z]+[.,]?\Z")
-# whole-text widening of the same class: mixed-case alnum words where
-# every '.'/',' is chunk-FINAL (followed by space or end — so internal
-# dots like "3.5"/"a.b.c" and doubled punctuation fall through to the
-# DFA), no digit-led token containing a letter, no 256-char run. Under
-# these conditions tokenization degenerates to
-# lower().translate(drop .,).split(' ') in C — no per-chunk Python loop.
-_FAST_OK2 = _re.compile(r"[A-Za-z0-9 .,]*\Z")
-_FAST_BAD2 = _re.compile(
-    r"[.,][^ ]|(?:(?<= )|^)[0-9][A-Za-z0-9]*[A-Za-z]|[A-Za-z0-9]{256}"
-)
 _PUNCT_DEL = str.maketrans("", "", ".,")
-# terms-only piecewise scan: ONE finditer pass yields exactly the chunks
-# the DFA must see — a whitespace-delimited chunk is "bad" iff it has a
-# 256+ alnum run, is digit-led with a letter in the run, or its
+# Piecewise scan: ONE finditer pass yields exactly the chunks the DFA
+# must see — a whitespace-delimited chunk is "bad" iff it has a 256+
+# alnum run (LUCENE_MAX_WORD_LEN+1 splits it), is digit-led with a
+# letter in the run (the DFA splits "3x" -> "3","x" via ReadNumber,
+# while letter-led "x3" stays one ALPHANUM token), or its
 # post-alnum-prefix remainder is anything but "" / one final '.'/','
-# (internal punct, doubled punct, or a non-[A-Za-z0-9.,] char). Every
-# maximal clean span between bad chunks then degenerates to
-# lower().translate(drop .,).split() in C (same proof as _FAST_OK2: case
-# never splits an alpha run, final '.'/',' is shaved/dropped). Anchored
-# at chunk starts with possessive quantifiers so a clean chunk is
-# rejected in one linear scan, no backtracking — the pass replaces both
-# whole-text prechecks AND the per-chunk Python dispatch. Fuzz-pinned to
-# the DFA in tests/test_analysis.py.
+# (internal punct, doubled punct, or a non-[A-Za-z0-9.,] char). In the
+# clean spans between bad chunks the DFA provably emits one token per
+# alnum run: case never splits an alpha run, a final '.' is dot-shaved
+# (single-letter acronyms: StandardFilter strips the dot, type
+# normalizes to ALPHANUM), a final ',' is discarded as a non-token
+# char, token type is NUM iff the run is digit-led (then all digits) —
+# so the terms-only path degenerates to lower().translate(drop
+# .,).split() in C, and the offsets path to one [A-Za-z0-9]+ finditer.
+# Anchored at chunk starts with possessive quantifiers so a clean chunk
+# is rejected in one linear scan, no backtracking — the pass replaces
+# both whole-text prechecks AND the per-chunk Python dispatch.
+# Fuzz-pinned to the DFA in tests/test_analysis.py.
 _BAD_CHUNK = _re.compile(
     r"(?:(?<=\s)|^)"
     r"(?:[A-Za-z0-9]{256}"
@@ -430,6 +402,8 @@ _BAD_CHUNK = _re.compile(
     r"|[A-Za-z0-9]*+(?:[.,]\S|[^A-Za-z0-9.,\s]))"
     r"\S*"
 )
+# within a clean span every token is exactly an alnum run (offsets path)
+_ALNUM_RUN = _re.compile(r"[A-Za-z0-9]+")
 
 
 def standard_analyze(
@@ -441,58 +415,30 @@ def standard_analyze(
     Returns [(term, pos, start_off, end_off, type)], positions dense over
     surviving tokens (position increments default OFF, Analyzers.cpp:157).
 
-    Texts that are plain lowercase alnum words take a split-on-space fast
-    path (~10x the DFA); anything else runs the full DFA. Output is
-    identical either way (see _FAST_OK/_FAST_BAD above).
+    Offsets flavor of the terms-only piecewise scan: _BAD_CHUNK yields
+    the chunks the DFA must see; in the clean spans between them every
+    token is an alnum run, so one [A-Za-z0-9]+ finditer gives term,
+    start and end directly — the DFA's end offset excludes a clean
+    chunk's shaved '.'/dropped ',' (single-letter acronyms 'I.'
+    identically: StandardFilter strips the dot, type normalizes to
+    ALPHANUM), which is exactly the alnum-run end. Fuzz-pinned to the
+    DFA incl. offsets/types in tests/test_analysis.py.
     """
-    if _FAST_OK.match(text) and not _FAST_BAD.search(text):
-        out = []
-        pos = 0
-        off = 0
-        for w in text.split(" "):
-            if w and w not in stop_words:
-                out.append(
-                    (w, pos, off, off + len(w), NUM if w[0].isdigit() else ALPHANUM)
-                )
-                pos += 1
-            off += len(w) + 1
-        return out
-    # hybrid path: tokens never span whitespace (no DFA branch consumes a
-    # space char), so whitespace chunks dispatch independently — plain
-    # lowercase-alnum chunks bypass the DFA, only chunks with special
-    # characters pay for it. Chunk-level equivalence to the whole-text DFA
-    # is property-tested in tests/test_analysis.py.
     out = []
     pos = 0
+    last = 0
     n = len(text)
-    for m in _CHUNK_RE.finditer(text):
+    for m in _BAD_CHUNK.finditer(text):
+        if last < m.start():
+            for mm in _ALNUM_RUN.finditer(text, last, m.start()):
+                w = mm.group()
+                t = w.lower()
+                if t not in stop_words:
+                    out.append((t, pos, mm.start(), mm.end(),
+                                NUM if w[0].isdigit() else ALPHANUM))
+                    pos += 1
         chunk = m.group()
         base = m.start()
-        if (
-            len(chunk) <= MAX_WORD_LEN
-            and _TOKEN_FAST.match(chunk)
-            and not (chunk[0].isdigit() and not chunk.isdigit())
-        ):
-            if chunk not in stop_words:
-                out.append(
-                    (chunk, pos, base, base + len(chunk),
-                     NUM if chunk[0].isdigit() else ALPHANUM)
-                )
-                pos += 1
-            continue
-        if len(chunk) <= MAX_WORD_LEN and _TOKEN_FAST_ALPHA.match(chunk):
-            # alpha run + at most one trailing '.'/',' — offsets flavor of
-            # the terms-only widening: the DFA emits one token for the
-            # alpha run whose END OFFSET excludes the shaved '.'/dropped
-            # ',' (single-letter acronyms 'I.' identically: StandardFilter
-            # strips the dot, type normalizes to ALPHANUM). Fuzz-pinned to
-            # the DFA incl. offsets in tests/test_analysis.py.
-            w = chunk.rstrip(".,")
-            t = w.lower()
-            if t not in stop_words:
-                out.append((t, pos, base, base + len(w), ALPHANUM))
-                pos += 1
-            continue
         # the DFA's lookahead distinguishes EOS from a following space
         # (e.g. "0_" vs "0_ "): feed the real next char class
         piece = chunk if m.end() == n else chunk + " "
@@ -502,6 +448,15 @@ def standard_analyze(
                 continue
             out.append((tok.term, pos, tok.start + base, tok.end + base, tok.type))
             pos += 1
+        last = m.end()
+    if last < n:
+        for mm in _ALNUM_RUN.finditer(text, last, n):
+            w = mm.group()
+            t = w.lower()
+            if t not in stop_words:
+                out.append((t, pos, mm.start(), mm.end(),
+                            NUM if w[0].isdigit() else ALPHANUM))
+                pos += 1
     return out
 
 
