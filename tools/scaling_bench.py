@@ -463,6 +463,21 @@ def write_report(args, hist: list, result: dict) -> None:
     cns = [h["value_cluster_norm"] for h in same if h.get("value_cluster_norm")]
     eff_cluster = _median(cns) if cns else None
     solos = [h["high_node_solo_sec"] for h in same if h.get("high_node_solo_sec")]
+    # clean-window subset: runs where BOTH levels reached >=85% of their
+    # epoch-best docs/sec — a mechanical, data-defined filter (tenant
+    # noise shows up directly as lost throughput at whichever level it
+    # hit; requiring both sides near-peak keeps only runs whose whole
+    # pair landed in an undisturbed window). Reported ALONGSIDE the
+    # all-runs median, never substituted for it.
+    best_lo_dps = max(h["low_docs_per_sec"] for h in same)
+    best_hi_dps = max(h["high_docs_per_sec"] for h in same)
+    clean = [
+        h for h in same
+        if h["low_docs_per_sec"] >= 0.85 * best_lo_dps
+        and h["high_docs_per_sec"] >= 0.85 * best_hi_dps
+    ]
+    eff_clean = _median([h["value"] for h in clean]) if clean else None
+    n_pass = sum(1 for h in same if h["value"] >= 0.8)
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = "\n".join(
@@ -527,6 +542,14 @@ folded into another):
 | raw (fleet on the shared box, no corrections) | {eff_best:.3f} | {"PASS" if eff_best >= 0.8 else "FAIL"} |
 | hw-normalized (divides out the per-run measured no-Spark per-core host ceiling) | {eff_best_hw:.3f} | {"PASS" if eff_best_hw >= 0.8 else "FAIL"} |
 | cluster-normalized (per run: 4N wall = 4 x that run's SOLO node time — on a real cluster every node runs alone on its own socket, which is what the solo control measures; epoch-best solo {min(solos) if solos else float('nan'):.1f}s) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
+
+Clean-window subset (mechanical filter: BOTH levels >={0.85:.0%} of their
+epoch-best docs/sec, i.e. the whole pair ran in an undisturbed tenant
+window): {len(clean)} of {len(same)} runs, raw-efficiency median =
+{eff_clean if eff_clean else float('nan'):.3f}
+({"PASS" if (eff_clean or 0) >= 0.8 else "below"}); {n_pass}/{len(same)}
+epoch runs pass raw >=0.8 outright. Reported alongside the all-runs
+median above, never substituted for it.
 
 **Primary metric (pre-registered since r3): cluster-normalized** — chosen
 because the north rule compares two CLUSTER sizes and on a real cluster
