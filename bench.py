@@ -181,11 +181,17 @@ def main() -> None:
     store = SegmentStore(spark, idx_dir)
 
     # --- WAND over the on-disk segments ---
+    # best-of-5 like the relational headline: sub-second latencies sit
+    # inside the one-sided tenant-noise band, and a noise plateau can
+    # outlast 3 reps (observed: a wand_and best-of-3 of 5.37s on a loaded
+    # host vs 0.69s minutes later — same code, same plan)
     timings["wand_or"] = best_of(
-        lambda: wand_query_direct(store, ["spark", "vector", "window"], k=10).collect()
+        lambda: wand_query_direct(store, ["spark", "vector", "window"], k=10).collect(),
+        n=max(reps, 5),
     )
     timings["wand_and"] = best_of(
-        lambda: wand_query_direct(store, ["spark", "join"], k=10, mode="AND").collect()
+        lambda: wand_query_direct(store, ["spark", "join"], k=10, mode="AND").collect(),
+        n=max(reps, 5),
     )
 
     # --- relational engine (warm cached index) ---
@@ -361,7 +367,7 @@ def main() -> None:
             bench_docs / timings["seg_build_direct_messy"], 2
         ),
         "query_timing": (
-            f"best-of-{reps} (warm); relational headline "
+            f"best-of-{reps} (warm); relational headline + wand "
             f"best-of-{max(reps, 5)}"
         ),
     }
