@@ -536,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ingest_webtext": _q_ingest_webtext,
         "stream_url_dedup": _q_stream_url_dedup,
         "dedup_lines": _q_line_dedup,
+        # r4 late: ExactSubstr rewrite (span-level cut with owner rule) —
+        # enters the r5 window
+        "dedup_spans": _q_span_dedup,
         # r4 late: link-graph family (anchor-text field + PageRank static
         # rank) — enter the r5 window
         "web_anchor_text": _q_anchor_text,
@@ -2893,6 +2896,84 @@ ORDER BY doc_id
 """
 
 
+def _q_span_dedup(spark, sf):
+    """ExactSubstr rewrite (pipeline/dedup.py span_dedup, Lee et al. 2021
+    semantics with line_dedup's min-doc owner rule) over docs with two
+    planted duplication axes: a 10-token banner prepended to every
+    doc_id%4==0 doc (cut from every copy but the owner, at any
+    alignment) and full twin copies (+1M id) of every doc_id%10==0 doc
+    (the twin rewrites to empty). w=8 so the banner spans 3 windows."""
+    from clucene_spark.pipeline.dedup import span_dedup
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    banner = (
+        "breaking news site menu search login subscribe share print trending"
+    )
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(banner + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return span_dedup(docs.unionByName(twins), w=8).orderBy("doc_id")
+
+
+_SPAN_DEDUP_SQL = """
+WITH docs0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+      THEN 'breaking news site menu search login subscribe share print trending '
+           || text
+      ELSE text END AS text
+  FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM docs0 WHERE doc_id % 10 = 0),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+w AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 7)) AS i
+    FROM t WHERE len(toks) >= 8)),
+ph AS (SELECT h, min(doc_id) AS owner,
+              min(doc_id) < max(doc_id) AS crossd
+       FROM w GROUP BY h),
+cov AS (SELECT DISTINCT doc_id, p FROM (
+        SELECT w.doc_id,
+               unnest(generate_series(w.pos, w.pos + 7)) AS p
+        FROM w JOIN ph USING (h)
+        WHERE ph.crossd AND w.doc_id <> ph.owner)),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov),
+sp AS (SELECT doc_id, count(*) AS dup_tokens, count(DISTINCT grp) AS n_spans
+       FROM isl GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(toks) AS tk,
+               unnest(generate_series(1, len(toks))) AS p
+        FROM t),
+kept AS (SELECT tok.doc_id, string_agg(tk, ' ' ORDER BY tok.p) AS text_clean
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         WHERE cov.p IS NULL
+         GROUP BY tok.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sp.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       coalesce(k.text_clean, '') AS text_clean
+FROM t
+LEFT JOIN sp USING (doc_id)
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+ORDER BY doc_id
+"""
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination: bench set = first 12 tokens of every
     50th doc; flag corpus docs sharing any 8-gram (broadcast semi-join)."""
@@ -4988,6 +5069,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "pipeline_ingest_webtext": _INGEST_WEBTEXT_SQL.replace("__STOP33__", _STOP33_SQL),
         "stream_url_dedup": _STREAM_URL_DEDUP_SQL,
         "dedup_lines": _LINE_DEDUP_SQL,
+        "dedup_spans": _SPAN_DEDUP_SQL,
         "dedup_exact": _dup_corpus_sql(1.0)
         + """
 , h AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS hh,

@@ -772,6 +772,119 @@ def line_dedup(
     )
 
 
+def span_dedup(docs: DataFrame, w: int = 16) -> DataFrame:
+    """Exact-substring dedup WITH document rewrite — the removal half of
+    ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", public): any w-token window that
+    occurs in MORE THAN ONE document is duplicated text; every token
+    position covered by such a window is cut from every document except
+    the window's canonical owner (min doc_id — line_dedup's owner rule
+    lifted to overlapping stride-1 windows), and overlapping removals
+    merge into maximal spans, so copied passages vanish at ANY alignment
+    while exactly one copy survives corpus-wide. Complements
+    window_dedup_stats (which only reports per-doc duplication fractions)
+    the way line_dedup complements chunk_dedup: this op returns the
+    cleaned corpus. Within-doc-only repetition is deliberately kept (the
+    owner keeps all its copies) — that signal belongs to text_repetition.
+
+    Returns (doc_id, n_tokens, dup_tokens, n_spans, text_clean) for every
+    input doc: dup_tokens/n_spans describe the merged removed spans
+    (0/0 and text_clean = original text when nothing was cut, including
+    docs shorter than w; empty string when nothing survives).
+
+    Scale shape at 100 TB — WINDOW TEXT NEVER MOVES, DOC TEXT MOVES ONCE:
+      - one explode to (doc_id, pos, window-hash) rows (n_tokens-w+1 per
+        doc, 24 bytes each), hashed JVM-side (md5 over an array_join of a
+        slice, no Python);
+      - the flag table is one row per distinct hash carrying only
+        (owner = min doc_id, cross-doc = min < max) — no countDistinct,
+        and boilerplate mega-hashes collapse in the map-side partial agg;
+      - flag join pinned SORT-MERGE: both sides are corpus-sized hash
+        frames — same reasoning and audited failure modes as
+        window_dedup_stats (AQE mis-broadcasts by compressed size,
+        shuffled-hash can't build under memory pressure);
+      - covered positions roll up to ONE compact row per doc (the merged
+        (start,end) span list, bounded by doc length like line_dedup's
+        keep-set), joined back on doc_id; the rewrite is a map-side
+        higher-order filter — each token checks the few merged spans
+        (O(n_tokens x n_spans)), the document body crosses the wire
+        exactly once.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    base = ensure_parallelism(docs).select("doc_id", "text")
+    wins = base.filter(F.size(toks) >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.struct(
+                    (i + 1).cast("int").alias("pos"),
+                    md5_60(F.array_join(F.slice(toks, i + 1, w), " ")).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    per_h = wins.groupBy("h").agg(
+        F.min("doc_id").alias("owner"),
+        (F.min("doc_id") < F.max("doc_id")).alias("cross"),
+    )
+    covered = (
+        wins.join(per_h.hint("merge"), "h")
+        .filter(F.col("cross") & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    # gaps-and-islands: consecutive covered positions share (p - rank)
+    grp = F.col("p") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")
+    )
+    spans = (
+        covered.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.min("p").alias("s"), F.max("p").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    span_arr = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.transform(
+        F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.struct((i + 1).cast("int").alias("p"), x.alias("t")),
+            ),
+            lambda st: ~F.exists(
+                span_arr,
+                lambda v: (st["p"] >= v["s"]) & (st["p"] <= v["e"]),
+            ),
+        ),
+        lambda st: st["t"],
+    )
+    return base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                   min_hits: int = 1) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any token

@@ -1288,6 +1288,61 @@ def test_line_dedup_max_docs_threshold(spark):
     assert out[2]["n_kept"] == 0
 
 
+def test_span_dedup_owner_rule_and_merged_spans(spark):
+    """ExactSubstr rewrite semantics: a copied 8-token passage is cut
+    from every doc but its min-doc owner at ANY alignment; a full twin
+    empties out; short docs and within-doc-only repeats are untouched."""
+    from clucene_spark.pipeline.dedup import span_dedup
+
+    banner = "a b c d e f g h"
+    rows = [
+        (1, banner + " unique1 tail1"),
+        (2, "x2 " + banner + " y2 z2"),        # copy at offset 1
+        (3, "p3 q3 " + banner + " r3"),        # copy at offset 2
+        (4, "t u v w aa bb cc dd ee ff"),
+        (5, "t u v w aa bb cc dd ee ff"),      # full twin of 4
+        (6, "short doc only"),                 # < w tokens: no windows
+        (7, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    out = {r["doc_id"]: r for r in span_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), w=8
+    ).collect()}
+    # owner (min doc_id) keeps the banner
+    assert out[1]["dup_tokens"] == 0
+    assert out[1]["text_clean"] == banner + " unique1 tail1"
+    # non-owners lose exactly the 8 banner tokens as ONE merged span
+    assert (out[2]["dup_tokens"], out[2]["n_spans"]) == (8, 1)
+    assert out[2]["text_clean"] == "x2 y2 z2"
+    assert out[3]["text_clean"] == "p3 q3 r3"
+    # full twin: owner intact, twin empties out
+    assert out[4]["text_clean"] == "t u v w aa bb cc dd ee ff"
+    assert (out[5]["dup_tokens"], out[5]["text_clean"]) == (10, "")
+    # short doc reported untouched
+    assert (out[6]["n_tokens"], out[6]["dup_tokens"]) == (3, 0)
+    assert out[6]["text_clean"] == "short doc only"
+    # within-doc-only repetition: owner keeps all copies
+    assert out[7]["dup_tokens"] == 0 and out[7]["text_clean"] == rows[6][1]
+
+
+def test_span_dedup_disjoint_copies_merge_separately(spark):
+    """Two separated copied passages in one doc come back as TWO merged
+    spans; the gap text survives."""
+    from clucene_spark.pipeline.dedup import span_dedup
+
+    p1 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    p2 = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [
+        (1, p1 + " " + p2),                       # owner of both
+        (2, p1 + " gap1 gap2 gap3 " + p2),        # copies both, separated
+    ]
+    out = {r["doc_id"]: r for r in span_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), w=8
+    ).collect()}
+    assert out[1]["dup_tokens"] == 0
+    assert (out[2]["dup_tokens"], out[2]["n_spans"]) == (16, 2)
+    assert out[2]["text_clean"] == "gap1 gap2 gap3"
+
+
 def test_ingest_webtext_fates_and_lineage(spark):
     """The composed front door labels every input row exactly once and
     the per-stage semantics hold: later capture wins the URL group, the

@@ -229,6 +229,20 @@ def test_line_dedup_stats_join_sort_merge_and_no_text_explode(spark):
     assert "explode(split(" not in plan.replace(" ", ""), plan
 
 
+def test_span_dedup_flag_join_sort_merge_and_no_text_explode(spark):
+    """span_dedup's flag join is corpus-sized on both sides (stride-1
+    window hashes vs one row per distinct hash) -> pinned sort-merge,
+    same audited reasoning as window_dedup_stats. The explode carries
+    only (pos, hash) structs; window TEXT must never become rows, and
+    the rewrite is a map-side lambda over the doc's own split array."""
+    from clucene_spark.pipeline.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(span_dedup(docs, w=16))
+    assert "SortMergeJoin" in plan, plan
+    assert "explode(split(" not in plan.replace(" ", ""), plan
+
+
 def test_url_dedup_single_shuffle_no_python(spark):
     """url_dedup is one partial-aggregating shuffle of (canon,ts,id)
     triples; canonicalization is pure Catalyst (no Python workers, no
