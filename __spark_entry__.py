@@ -587,6 +587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "sample_stratified": _q_sample_stratified,
         "sample_stratum_cap": _q_sample_cap,
+        # r4 late: domain-mixture resampling with fractional epochs —
+        # enters the r5 window
+        "sample_mixture": _q_sample_mixture,
+        # r4 late: cursor deep-paging (search-after) — enters the r5 window
+        "term_page2_topk": _q_term_page2,
+        # r4 late: CCNet perplexity bucketing — enters the r5 window
+        "text_ppl_buckets": _q_ppl_buckets,
         "text_pii_redact": _q_pii,
         "pack_sequences": _q_pack_sequences,
         "shard_assign": _q_shard_assign,
@@ -3456,6 +3463,49 @@ def _q_sample_stratified(spark, sf):
     )
 
 
+def _q_ppl_buckets(spark, sf):
+    """CCNet-style perplexity bucketing: head/middle/tail terciles per
+    language by the corpus-trained bigram LM score (pipeline/textstats.py
+    ppl_buckets); the oracle chains the text_lm_score CTE with the same
+    ntile window over (rounded avg_logp DESC, doc_id ASC)."""
+    from clucene_spark.pipeline.textstats import ppl_buckets
+
+    return ppl_buckets(_docs(spark, sf), by="lang").orderBy("doc_id")
+
+
+def _q_term_page2(spark, sf):
+    """Cursor deep-paging: page 2 of the BM25 'spark' ranking via
+    search-after (engine.topk_after) — the cursor is page 1's last
+    (score, doc_id); the oracle states the same page as OFFSET 10 of
+    the total (score DESC, doc_id ASC) order. Equivalent results, but
+    the cursor form is the one that scales: offset n ships n+k rows
+    per shard to the merger, strict-after filters before the
+    per-partition bounded top-k."""
+    s = _searcher(spark, sf)
+    page1 = s.topk(TermQuery(term="spark"), 10, round_to=4).collect()
+    last = page1[-1]
+    return s.topk_after(
+        TermQuery(term="spark"), 10,
+        after=(last["score"], last["doc_id"]), round_to=4,
+    )
+
+
+def _q_sample_mixture(spark, sf):
+    """Domain-mixture resampling with fractional epochs: src3 upsampled
+    to 2.5 epochs (2 copies + a deterministic-hash half get a 3rd),
+    src7 downsampled to 0.25, everything else passes through once.
+    Expected copies == rate exactly; which docs get the fractional copy
+    is the same (stratum, doc_id, seed) hash the oracle replays."""
+    from clucene_spark.pipeline.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        mixture_sample(docs, rates={"src3": 2.5, "src7": 0.25})
+        .select("doc_id", "source", "epoch", "n_copies")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def _q_sample_cap(spark, sf):
     from clucene_spark.pipeline.sampling import per_stratum_cap
 
@@ -4575,6 +4625,13 @@ _TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 def oracle_sql() -> dict[str, str]:
     d = {
         "term_topk_bm25": _bm25_topk_sql(["spark"]),
+        "term_page2_topk": _PRELUDE
+        + """
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25 WHERE term IN ('spark')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+""",
         "term_topk_classic": _PRELUDE
         + """
 , classic AS (
@@ -5333,6 +5390,25 @@ SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
 """,
+        "sample_mixture": """
+WITH s AS (SELECT doc_id, source,
+        ROUND(('0x'||substr(md5(source || ':' || CAST(doc_id AS VARCHAR) || ':42'),
+                            1, 7))::BIGINT / 268435456.0, 6) AS u
+      FROM documents),
+r AS (SELECT doc_id, source, u,
+        CASE source WHEN 'src3' THEN 2.5 WHEN 'src7' THEN 0.25
+             ELSE 1.0 END AS rate
+      FROM s),
+n AS (SELECT doc_id, source,
+        CAST(floor(rate) AS BIGINT)
+          + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM r)
+SELECT doc_id, source,
+       unnest(generate_series(0, n_copies - 1)) AS epoch,
+       n_copies
+FROM n WHERE n_copies > 0
+ORDER BY doc_id, epoch
+""",
         "text_pii_redact": """
 WITH corpus AS (
   SELECT doc_id,
@@ -5505,6 +5581,44 @@ folded AS (
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
        ROUND(sum_logp / n_bigrams, 4) AS avg_logp
 FROM folded ORDER BY doc_id
+""",
+        "text_ppl_buckets": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t FROM tokd WHERE len(t) >= 2),
+bi AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+),
+uni AS (SELECT term, count(*) AS cu
+        FROM (SELECT unnest(t) AS term FROM tokd) GROUP BY term),
+big AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+vv AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT b.doc_id, b.pos, ln((cb + 1.0) / (cu + (SELECT v FROM vv))) AS logp
+  FROM bi b JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+            JOIN uni u ON u.term = b.w1
+),
+folded AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                     (a, x) -> a + x) AS sum_logp
+  FROM scored GROUP BY doc_id
+),
+lm AS (
+  SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         ROUND(sum_logp / n_bigrams, 4) AS avg_logp
+  FROM folded
+),
+b AS (
+  SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.avg_logp,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+              ORDER BY lm.avg_logp DESC, lm.doc_id ASC) AS BIGINT) AS bucket_id
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_bigrams, avg_logp, bucket_id,
+       CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
 """,
         "sample_stratum_cap": """
 WITH s AS (SELECT doc_id, source,

@@ -76,6 +76,50 @@ def per_stratum_cap(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict | None = None,
+    by: str = "source",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-mixture resampling with fractional epochs — the "data
+    recipe" reweighting step of a training pipeline (Pile/DoReMi-style
+    static mixing): a stratum with rate r contributes every doc
+    floor(r) times plus one more iff the doc's deterministic uniform
+    draw < frac(r), so expected copies == r exactly. r < 1 downsamples
+    (crawl), r > 1 upsamples with repetition (curated sources run for
+    multiple epochs), and which docs get the extra fractional copy is a
+    pure function of (stratum, doc_id, seed) — reproducible across runs
+    and engines, resumable at 100 TB (never ``rand()``).
+
+    Output: one row per COPY — (doc_id, stratum col, epoch, n_copies)
+    with epoch = 0-based copy index, so a downstream
+    ``corpus_shuffle`` spreads the repeats across the training stream
+    instead of emitting them back to back.
+
+    Scale shape: map-only — a literal-map rate lookup, one md5 per doc,
+    one bounded explode (array length <= ceil(max rate)); no shuffle,
+    and the rate filter pushes into the scan. Output size is
+    sum(r_d * n_d) rows of a few columns; the text column is carried
+    through untouched (select it upstream if not needed)."""
+    rate = F.lit(float(default_rate))
+    if rates:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in rates.items() for x in (kv[0], float(kv[1]))]
+        )
+        rate = F.coalesce(mapping.getItem(F.col(by)), rate)
+    u = F.round(_u(F.col(by), seed), 6)
+    n_copies = (
+        F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("long")
+    base = docs.withColumn("n_copies", n_copies).filter(F.col("n_copies") > 0)
+    epochs = F.sequence(
+        F.lit(0).cast("long"), F.col("n_copies") - F.lit(1).cast("long")
+    )
+    return base.withColumn("epoch", F.explode(epochs))
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,

@@ -279,3 +279,53 @@ def lm_score(docs: DataFrame, round_to: int = 4) -> DataFrame:
         "n_bigrams",
         F.round(F.col("sum_logp") / F.col("n_bigrams"), round_to).alias("avg_logp"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    by: str = "lang",
+    n_buckets: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    rank every doc WITHIN its stratum by the corpus-trained LM score
+    and split the stratum into n_buckets equal-count bands — head
+    (most fluent) / middle / tail for the classic 3. Docs with <2
+    tokens carry no bigram evidence and are excluded, as in lm_score.
+
+    Returns (doc_id, <by>, n_bigrams, avg_logp, bucket_id, bucket):
+    bucket_id = 1..n_buckets in (avg_logp DESC, doc_id ASC) order —
+    the rounded score ranks, so the band edges are engine-reproducible
+    — and bucket is the head/middle/tail label when n_buckets == 3
+    (the id as a string otherwise).
+
+    Scale shape: lm_score's two count shuffles + LM join, then ONE
+    per-stratum window (ntile). The exact-rank form is the
+    oracle-able gate; at 100 TB the production path replaces the
+    per-stratum global sort with approximate quantile thresholds from
+    a bounded sample (broadcast thresholds -> map-only band assign) —
+    same downstream semantics, CCNet itself publishes the cutoffs,
+    not the ranks."""
+    from pyspark.sql import Window
+
+    scored = lm_score(docs, round_to=round_to).join(
+        docs.select("doc_id", by), "doc_id"
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    out = scored.withColumn(
+        "bucket_id", F.ntile(n_buckets).over(w).cast("long")
+    )
+    if n_buckets == 3:
+        name = (
+            F.when(F.col("bucket_id") == 1, "head")
+            .when(F.col("bucket_id") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        name = F.col("bucket_id").cast("string")
+    return out.select(
+        "doc_id", by, "n_bigrams", "avg_logp", "bucket_id",
+        name.alias("bucket"),
+    )

@@ -1451,3 +1451,38 @@ class Searcher:
                 "doc_id", F.round(F.col("score"), round_to).alias("score")
             )
         return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def topk_after(
+        self,
+        query: Query,
+        k: int = 10,
+        after: tuple | None = None,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Cursor deep-paging (search-after): resume the total
+        (score DESC, doc_id ASC) order strictly after the cursor
+        (after_score, after_doc_id) — the distributed form of Hits
+        paging (the reference re-fetches a doubled top-n on demand,
+        Hits.cpp:96-135 getMoreDocs; see SURVEY §2d "Hits paging").
+        At cluster scale a cursor beats OFFSET: offset n makes every
+        shard ship n+k rows to the merger, a cursor keeps per-shard
+        cost at k because the strict-after predicate filters BEFORE
+        the per-partition bounded top-k. The cursor compares on the
+        same rounding the caller receives, so page boundaries are
+        stable across pages and engines."""
+        self.doc_freqs(self._collect_terms(query))
+        qn = self.query_norm_for(query)
+        scores = self.score(query, qn)
+        if round_to is not None:
+            scores = scores.select(
+                "doc_id", F.round(F.col("score"), round_to).alias("score")
+            )
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scores = scores.filter(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
+        return scores.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)

@@ -655,6 +655,51 @@ def test_stratified_sample_deterministic_and_sized(docs):
     assert c != a
 
 
+def test_mixture_sample_fractional_epochs(docs):
+    """Rate r => every doc appears floor(r) or ceil(r) times, the epoch
+    index runs 0..n_copies-1, the fractional copy is hash-deterministic,
+    and rate 0 / rate 1 behave as drop / identity."""
+    from clucene_spark.pipeline.sampling import mixture_sample
+
+    out = mixture_sample(
+        docs, rates={"src3": 2.5, "src7": 0.25, "src1": 0.0}
+    ).collect()
+    per_source = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r["source"], r["doc_id"]), []).append(r)
+    # rate 0.0: stratum vanishes entirely
+    assert not any(src == "src1" for src, _ in by_doc)
+    for (src, _), rows in by_doc.items():
+        n = rows[0]["n_copies"]
+        assert all(x["n_copies"] == n for x in rows) and len(rows) == n
+        assert sorted(x["epoch"] for x in rows) == list(range(n))
+        if src == "src3":
+            assert n in (2, 3)
+        elif src == "src7":
+            assert n == 1
+        else:
+            assert n == 1  # default rate 1.0: exactly one copy
+    # default-rate strata pass through whole
+    kept_default = [k for k in by_doc if k[0] not in ("src1", "src3", "src7")]
+    n_default = sum(v for s, v in per_source.items()
+                    if s not in ("src1", "src3", "src7"))
+    assert len(kept_default) == n_default
+    # expected sizes: src3 ~2.5x, src7 ~0.25x (loose band, hash-uniform)
+    n3 = sum(len(v) for (s, _), v in by_doc.items() if s == "src3")
+    n7 = len([1 for (s, _) in by_doc if s == "src7"])
+    assert 2.0 * per_source["src3"] <= n3 <= 3.0 * per_source["src3"]
+    assert 0.05 * per_source["src7"] <= n7 <= 0.50 * per_source["src7"]
+    # deterministic across runs
+    again = mixture_sample(
+        docs, rates={"src3": 2.5, "src7": 0.25, "src1": 0.0}
+    ).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == sorted(
+        (r["doc_id"], r["epoch"]) for r in again
+    )
+
+
 def test_per_stratum_cap(docs):
     from clucene_spark.pipeline.sampling import per_stratum_cap
 
@@ -1149,6 +1194,35 @@ def test_lm_score_hand_computed(spark):
         assert abs(got[i]["avg_logp"] - round(acc / len(lps), 6)) < 1e-9, i
     # 'a b' occurs 4x -> doc 0 (all 'a b'/'b a') beats doc 1 (has rare 'b c')
     assert got[0]["avg_logp"] > got[1]["avg_logp"]
+
+
+def test_ppl_buckets_terciles_per_stratum(spark):
+    """Per-stratum equal-count bands in avg_logp DESC order: 6 docs per
+    lang split 2/2/2 into head/middle/tail, band membership matching a
+    python re-rank of lm_score's own output; <2-token docs excluded."""
+    from clucene_spark.pipeline.textstats import lm_score, ppl_buckets
+
+    rows = []
+    for lang_i, lang in enumerate(("en", "fr")):
+        for j in range(6):
+            # vary bigram repetition so scores spread within each lang
+            body = ("x y " * (j + 1) + f"u{lang_i}{j} v{lang_i}{j}").strip()
+            rows.append((lang_i * 10 + j, lang, body))
+    rows.append((99, "en", "solo"))  # 1 token: no bigrams, excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ppl_buckets(df, by="lang").collect()
+    assert all(r["doc_id"] != 99 for r in out)
+    scores = {r["doc_id"]: r["avg_logp"]
+              for r in lm_score(df, round_to=4).collect() if r["doc_id"] != 99}
+    for lang_i, lang in enumerate(("en", "fr")):
+        ids = [lang_i * 10 + j for j in range(6)]
+        ranked = sorted(ids, key=lambda i: (-scores[i], i))
+        want = {i: ("head", "middle", "tail")[pos // 2]
+                for pos, i in enumerate(ranked)}
+        got = {r["doc_id"]: (r["bucket"], r["bucket_id"])
+               for r in out if r["lang"] == lang}
+        assert {i: b for i, (b, _) in got.items()} == want
+        assert sorted(bid for _, bid in got.values()) == [1, 1, 2, 2, 3, 3]
 
 
 def test_connected_components_empty_and_selfloop(spark):

@@ -119,6 +119,18 @@ def test_pii_stats_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_mixture_sample_map_only(spark):
+    """Domain-mixture resampling is a literal-map rate lookup + hash +
+    bounded explode — the plan must contain NO exchange and no Python
+    workers (fractional-epoch copies are generated where the data sits)."""
+    from clucene_spark.pipeline.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(mixture_sample(docs, rates={"src3": 2.5, "src7": 0.25}))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
 def test_pack_sequences_no_global_window_single_scan(spark):
     """The packing cumsum must never be a single-partition window: every
     Window in the plan partitions by the range-bucket id, and the text is

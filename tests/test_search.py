@@ -439,6 +439,32 @@ def test_fuzzy_reference_fixture(spark):
     assert hits("ddddx", 5) == []
 
 
+def test_topk_after_paginates_the_total_order(index):
+    """search-after cursor paging: pages 1..3 stitched together must
+    equal one top-30, disjoint and in order; a cursor past the last
+    match returns empty."""
+    s = Searcher(index)
+    q = TermQuery(term="spark")
+    full = s.topk(q, 30, round_to=4).collect()
+    pages, cursor = [], None
+    for _ in range(3):
+        page = (s.topk(q, 10, round_to=4) if cursor is None else
+                s.topk_after(q, 10, after=cursor, round_to=4)).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+    n_match = s.score(q).count()
+    if n_match <= 30:
+        last = full[-1]
+        tail = s.topk_after(q, 10, after=(last["score"], last["doc_id"]),
+                            round_to=4).collect()
+        assert tail == []
+
+
 def test_topk_sorted_multi_key(index, sf_dir):
     """Multi-key Sort (TestSort testSortCombos/testMultiSort): stored
     field ASC then n_chars DESC, verified against a python sort of the
