@@ -566,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_cluster_canonical": _q_dedup_cluster,
+        # r4 late: quality-preferring cluster survivor — enters the r5 window
+        "dedup_cluster_best": _q_cluster_best,
         "pipeline_clean_corpus": _q_clean_corpus,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -3039,6 +3041,30 @@ def _q_dedup_cluster(spark, sf):
     return cluster_canonical(corpus, pairs).orderBy("doc_id")
 
 
+def _q_cluster_best(spark, sf):
+    """Quality-preferring cluster survivorship (pipeline/graph.py
+    cluster_best): planted twins EXTEND the original (+4 appended
+    tokens), so longest-survives must flip the keep flag to the twin in
+    every 10th cluster — where min-id (cluster_canonical) would keep the
+    original. Oracle: recursive-CTE closure + per-component rank over
+    (n_tokens DESC, doc_id ASC)."""
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs
+    from clucene_spark.pipeline.graph import cluster_best
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2 zq3 zq4")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    scored = corpus.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    pairs = minhash_lsh_pairs(corpus, n=3, threshold=0.5, bands=32,
+                              min_shingles=1)
+    return cluster_best(scored, pairs, score_col="n_tokens").orderBy("doc_id")
+
+
 def _q_dedup_simhash(spark, sf):
     from clucene_spark.pipeline.dedup import simhash_pairs, with_planted_dups
 
@@ -3831,6 +3857,32 @@ _SHINGLE_JPAIRS_CTE = """
 
 _SHINGLE_JACCARD_SQL = _SHINGLE_JPAIRS_CTE + """
 SELECT a, b, jaccard FROM jp ORDER BY a, b
+"""
+
+_CLUSTER_BEST_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zq1 zq2 zq3 zq4' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+""" + _SHINGLE_JPAIRS_CTE + """
+, edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp)
+, reach(node, comp) AS (
+    SELECT doc_id, doc_id FROM corpus
+  UNION
+    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+, comps AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+, sc AS (SELECT c.node, c.component, len(string_split(t.text, ' ')) AS q
+         FROM comps c JOIN corpus t ON t.doc_id = c.node)
+, rk AS (SELECT node, component,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY q DESC, node ASC) AS rn
+         FROM sc)
+SELECT node AS doc_id, component,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM rk ORDER BY doc_id
 """
 
 # Duplicate-cluster canonicalization: min reachable doc_id per node over the
@@ -5271,6 +5323,7 @@ GROUP BY d.doc_id ORDER BY d.doc_id
         "dedup_cluster_canonical": _dup_corpus_sql(0.8).replace(
             "WITH corpus", "WITH RECURSIVE corpus"
         ) + _CLUSTER_CANONICAL_SQL,
+        "dedup_cluster_best": _CLUSTER_BEST_SQL,
         "dedup_simhash": _simhash_sql(32, 4),
         "dedup_embedding_cosine": _emb_neardup_sql(0.99),
         "ann_cosine_topk": _ann_brute_sql(7),

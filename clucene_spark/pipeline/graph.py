@@ -121,3 +121,46 @@ def cluster_canonical(
             "keep", (F.col("doc_id") == F.col("component")).cast("int")
         )
     )
+
+
+def cluster_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    a: str = "a",
+    b: str = "b",
+    ascending: bool = False,
+) -> DataFrame:
+    """Quality-preferring cluster survivorship: like cluster_canonical,
+    but the survivor of each duplicate cluster is the doc with the BEST
+    `score_col` (highest by default; `ascending=True` keeps the lowest,
+    e.g. perplexity), ties broken doc_id ASC — the production dedup
+    policy (keep the longest / cleanest / most-fluent copy), where
+    min-id keeps an arbitrary one. Singletons are their own component
+    and always kept. Returns (doc_id, component, keep).
+
+    Scale shape: connected_components (O(log^2 n) star rounds) + ONE
+    per-component struct-max aggregation (map-side partial — never a
+    per-component window sort) joined back on component; AQE broadcasts
+    the winners frame when the dup rate is low."""
+    comp = connected_components(pairs, a=a, b=b)
+    sign = F.lit(-1.0) if ascending else F.lit(1.0)
+    labeled = (
+        docs.select("doc_id", score_col)
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    key = F.struct(
+        (F.col(score_col).cast("double") * sign).alias("s"),
+        (-F.col("doc_id")).alias("nd"),
+    )
+    winners = (
+        labeled.groupBy("component")
+        .agg(F.max(key).alias("w"))
+        .select("component", (-F.col("w.nd")).alias("_win_doc"))
+    )
+    return labeled.join(winners, "component").select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("_win_doc")).cast("int").alias("keep"),
+    )

@@ -799,6 +799,31 @@ def test_cluster_canonical_survivors(spark, docs):
         )
 
 
+def test_cluster_best_picks_highest_score(spark):
+    """cluster_best keeps the max-score member (tie -> min doc_id), not
+    the min id; ascending=True flips to lowest score; singletons kept."""
+    from clucene_spark.pipeline.graph import cluster_best
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (9, 7.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = {r["doc_id"]: r for r in
+           cluster_best(docs, pairs, score_col="q").collect()}
+    assert len(out) == 5
+    # component {1,2,3}: max q = 9.0 shared by 2 and 3 -> min doc_id 2
+    assert [out[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 1, 0]
+    # singletons always survive
+    assert out[4]["keep"] == 1 and out[9]["keep"] == 1
+    # ascending: lowest score wins the cluster
+    low = {r["doc_id"]: r["keep"] for r in cluster_best(
+        docs, pairs, score_col="q", ascending=True).collect()}
+    assert (low[1], low[2], low[3]) == (1, 0, 0)
+    assert low[4] == 1 and low[9] == 1
+
+
 def test_clean_corpus_cluster_policy(spark, docs):
     """near_policy='cluster' drops everything but the component min; its
     drop set contains the pairwise policy's (a component min never has a
