@@ -594,6 +594,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         # r4 late: cursor deep-paging (search-after) — enters the r5 window
         "term_page2_topk": _q_term_page2,
+        # r4 late: did-you-mean spell suggest from the term dictionary —
+        # enters the r5 window
+        "suggest_term": _q_suggest,
+        # r4 late: field collapsing (one hit per source) — enters the r5
+        # window
+        "collapse_topk": _q_collapse,
         # r4 late: CCNet perplexity bucketing — enters the r5 window
         "text_ppl_buckets": _q_ppl_buckets,
         "text_pii_redact": _q_pii,
@@ -3499,6 +3505,28 @@ def _q_ppl_buckets(spark, sf):
     return ppl_buckets(_docs(spark, sf), by="lang").orderBy("doc_id")
 
 
+def _q_collapse(spark, sf):
+    """Field collapsing: BM25 'spark' top-10 with at most one hit per
+    source — each source represented by its best (score DESC, doc_id
+    ASC) hit; oracle replays the group-best with a rank window over the
+    same rounded scores."""
+    return _searcher(spark, sf).topk_collapse(
+        TermQuery(term="spark"), "source", k=10, round_to=4
+    )
+
+
+def _q_suggest(spark, sf):
+    """Did-you-mean: suggestions for the misspelling 'sport' — two
+    corpus terms clear the cutoff with distinct sims ('sort' 0.75,
+    'spark' 0.6 at prefixLength 1). Ranked (sim DESC, df DESC, term
+    ASC); the oracle replays the FuzzyTermEnum suffix-Levenshtein
+    similarity and the rw_boost round-trip arithmetic on the term
+    dictionary."""
+    return _searcher(spark, sf).suggest(
+        "sport", k=5, prefix_length=1, min_similarity=0.5
+    )
+
+
 def _q_term_page2(spark, sf):
     """Cursor deep-paging: page 2 of the BM25 'spark' ranking via
     search-after (engine.topk_after) — the cursor is page 1's last
@@ -4683,6 +4711,37 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS score
 FROM bm25 WHERE term IN ('spark')
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+""",
+        "collapse_topk": _PRELUDE
+        + """
+, hits AS (
+  SELECT doc_id, ROUND(SUM(sc), 4) AS score
+  FROM bm25 WHERE term IN ('spark') GROUP BY doc_id
+),
+lab AS (SELECT h.doc_id, d.source, h.score
+        FROM hits h JOIN documents d USING (doc_id)),
+best AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM lab)
+SELECT doc_id, source, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "suggest_term": _PRELUDE
+        + """
+, cand AS (
+  SELECT term, df,
+         CASE WHEN length(term) - 1 = 0
+              THEN 1.0 - 4.0 / 1.0
+              ELSE 1.0 - CAST(levenshtein(substring(term, 2), 'port') AS DOUBLE)
+                   / (1.0 + least(4.0, CAST(length(term) - 1 AS DOUBLE)))
+         END AS sim0
+  FROM term_dict WHERE term LIKE 's%' AND term <> 'sport'
+),
+f AS (SELECT term, df, (sim0 - 0.5) * 2.0 AS rw FROM cand WHERE sim0 > 0.5)
+SELECT term, CAST(df AS BIGINT) AS df, ROUND(rw * 0.5 + 0.5, 4) AS sim
+FROM f ORDER BY sim DESC, df DESC, term ASC LIMIT 5
 """,
         "term_topk_classic": _PRELUDE
         + """

@@ -638,6 +638,89 @@ class Searcher:
             .limit(self.MAX_CLAUSE_COUNT)
         )
 
+    def topk_collapse(
+        self,
+        query: Query,
+        collapse_field: str,
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Field collapsing (the grouping/diversification feature of the
+        Lucene lineage): relevance top-k with AT MOST ONE hit per
+        `collapse_field` value — each group is represented by its best
+        (score DESC, doc_id ASC) member, then representatives rank by the
+        same order. Returns (doc_id, <collapse_field>, score).
+
+        Scale shape: scoring is unchanged; the collapse is ONE
+        partial-aggregating shuffle on the collapse key (max-struct per
+        group — never a per-group window sort of the full hit list), and
+        the final top-k over one-row-per-group compiles to
+        TakeOrderedAndProject."""
+        self.doc_freqs(self._collect_terms(query))
+        qn = self.query_norm_for(query)
+        scores = self.score(query, qn)
+        if round_to is not None:
+            scores = scores.select(
+                "doc_id", F.round(F.col("score"), round_to).alias("score")
+            )
+        labeled = scores.join(
+            self.index.docs.select("doc_id", collapse_field), "doc_id"
+        )
+        best = (
+            labeled.groupBy(collapse_field)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("doc_id")).alias("nd"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                (-F.col("w.nd")).alias("doc_id"),
+                collapse_field,
+                F.col("w.s").alias("score"),
+            )
+        )
+        return best.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
+    def suggest(
+        self,
+        term: str,
+        k: int = 5,
+        field: Optional[str] = None,
+        prefix_length: int = 1,
+        min_similarity: float = 0.5,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """Did-you-mean term suggestions from the term dictionary:
+        candidates inside the FuzzyTermEnum similarity cutoff
+        (_fuzzy_matches — the reference-faithful suffix-Levenshtein sim,
+        FuzzyQuery.cpp:143-152,225-227), ranked by (sim DESC, df DESC,
+        term ASC) so more-frequent corpus terms win similarity ties —
+        the classic corpus-as-its-own-dictionary spellchecker policy.
+        The input term itself is excluded. Returns (term, df, sim).
+
+        Scale shape: the prefixLength predicate pushes into the
+        term-dictionary scan (same pushdown as PrefixQuery), sim is one
+        JVM levenshtein per surviving dict row, and top-k compiles to
+        TakeOrderedAndProject — no shuffle, no Python."""
+        q = FuzzyQuery(term=term, min_similarity=min_similarity,
+                       prefix_length=prefix_length, field=field)
+        cands = self._fuzzy_matches(q).filter(F.col("term") != term)
+        sim_full = F.round(
+            F.col("rw_boost") * F.lit(1.0 - min_similarity)
+            + F.lit(min_similarity), round_to,
+        )
+        return (
+            cands.select("term", "df", sim_full.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("df").desc(),
+                     F.col("term").asc())
+            .limit(k)
+        )
+
     def _score_fuzzy(self, query: FuzzyQuery) -> DataFrame:
         """rewrite -> BooleanQuery(SHOULD, coord disabled) of boosted
         TermQueries (FuzzyQuery::rewrite, FuzzyQuery.cpp:377-425): every

@@ -439,6 +439,57 @@ def test_fuzzy_reference_fixture(spark):
     assert hits("ddddx", 5) == []
 
 
+def test_topk_collapse_one_per_group(index, sf_dir):
+    """Field collapsing: at most one hit per source, each group
+    represented by its best (score DESC, doc_id ASC) member, verified
+    against a python group-best over the full scored hit list."""
+    import duckdb
+
+    s = Searcher(index)
+    q = TermQuery(term="spark")
+    s.doc_freqs(s._collect_terms(q))
+    qn = s.query_norm_for(q)
+    hits = {r["doc_id"]: round(r["score"], 4)
+            for r in s.score(q, qn).collect()}
+    src = dict(duckdb.sql(
+        f"SELECT doc_id, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall())
+    best = {}
+    for d, sc in hits.items():
+        g = src[d]
+        if g not in best or (-sc, d) < (-best[g][1], best[g][0]):
+            best[g] = (d, sc)
+    want = sorted(best.values(), key=lambda t: (-t[1], t[0]))[:10]
+    got = s.topk_collapse(q, "source", k=10, round_to=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert len({r["source"] for r in got}) == len(got)
+
+
+def test_suggest_similarity_then_df_ranking(index):
+    """Did-you-mean: 'spakr' (transposed 'spark') must surface 'spark'
+    with the hand-computed FuzzyTermEnum sim 0.6; ranking is sim DESC
+    with df DESC breaking similarity ties; the input term and
+    sub-cutoff candidates never appear."""
+    s = Searcher(index)
+    got = s.suggest("spakr", k=5, prefix_length=1, min_similarity=0.5).collect()
+    assert got and all(
+        r["term"].startswith("s") and r["term"] != "spakr" for r in got
+    )
+    terms = [r["term"] for r in got]
+    assert "spark" in terms
+    row = next(r for r in got if r["term"] == "spark")
+    # lev('park','pakr') = 2 -> sim = 1 - 2/(1 + min(4,4)) = 0.6
+    assert abs(row["sim"] - 0.6) < 1e-9
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    for a, b in zip(got, got[1:]):
+        if a["sim"] == b["sim"]:
+            assert a["df"] > b["df"] or (
+                a["df"] == b["df"] and a["term"] < b["term"]
+            )
+
+
 def test_topk_after_paginates_the_total_order(index):
     """search-after cursor paging: pages 1..3 stitched together must
     equal one top-30, disjoint and in order; a cursor past the last
