@@ -560,6 +560,18 @@ box's shared memory bandwidth twice. Headline verdict =
 raw verdict {"PASS" if eff_best >= 0.8 else "FAIL"} is reported above and
 never substituted.
 
+Measurement scheduling (since r4s3): pairs are launched by
+`tools/scaling_sentinel.py`, which gates each launch on a 16-process
+streaming-bandwidth probe (`tools/window_probe.py`, history in
+`BENCH/probe_history.jsonl`) and only starts a pair when the probe reads
+within 15% of the best bandwidth this host has shown (i.e. an
+undisturbed tenant window). The gate decides WHEN to measure, never
+what to keep: every pair that runs is recorded as-is, degraded or not —
+the shared-box analogue of "don't benchmark while pytest runs". The
+4-core low level is rarely hurt by co-tenants while the 16-core fleet
+level is the direct victim, so degraded-window pairs measure the
+co-tenant, not the engine.
+
 Shared-VM noise here is TWO-sided, which is why the estimator is the
 per-run median: co-tenants slow either level down, and an otherwise-idle
 box lets the small level TURBO — 4 pinned cores alone on the socket get
