@@ -500,6 +500,46 @@ def standard_analyze_terms(
     return out
 
 
+def standard_analyze_terms_nostop(
+    text: str, chunk_cache: dict | None = None
+) -> list[str]:
+    """Piecewise terms WITHOUT the StopFilter — for callers that drop
+    stopwords at the dictionary-code level (segments._analyze_docs_codes):
+    filtering once per VOCAB entry beats a per-token set probe.
+
+    chunk_cache memoizes the DFA output per bad-chunk piece: bad chunks
+    are Zipf-distributed in real text (and a tiny fixed set in the bench
+    corpus), so the DFA runs once per distinct chunk per task instead of
+    once per occurrence. The cache key is the exact DFA input (chunk +
+    the one-char lookahead), so hits are trivially equivalent. Equality
+    `[t for t in this if t not in stops] == standard_analyze_terms(text)`
+    is fuzz-pinned in tests/test_analysis.py."""
+    out: list[str] = []
+    last = 0
+    n = len(text)
+    for m in _BAD_CHUNK.finditer(text):
+        span = text[last:m.start()]
+        if span:
+            out.extend(span.lower().translate(_PUNCT_DEL).split())
+        chunk = m.group()
+        # the DFA's lookahead distinguishes EOS from a following space
+        piece = chunk if m.end() == n else chunk + " "
+        toks = None if chunk_cache is None else chunk_cache.get(piece)
+        if toks is None:
+            toks = tuple(
+                lower_case_filter(standard_filter(tok)).term
+                for tok in StandardTokenizer(piece).tokens()
+            )
+            if chunk_cache is not None and len(chunk_cache) < 65536:
+                chunk_cache[piece] = toks
+        out.extend(toks)
+        last = m.end()
+    span = text[last:]
+    if span:
+        out.extend(span.lower().translate(_PUNCT_DEL).split())
+    return out
+
+
 def tokenize_only(text: str) -> list[Token]:
     """Raw tokenizer output (no filters) — for token-golden tests."""
     return list(StandardTokenizer(text).tokens())

@@ -152,10 +152,174 @@ def _analyze_docs(texts, analyzer: str, langs=None):
     return per_doc, p, counts
 
 
+# A doc is ARROW-ELIGIBLE iff the StandardAnalyzer provably degenerates to
+# lower().delete('.'',').split() over the WHOLE text — i.e. the text has no
+# _BAD_CHUNK (standard.py) anywhere AND only ASCII chars, so the piecewise
+# proof's single clean span covers the doc. RE2 alternation (linear scan,
+# runs inside Arrow's C++ kernel):
+#   1. any char outside [A-Za-z0-9., ascii-ws]  (unicode, punct, control)
+#   2. '.'/',' not chunk-final                  (internal/doubled punct)
+#   3. digit-led alnum run containing a letter  (DFA splits "3x")
+#   4. a 256+ alnum run                         (LUCENE_MAX_WORD_LEN split)
+# Restricting to ASCII also makes python str.split() == Arrow
+# utf8_split_whitespace (both split [\t\n\x0b\x0c\r ]; the exotic
+# whitespace/unicode cases are all routed to the python path by rule 1).
+_ARROW_BAD_DOC = (
+    "[^A-Za-z0-9.,\t\n\x0b\x0c\r ]"
+    "|[.,][^\t\n\x0b\x0c\r ]"
+    "|(?:^|[\t\n\x0b\x0c\r ])[0-9]+[A-Za-z]"
+    "|[A-Za-z0-9]{256}"
+)
+
+
+def _analyze_docs_codes(texts, analyzer: str, langs=None):
+    """Token stream as DICTIONARY CODES: (codes int64, uniques object[],
+    p int64, counts int64) — same tokens/positions as _analyze_docs, but
+    the per-token representation never materializes python strings for
+    the (dominant) regex-clean standard-analyzer docs.
+
+    Fast path (analyzer='standard'): one RE2 scan routes clean docs
+    through Arrow C kernels — utf8_lower -> delete './,' ->
+    split_whitespace -> dictionary_encode — so tokenization + vocab
+    hashing run over contiguous string buffers instead of millions of
+    heap-scattered python str objects (the fused build's dominant memory
+    traffic, which is what saturates the socket at high core counts).
+    Docs with any bad chunk (planted edge tokens, unicode, internal
+    punctuation) take the existing piecewise-DFA python path and their
+    terms are mapped into the same code space. Token-for-token equality
+    with _analyze_docs is pinned in tests/test_segments_arrow_kernel.py.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if analyzer != "standard":
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = np.array(texts.to_pylist(), dtype=object)
+        per_doc, p, counts = _analyze_docs(texts, analyzer, langs)
+        t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+        codes, uniques = pd.factorize(t_arr)
+        return (codes.astype(np.int64), np.asarray(uniques, dtype=object),
+                p, counts)
+
+    from clucene_spark.analysis.standard import (
+        ENGLISH_STOP_WORDS, standard_analyze_terms_nostop)
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts_pa = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        texts_pa = texts
+    else:
+        texts_pa = pa.array(texts, type=pa.string(), from_pandas=True)
+    n = len(texts_pa)
+    bad = pc.fill_null(
+        pc.match_substring_regex(texts_pa, _ARROW_BAD_DOC), True
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    elig_idx = np.flatnonzero(~bad)
+    bad_idx = np.flatnonzero(bad)
+
+    if len(elig_idx):
+        sub = (texts_pa if len(elig_idx) == n
+               else pc.take(texts_pa, pa.array(elig_idx)))
+        tok_lists = pc.utf8_split_whitespace(
+            pc.replace_substring(
+                pc.replace_substring(pc.utf8_lower(sub), ".", ""), ",", ""))
+        if isinstance(tok_lists, pa.ChunkedArray):
+            tok_lists = tok_lists.combine_chunks()
+        offs = tok_lists.offsets.to_numpy().astype(np.int64)
+        counts_e = np.diff(offs)
+        flat_a = pc.list_flatten(tok_lists)
+    else:
+        counts_e = np.zeros(0, np.int64)
+        flat_a = pa.array([], type=pa.string())
+
+    # python piecewise path for the bad docs (no stopword probe per token
+    # — stopwords drop at the CODE level below; the DFA memoizes per
+    # distinct bad chunk)
+    counts_b = np.zeros(len(bad_idx), np.int64)
+    py_tokens: list = []
+    chunk_cache: dict = {}
+    for j, bi in enumerate(bad_idx):
+        t = texts_pa[int(bi)].as_py()
+        terms = (standard_analyze_terms_nostop(t, chunk_cache)
+                 if t is not None else [])
+        counts_b[j] = len(terms)
+        py_tokens.extend(terms)
+
+    # ONE dictionary pass over both sub-streams unifies the code space —
+    # no per-token python mapping loop
+    n_a = len(flat_a)
+    if py_tokens:
+        flat_all = pa.concat_arrays(
+            [flat_a, pa.array(py_tokens, type=pa.string())])
+    else:
+        flat_all = flat_a
+    denc = pc.dictionary_encode(flat_all)
+    codes_all = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes_e, codes_b = codes_all[:n_a], codes_all[n_a:]
+    uniques = np.array(denc.dictionary.to_pylist(), dtype=object)
+
+    # neither sub-path has stop-filtered yet: stopwords + edge-empties
+    # drop at the CODE level — one probe per VOCAB entry, never per token
+    drop = np.zeros(len(uniques), dtype=bool)
+    for i, u in enumerate(uniques):
+        if u == "" or u in ENGLISH_STOP_WORDS:
+            drop[i] = True
+
+    # stitch both sub-streams back into original doc order (vectorized
+    # scatter; uniq_docs downstream needs doc_ids ascending)
+    counts_full = np.zeros(n, np.int64)
+    counts_full[elig_idx] = counts_e
+    counts_full[bad_idx] = counts_b
+    total = int(counts_full.sum())
+    starts = np.cumsum(counts_full) - counts_full
+    flat_codes = np.empty(total, np.int64)
+
+    def _tgt(sel, cnts):
+        intra = (np.arange(int(cnts.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        return np.repeat(starts[sel], cnts) + intra
+
+    if len(elig_idx):
+        if len(elig_idx) == n:
+            flat_codes = codes_e
+        else:
+            flat_codes[_tgt(elig_idx, counts_e)] = codes_e
+    if len(bad_idx):
+        flat_codes[_tgt(bad_idx, counts_b)] = codes_b
+
+    if drop.any():
+        keep = ~drop[flat_codes]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_full)
+        flat_codes = flat_codes[keep]
+        counts_full = np.bincount(
+            doc_idx[keep], minlength=n).astype(np.int64)
+        total = int(counts_full.sum())
+    offsets2 = np.cumsum(counts_full) - counts_full
+    p = (np.arange(total, dtype=np.int64)
+         - np.repeat(offsets2, counts_full))
+    return flat_codes, uniques, p, counts_full
+
+
 def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
                    term_prefix: str = "", build_tv: bool = False):
+    """Sort-invert-encode one token stream given per-doc python term lists
+    (compat wrapper: flatten + factorize, then the codes kernel)."""
+    t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
+    codes, uniques = pd.factorize(t_arr)
+    del t_arr
+    return _invert_encode_codes(
+        doc_ids_in, codes.astype(np.int64),
+        np.asarray(uniques, dtype=object), p, counts, wp,
+        term_prefix=term_prefix, build_tv=build_tv)
+
+
+def _invert_encode_codes(doc_ids_in, codes, uniques, p, counts, wp: bool,
+                         term_prefix: str = "", build_tv: bool = False):
     """Sort-invert-encode one token stream (numpy, no python per token).
     Returns (seg_tab: pa.Table, uniq_docs, dl_counts, n_tok, n_postings[, tv_pdf]).
+
+    Tokens arrive as dictionary codes + vocab (from _analyze_docs_codes'
+    Arrow path, or the factorize in the _invert_encode wrapper).
 
     build_tv additionally materializes the FORWARD index — one row per
     (doc, term) with tf + positions, the TermPositionVector
@@ -163,19 +327,15 @@ def _invert_encode(doc_ids_in, per_doc, p, counts, wp: bool,
     TermVectorsReader). It reuses the same sorted run boundaries as the
     inverted encode, so the extra cost is one np.split + a sort by doc."""
     total = int(counts.sum())
-    t_arr = np.array([w for ws in per_doc for w in ws], dtype=object)
     d = np.repeat(doc_ids_in, counts)
     # stable sort by term keeps (doc asc, pos asc) inside each term run.
-    # factorize (C hash) + rank of the ~small unique-term set avoids a
-    # python-compare sort over every token; after that, EVERY per-token
-    # operation runs on int64 codes — the object strings are only touched
-    # again at term-run boundaries (vocab-sized, ~2 orders smaller).
+    # rank of the ~small unique-term set: EVERY per-token operation runs
+    # on int64 codes — the strings are only touched again at term-run
+    # boundaries (vocab-sized, ~2 orders smaller).
     # Term rank uses UTF-16 code-unit order (reference
     # TermInfosWriter.cpp:108-140 parity; plain argsort unless a term
     # contains a char >= U+E000). term_prefix (fielded terms) is applied
     # to the vocab, never per token.
-    codes, uniques = pd.factorize(t_arr)
-    del t_arr
     if term_prefix:
         uniques = np.array([term_prefix + u for u in uniques], dtype=object)
     else:
@@ -661,9 +821,10 @@ def build_segments_fused(
             uniq_union: set = set()
             for fname, _src_col, an_f in flds:
                 texts_f = pdf[fname].to_numpy()
-                per_doc, p_f, counts_f = _analyze_docs(texts_f, an_f)
-                res = _invert_encode(
-                    doc_ids_in, per_doc, p_f, counts_f, wp,
+                codes_f, uniq_f, p_f, counts_f = _analyze_docs_codes(
+                    texts_f, an_f)
+                res = _invert_encode_codes(
+                    doc_ids_in, codes_f, uniq_f, p_f, counts_f, wp,
                     term_prefix=fname + FIELD_SEP, build_tv=tv,
                 )
                 seg_f, uq, dlc, nt, npst = res[:5]
@@ -684,9 +845,9 @@ def build_segments_fused(
         else:
             texts = pdf["text"].to_numpy()
             langs = pdf["lang"].to_numpy() if an == "lang" else None
-            per_doc, p, counts = _analyze_docs(texts, an, langs)
-            res = _invert_encode(
-                doc_ids_in, per_doc, p, counts, wp, build_tv=tv
+            codes, uniq, p, counts = _analyze_docs_codes(texts, an, langs)
+            res = _invert_encode_codes(
+                doc_ids_in, codes, uniq, p, counts, wp, build_tv=tv
             )
             seg_tab, uniq_docs, dl_counts, n_tok, n_post = res[:5]
             if tv:
@@ -1077,9 +1238,10 @@ def build_segments_aligned(
             "doc_id", kind="mergesort"
         )
         doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
-        per_doc, p, counts = _analyze_docs(pdf["text"].to_numpy(), an)
-        seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
-            doc_ids_in, per_doc, p, counts, wp
+        codes, uniq, p, counts = _analyze_docs_codes(
+            pdf["text"].to_numpy(), an)
+        seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode_codes(
+            doc_ids_in, codes, uniq, p, counts, wp
         )
         lo, hi = int(doc_ids_in[0]), int(doc_ids_in[-1])
         name = f"seg_a_{lo:012d}_{hi:012d}"
@@ -1255,10 +1417,14 @@ def build_segments_direct(
                 if tab.num_rows == 0:
                     continue
                 ids = tab.column(idc).to_numpy().astype(np.int64)
-                texts = tab.column(txc).to_pandas().to_numpy()
+                # keep text as an Arrow column end-to-end: the codes
+                # kernel tokenizes regex-clean docs without ever
+                # materializing python strings
+                texts = tab.column(txc).combine_chunks()
                 order = np.argsort(ids, kind="stable")
                 if not np.all(order[:-1] < order[1:]):
-                    ids, texts = ids[order], texts[order]
+                    ids = ids[order]
+                    texts = texts.take(_pa.array(order))
                 if dr:
                     keep = np.ones(len(ids), bool)
                     for lo, hi in dr:
@@ -1266,10 +1432,11 @@ def build_segments_direct(
                     if not keep.any():
                         continue
                     if not keep.all():
-                        ids, texts = ids[keep], texts[keep]
-                per_doc, p, counts = _analyze_docs(texts, an)
-                seg_tab, uniq_docs, dl_counts, n_tok, n_post = _invert_encode(
-                    ids, per_doc, p, counts, wp
+                        ids = ids[keep]
+                        texts = texts.filter(_pa.array(keep))
+                codes, uniq, p, counts = _analyze_docs_codes(texts, an)
+                seg_tab, uniq_docs, dl_counts, n_tok, n_post = (
+                    _invert_encode_codes(ids, codes, uniq, p, counts, wp)
                 )
                 lo, hi = int(ids[0]), int(ids[-1])
                 name = f"seg_a_{lo:012d}_{hi:012d}"
@@ -1291,7 +1458,11 @@ def build_segments_direct(
                 if wv:
                     _pq.write_table(
                         _term_vectors_arrow(
-                            _term_vectors_frame(ids, texts, an)
+                            _term_vectors_frame(
+                                ids,
+                                np.array(texts.to_pylist(), dtype=object),
+                                an,
+                            )
                         ),
                         os.path.join(tmp_path, "term_vectors.parquet"),
                     )

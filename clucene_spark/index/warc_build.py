@@ -58,9 +58,9 @@ from ..pipeline.extract import extract_text_py, normalize_text_py
 from .segments import (
     CHECKPOINT_SCHEMA,
     FIELD_SEP,
-    _analyze_docs,
+    _analyze_docs_codes,
     _ckpt_dir,
-    _invert_encode,
+    _invert_encode_codes,
     _write_checkpoint,
     _write_term_index,
     commit_manifest,
@@ -236,11 +236,11 @@ def build_segments_from_warc(
                         (("text", texts_a),
                          ("title", np.asarray(titles, dtype=object)))
                     ):
-                        per_doc, p, counts = _analyze_docs(
+                        codes, uniq, p, counts = _analyze_docs_codes(
                             vals, an, langs if fname == "text" else None
                         )
-                        seg_f, uq, dlc, nt, npst = _invert_encode(
-                            ids_a, per_doc, p, counts, wp,
+                        seg_f, uq, dlc, nt, npst = _invert_encode_codes(
+                            ids_a, codes, uniq, p, counts, wp,
                             term_prefix=fname + FIELD_SEP,
                         )
                         frames.append(seg_f)
@@ -256,9 +256,11 @@ def build_segments_from_warc(
                     dl_pdf = pd.concat(dl_frames, ignore_index=True)
                     uniq_docs = np.array(sorted(uniq_set), dtype=np.int64)
                 else:
-                    per_doc, p, counts = _analyze_docs(texts_a, an, langs)
+                    codes, uniq, p, counts = _analyze_docs_codes(
+                        texts_a, an, langs)
                     (seg_tab, uniq_docs, dl_counts, n_tok,
-                     n_post) = _invert_encode(ids_a, per_doc, p, counts, wp)
+                     n_post) = _invert_encode_codes(
+                        ids_a, codes, uniq, p, counts, wp)
                     dl_pdf = pd.DataFrame(
                         {"doc_id": uniq_docs, "dl": dl_counts}
                     )

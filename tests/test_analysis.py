@@ -310,6 +310,24 @@ def test_piecewise_bad_chunk_scan_equivalent_to_dfa(text):
     assert standard_analyze_terms(text) == [t for t, *_ in _dfa_analyze(text)]
 
 
+@given(st.text(alphabet="ab3Z.,.. ,\t\n é90", max_size=120))
+@settings(max_examples=400, deadline=None)
+def test_nostop_variant_equivalent(text):
+    """standard_analyze_terms_nostop (code-level stopword drop, memoized
+    DFA chunks) must equal the whole-text DFA chain PRE-StopFilter, and
+    filter down to standard_analyze_terms exactly."""
+    from clucene_spark.analysis.standard import (
+        ENGLISH_STOP_WORDS, standard_analyze_terms,
+        standard_analyze_terms_nostop)
+
+    cache: dict = {}
+    nostop = standard_analyze_terms_nostop(text, cache)
+    # run again THROUGH the warm cache: hits must not change output
+    assert standard_analyze_terms_nostop(text, cache) == nostop
+    assert [t for t in nostop if t not in ENGLISH_STOP_WORDS] == \
+        standard_analyze_terms(text)
+
+
 def test_piecewise_bad_chunk_scan_edges():
     """Deterministic edge pins for the piecewise scan: 256-char alnum
     runs (MAX_WORD_LEN split), digit-led-with-letter chunks, and

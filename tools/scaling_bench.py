@@ -215,15 +215,16 @@ def work(task_id):
     import pyarrow as pa, pyarrow.parquet as pq
     pa.set_cpu_count(1); pa.set_io_thread_count(1)
     from clucene_spark.data.webtext import make_doc
-    from clucene_spark.index.segments import _analyze_docs, _invert_encode
+    from clucene_spark.index.segments import (
+        _analyze_docs_codes, _invert_encode_codes)
     N = 2000
     base = task_id * N
     rows = [make_doc(base + i, messy=True) for i in range(N)]
     texts = np.array([r[4] for r in rows], dtype=object)
     ids = np.arange(base, base + N, dtype=np.int64)
     t0 = time.perf_counter()
-    per_doc, p, counts = _analyze_docs(texts, "standard")
-    seg = _invert_encode(ids, per_doc, p, counts, True)[0]  # pa.Table
+    codes, uniq, p, counts = _analyze_docs_codes(texts, "standard")
+    seg = _invert_encode_codes(ids, codes, uniq, p, counts, True)[0]
     path = "/dev/shm/cal_%%d.parquet" %% task_id if os.path.isdir("/dev/shm") \\
         else "/tmp/cal_%%d.parquet" %% task_id
     pq.write_table(seg, path)
