@@ -33,11 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the bench protocol changes what either level executes. Prior epoch:
 # the fleet-plan fix (1787064600) — run_fleet had "--aligned" hardcoded,
 # so every prior --plan=direct run paired a DIRECT low level against an
-# ALIGNED fleet, understating raw efficiency by construction. Current
-# epoch: the int-code invert kernel + scatter vbyte + piecewise-DFA
-# tokenizer scan (commit 635dd72) — per-node throughput +47% at
-# local[32] (112.5k -> 165.9k docs/s), a different kernel again.
-KERNEL_EPOCH = 1787131445  # int-code invert kernel landing
+# ALIGNED fleet, understating raw efficiency by construction; the
+# int-code invert kernel + scatter vbyte + piecewise-DFA tokenizer scan
+# (1787131445, commit 635dd72) — +47% at local[32] (112.5k -> 165.9k
+# docs/s). Current epoch: the arrow-native codes kernel
+# (_analyze_docs_codes, commit 2a1ace4) — +39% again (165.9k -> 230.4k
+# docs/s at 2M, lineage bit-identical), a different kernel again.
+KERNEL_EPOCH = 1787215376  # arrow-native codes kernel landing
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
