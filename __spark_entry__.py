@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_stats": _q_png_stats,
         "multimodal_jpeg_stats": _q_jpeg_stats,
         "text_lm_score": _q_lm_score,
+        "sample_dsir": _q_sample_dsir,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3560,6 +3561,20 @@ def _q_sample_mixture(spark, sf):
     )
 
 
+def _q_sample_dsir(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): select 100 docs
+    whose hashed unigram+bigram distribution looks most like the
+    src0 target slice, via Gumbel-top-k over integer-micro-nat
+    importance weights — every step (md5 buckets, Laplace log-ratio,
+    exact int64 weight sum, hash-uniform Gumbel keys) is replayed
+    verbatim by the oracle."""
+    from clucene_spark.pipeline.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_resample(docs, target, k=100, n_buckets=512, seed=42)
+
+
 def _q_sample_cap(spark, sf):
     from clucene_spark.pipeline.sampling import per_stratum_cap
 
@@ -5501,6 +5516,58 @@ WITH s AS (SELECT doc_id, source,
 SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
+""",
+        "sample_dsir": f"""
+WITH rawt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+              WHERE len({_TOKS_SQL}) >= 1),
+tgtt AS (SELECT doc_id, t FROM rawt
+         WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+rg AS (
+  SELECT doc_id, ('0x'||substr(md5(g),1,7))::BIGINT % 512 AS bucket
+  FROM (
+    SELECT doc_id, unnest(t) AS g FROM rawt
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+          FROM rawt WHERE len(t) >= 2)
+  )
+),
+tg AS (
+  SELECT ('0x'||substr(md5(g),1,7))::BIGINT % 512 AS bucket
+  FROM (
+    SELECT unnest(t) AS g FROM tgtt
+    UNION ALL
+    SELECT t[i] || ' ' || t[i+1] AS g
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM tgtt WHERE len(t) >= 2)
+  )
+),
+db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM rg GROUP BY 1, 2),
+rb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rb) AS tr,
+               (SELECT CAST(count(*) AS DOUBLE) FROM tg) AS tt),
+ratio AS (
+  SELECT rb.bucket,
+         CAST(round((ln((COALESCE(tb.ct, 0) + 1.0) / (tot.tt + 512.0))
+                     - ln((rb.cr + 1.0) / (tot.tr + 512.0))) * 1000000.0)
+              AS BIGINT) AS ri
+  FROM rb LEFT JOIN tb USING (bucket), tot
+),
+w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(c * ri) AS BIGINT) AS wm
+      FROM db JOIN ratio USING (bucket) GROUP BY 1),
+keyd AS (
+  SELECT doc_id, n_grams, round(wm / 1000000.0, 6) AS logw,
+         round(round(wm / 1000000.0, 6) / 1.0
+               - ln(-ln((('0x'||substr(md5('dsir:' || CAST(doc_id AS VARCHAR)
+                                             || ':42'), 1, 7))::BIGINT + 0.5)
+                        / 268435456.0)), 6) AS key
+  FROM w)
+SELECT doc_id, n_grams, logw, key
+FROM keyd ORDER BY key DESC, doc_id ASC LIMIT 100
 """,
         "sample_mixture": """
 WITH s AS (SELECT doc_id, source,

@@ -1,0 +1,184 @@
+"""DSIR-style data selection: importance resampling of a raw corpus
+toward a target distribution (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling") over hashed n-gram
+features — the principled form of the "make the crawl look like
+wikipedia" curation step, sitting between the quality heuristics
+(textstats.quality_score) and the mixture recipe (sampling.
+mixture_sample).
+
+Method: featurize every doc as a bag of hashed unigrams+bigrams
+(`n_buckets` buckets); fit two Laplace-smoothed bag-of-words models —
+p from the TARGET corpus, q from the RAW corpus — and weight each raw
+doc by its log importance ratio  log w(x) = Σ_grams log(p_b / q_b).
+Resampling then draws docs with probability ∝ exp(log w / T) via the
+deterministic Gumbel-top-k trick, so the selected set is a pure
+function of (corpus, target, seed) — reproducible across runs and
+engines, resumable at 100 TB (never ``rand()``).
+
+Determinism across engines (the DuckDB oracle replays every step):
+  * bucket hash = md5-hex-prefix (dedup.md5_31) mod n_buckets — no
+    engine-specific hash;
+  * per-bucket log-ratios are rounded to 1e-6 and scaled to INTEGER
+    micro-nats, so the per-doc weight is an exact int64 sum —
+    associative, immune to float summation order (the problem
+    textstats.lm_score solves with an ordered fold is avoided
+    entirely here);
+  * the Gumbel noise is -ln(-ln(u)) with u a (doc_id, seed) hash
+    uniform — replayable arithmetic, not a RNG stream.
+
+Scale shape: one tokenize+explode scan of the raw corpus feeding ONE
+(doc_id, bucket) partial-count aggregation (the per-bucket corpus
+counts derive from it by a second, bounded re-aggregation — the corpus
+is never scanned twice); the target side is a separate scan of the
+(by definition small, curated) target set; the per-bucket log-ratio
+table is ≤ n_buckets rows and joins back BROADCAST; the final per-doc
+sum is one doc-keyed shuffle with map-side partials. The bounded
+(≤ n_buckets-row) aggregates are the only driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, functions as F
+
+from clucene_spark.pipeline.dedup import ensure_parallelism, md5_31
+from clucene_spark.pipeline.textstats import _tokens
+
+_HASH_SPACE = float(1 << 28)  # md5_31 = 7 hex digits = 28 bits
+
+
+def _gram_buckets(docs: DataFrame, n_buckets: int, text_col: str) -> DataFrame:
+    """(doc_id, bucket) — one row per gram OCCURRENCE."""
+    d = docs.select("doc_id", F.col(text_col).alias("_text"))
+    d = d.withColumn("t", _tokens(F.col("_text"))).filter(F.size("t") >= 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (w, i) -> concat(w, ' ', t[i + 1]))"
+                ),
+            )
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id", (md5_31(F.col("gram")) % F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc importance log-weight of `docs` (raw) toward `target`.
+
+    Returns (doc_id, n_grams, logw) where
+      logw = Σ_b count_b(doc) · round(ln p_b − ln q_b, 6)
+      p_b = (ct_b + 1) / (T_t + B),  q_b = (cr_b + 1) / (T_r + B)
+    summed exactly in integer micro-nats (see module docstring), then
+    divided back to a float once. Docs with no tokens carry no evidence
+    and are omitted.
+
+    The returned frame's lineage holds a persisted narrow
+    (doc_id, bucket, c) relation (the corpus is tokenized once, not
+    once per aggregation); the caller may `.unpersist()` it via
+    `df._dsir_docb` when done — at 100 TB it is n_docs × ~20 B,
+    disk-spillable.
+    """
+    docs = ensure_parallelism(docs)
+    docb = (
+        _gram_buckets(docs, n_buckets, text_col)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rawb = docb.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgtb = (
+        _gram_buckets(target, n_buckets, text_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    t_raw = rawb.agg(F.sum("cr")).first()[0] or 0
+    t_tgt = tgtb.agg(F.sum("ct")).first()[0] or 0
+    b = float(n_buckets)
+    ratio = (
+        rawb.join(tgtb, "bucket", "left")
+        .select(
+            "bucket",
+            # round-to-nearest INTEGER micro-nats (never round-then-cast,
+            # which truncates in Spark and would drift from the oracle)
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / F.lit(float(t_tgt) + b)
+                    )
+                    - F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(t_raw) + b))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("ri"),
+        )
+    )
+    out = (
+        docb.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("ri")).alias("wm"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("wm") / F.lit(1_000_000.0), 6).alias("logw"),
+        )
+    )
+    out._dsir_docb = docb  # cache handle for caller-owned lifecycle
+    return out
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 4096,
+    temperature: float = 1.0,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Select `k` docs from `docs` with probability ∝ exp(logw / T) by
+    deterministic Gumbel-top-k: key = logw/T − ln(−ln(u)) with
+    u = (md5_31("dsir:" doc_id ":" seed) + 0.5) / 2^28 — sampling
+    without replacement under the importance distribution, reproducible
+    across engines. T→0 degenerates to hard top-k by weight; large T
+    approaches uniform. Returns (doc_id, n_grams, logw, key) ordered
+    (key DESC, doc_id ASC), exactly k rows (or fewer if the corpus has
+    fewer docs with evidence).
+
+    Scale shape: dsir_weights (above) + a map-only key column + a
+    global top-k (TakeOrderedAndProject — per-partition heaps, never a
+    full sort)."""
+    w = dsir_weights(docs, target, n_buckets=n_buckets, text_col=text_col)
+    u = (
+        md5_31(
+            F.concat_ws(
+                ":", F.lit("dsir"), F.col("doc_id").cast("string"),
+                F.lit(str(seed)),
+            )
+        )
+        + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("logw") / F.lit(float(temperature)) + gumbel, 6
+    ).alias("key")
+    return (
+        w.select("doc_id", "n_grams", "logw", key)
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

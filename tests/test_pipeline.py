@@ -1546,3 +1546,86 @@ def test_ingest_crawl_fates_and_stage_order(spark):
     assert "survives" in out[6]["text_out"]
     for d in (1, 2, 3, 4, 7):
         assert out[d]["text_out"] is None
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_match_python_replay(docs):
+    """dsir_weights == an independent pure-Python replay of the hashed
+    n-gram / Laplace / integer-micro-nat arithmetic (the same replay the
+    DuckDB oracle runs)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from clucene_spark.pipeline.dsir import dsir_weights
+
+    target = docs.filter(F.col("source") == "src0")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_weights(docs, target, n_buckets=256).collect()
+    }
+
+    def grams(text):
+        t = [x for x in text.split(" ") if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % 256
+
+    raw_c, tgt_c, docb = Counter(), Counter(), {}
+    for r in docs.select("doc_id", "text", "source").collect():
+        gs = grams(r["text"])
+        if not gs:
+            continue
+        bs = [bucket(g) for g in gs]
+        docb[r["doc_id"]] = Counter(bs)
+        raw_c.update(bs)
+        if r["source"] == "src0":
+            tgt_c.update(bs)
+    tr, tt, b = float(sum(raw_c.values())), float(sum(tgt_c.values())), 256.0
+    ri = {
+        bk: round(
+            (math.log((tgt_c.get(bk, 0) + 1.0) / (tt + b))
+             - math.log((c + 1.0) / (tr + b))) * 1e6
+        )
+        for bk, c in raw_c.items()
+    }
+    assert set(out) == set(docb)
+    for d, cnt in docb.items():
+        wm = sum(c * ri[bk] for bk, c in cnt.items())
+        assert out[d][0] == sum(cnt.values())
+        assert abs(out[d][1] - round(wm / 1e6, 6)) < 1e-9, d
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """Docs sharing the target's vocabulary outscore disjoint-vocab docs,
+    and the Gumbel-top-k selection is deterministic per seed."""
+    from clucene_spark.pipeline.dsir import dsir_resample, dsir_weights
+
+    rows = (
+        # target-like vocabulary (wiki-ish)
+        [(i, "alpha beta gamma delta alpha beta", "like") for i in range(20)]
+        # disjoint vocabulary (crawl-ish junk)
+        + [(100 + i, "zz yy xx ww vv uu tt ss", "junk") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon", "t") for i in range(5)],
+        "doc_id long, text string, kind string",
+    )
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_weights(docs, target, n_buckets=128).collect()}
+    assert min(w[i] for i in range(20)) > max(w[100 + i] for i in range(20))
+
+    sel = dsir_resample(docs, target, k=10, n_buckets=128, seed=3).collect()
+    assert len(sel) == 10
+    # T=1 Gumbel noise is ~unit-scale; the like/junk weight gap dominates
+    assert all(r["doc_id"] < 100 for r in sel)
+    again = dsir_resample(docs, target, k=10, n_buckets=128, seed=3).collect()
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in again]
+    # a different seed redraws the Gumbel keys (ordering may change)
+    other = dsir_resample(docs, target, k=10, n_buckets=128, seed=4).collect()
+    assert {r["doc_id"] for r in other} <= {i for i in range(20)}
