@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_stats": _q_jpeg_stats,
         "text_lm_score": _q_lm_score,
         "sample_dsir": _q_sample_dsir,
+        "index_fsck_stats": _q_index_fsck,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3561,6 +3562,26 @@ def _q_sample_mixture(spark, sf):
     )
 
 
+def _q_index_fsck(spark, sf):
+    """CheckIndex-style integrity audit over the compacted gate store:
+    every structural invariant (UTF-16 term order, posting docID order,
+    df/cf totals, inline-dl vs doc_lens, per-16-block WAND stats)
+    re-verified from the raw segment files; the oracle recomputes the
+    expected check cardinalities from the raw text (and demands
+    n_bad == 0 everywhere)."""
+    from clucene_spark.index.fsck import check_index
+
+    store = _store(spark, sf, compacted=True)
+    return (
+        check_index(spark, store.index_dir)
+        .filter(F.col("segment") != "_store")
+        .groupBy("check")
+        .agg(F.sum("n_checked").alias("n_checked"),
+             F.sum("n_bad").alias("n_bad"))
+        .orderBy("check")
+    )
+
+
 def _q_sample_dsir(spark, sf):
     """DSIR importance resampling (Xie et al. 2023): select 100 docs
     whose hashed unigram+bigram distribution looks most like the
@@ -5516,6 +5537,23 @@ WITH s AS (SELECT doc_id, source,
 SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
+""",
+        "index_fsck_stats": _PRELUDE + """
+SELECT * FROM (
+  SELECT 'block_stats' AS "check",
+         (SELECT CAST(sum(CAST(ceil(df / 16.0) AS BIGINT)) AS BIGINT)
+          FROM term_dict) AS n_checked,
+         CAST(0 AS BIGINT) AS n_bad
+  UNION ALL SELECT 'doc_lens',
+         (SELECT CAST(count(*) AS BIGINT) FROM doc_lens), 0
+  UNION ALL SELECT 'files', 2, 0
+  UNION ALL SELECT 'positions',
+         (SELECT CAST(count(*) AS BIGINT) FROM tok), 0
+  UNION ALL SELECT 'postings',
+         (SELECT CAST(count(*) AS BIGINT) FROM postings), 0
+  UNION ALL SELECT 'term_order',
+         (SELECT CAST(count(*) AS BIGINT) FROM term_dict), 0
+) ORDER BY "check"
 """,
         "sample_dsir": f"""
 WITH rawt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
