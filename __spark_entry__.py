@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_lm_score,
         "sample_dsir": _q_sample_dsir,
         "index_fsck_stats": _q_index_fsck,
+        "bm25f_topk": _q_bm25f,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3562,6 +3563,20 @@ def _q_sample_mixture(spark, sf):
     )
 
 
+def _q_bm25f(spark, sf):
+    """BM25F (Zaragoza/Robertson) over the two-field corpus: title
+    boosted 2x, per-field length normalization, ONE saturation over the
+    combined weighted tf — the canonical web-search field-weighted
+    scorer; oracle replays the exact formula over the fielded token
+    CTE."""
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    idx, _ = _fielded_index(spark, sf)
+    return bm25f_topk(
+        idx, ["spark", "join"], weights={"title": 2.0, "text": 1.0}, k=10
+    )
+
+
 def _q_index_fsck(spark, sf):
     """CheckIndex-style integrity audit over the compacted gate store:
     every structural invariant (UTF-16 term order, posting docID order,
@@ -5537,6 +5552,40 @@ WITH s AS (SELECT doc_id, source,
 SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
+""",
+        "bm25f_topk": """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+fieldtok AS (
+  SELECT doc_id, 'title' AS field, unnest(toks[1:4]) AS term FROM raw
+  UNION ALL
+  SELECT doc_id, 'text' AS field, unnest(toks) AS term FROM raw
+),
+tok AS (SELECT * FROM fieldtok WHERE term <> ''),
+postings AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+doc_lens AS (SELECT doc_id, field, count(*) AS dl FROM tok GROUP BY 1, 2),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM doc_lens GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doc_lens),
+qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM postings WHERE term IN ('spark', 'join') GROUP BY 1),
+tfn AS (
+  SELECT p.doc_id, p.term,
+         (CASE p.field WHEN 'title' THEN 2.0 ELSE 1.0 END) * p.tf
+           / (1.0 + 0.75 * (d.dl / s.avgdl - 1.0)) AS part
+  FROM postings p
+  JOIN doc_lens d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fstats s ON s.field = p.field
+  WHERE p.term IN ('spark', 'join')
+),
+wtf AS (SELECT doc_id, term, sum(part) AS wtf FROM tfn GROUP BY 1, 2),
+sc AS (
+  SELECT w.doc_id,
+         sum(ln(1.0 + (n.n_docs - q.df + 0.5) / (q.df + 0.5))
+             * w.wtf / (1.2 + w.wtf)) AS s
+  FROM wtf w JOIN qdf q USING (term) CROSS JOIN nd n
+  GROUP BY w.doc_id
+)
+SELECT doc_id, ROUND(s, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "index_fsck_stats": _PRELUDE + """
 SELECT * FROM (

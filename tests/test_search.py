@@ -1115,3 +1115,79 @@ def test_chained_filter_arity_validation(spark, index):
     want = {r["doc_id"] for r in
             index.docs.filter(F.col("n_chars") >= 300).select("doc_id").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25F (Zaragoza/Robertson weighted-field ranking)
+# ---------------------------------------------------------------------------
+
+def test_bm25f_matches_hand_formula(spark):
+    """bm25f_topk == a pure-Python evaluation of the published formula
+    (field-normalized tf -> weighted combine -> single saturation,
+    doc-level df idf) on a small two-field corpus."""
+    import math
+
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    rows = [
+        (0, "spark join", "spark join window agg spark"),
+        (1, "window agg", "join join join window spark"),
+        (2, "spark spark", "window window window window window agg"),
+        (3, "agg table", "table scan value part"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    idx = InvertedIndex(
+        docs,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    weights, bmap, k1 = {"title": 2.0, "text": 1.0}, {"title": 0.75, "text": 0.75}, 1.2
+    got = {r["doc_id"]: r["score"]
+           for r in bm25f_topk(idx, ["spark", "join"], weights=weights, k=10).collect()}
+
+    toks = {d: {"title": t.split(), "text": x.split()} for d, t, x in rows}
+    avgdl = {f: sum(len(v[f]) for v in toks.values()) / len(toks)
+             for f in ("title", "text")}
+    n = len(rows)
+    exp = {}
+    for d, per in toks.items():
+        s = 0.0
+        for t in ("spark", "join"):
+            df = sum(1 for v in toks.values()
+                     if t in v["title"] or t in v["text"])
+            wtf = 0.0
+            for f in ("title", "text"):
+                tf = per[f].count(t)
+                if tf:
+                    wtf += weights[f] * tf / (
+                        1 + bmap[f] * (len(per[f]) / avgdl[f] - 1)
+                    )
+            if wtf:
+                s += math.log(1 + (n - df + 0.5) / (df + 0.5)) * wtf / (k1 + wtf)
+        if s:
+            exp[d] = round(s, 4)
+    assert got == exp
+    # saturation is applied ONCE over the combined tf: doc 0 (term in both
+    # fields) must score less than two independent per-field BM25 sums would
+    assert set(got) == {0, 1, 2}
+
+
+def test_bm25f_title_boost_reorders(spark):
+    """Raising the title weight must be able to promote a title-heavy doc
+    over a body-heavy one — the point of field weighting."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    rows = [
+        (0, "spark spark spark", "scan value table part agg window"),
+        (1, "window agg", "spark spark spark spark scan value"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    idx = InvertedIndex(
+        docs,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    flat = bm25f_topk(idx, ["spark"], weights={"title": 1.0, "text": 1.0}).collect()
+    boosted = bm25f_topk(idx, ["spark"], weights={"title": 8.0, "text": 1.0}).collect()
+    assert flat[0]["doc_id"] == 1      # body-heavy wins unweighted
+    assert boosted[0]["doc_id"] == 0   # title boost flips it
