@@ -140,15 +140,26 @@ def _check_segment(index_dir: str, name: str, min_doc: int, max_doc: int,
         if len(lst) < 3:
             lst.append(msg)
 
+    # column-at-a-time materialization: per-cell .as_py() in a
+    # many-million-term loop is the difference between a minutes-long
+    # maintenance job and an hours-long one
+    dfs_l = post["df"].to_pylist()
+    cfs_l = post["cf"].to_pylist()
+    doc_blobs = post["doc_blob"].to_pylist()
+    tf_blobs = post["tf_blob"].to_pylist()
+    dl_blobs = post["dl_blob"].to_pylist()
+    pos_blobs = post["pos_blob"].to_pylist()
+    blk_cols = {k: post[k].to_pylist()
+                for k in ("blk_min_doc", "blk_max_doc", "blk_max_tf",
+                          "blk_min_dl")}
+
     for i in range(post.num_rows):
         term = terms[i]
-        df = int(post["df"][i].as_py())
-        cf = int(post["cf"][i].as_py())
+        df = int(dfs_l[i])
+        cf = int(cfs_l[i])
         try:
-            doc_ids, tfs = decode_postings(
-                post["doc_blob"][i].as_py(), post["tf_blob"][i].as_py()
-            )
-            dl_arr = vbyte_decode(post["dl_blob"][i].as_py()).astype(np.int64)
+            doc_ids, tfs = decode_postings(doc_blobs[i], tf_blobs[i])
+            dl_arr = vbyte_decode(dl_blobs[i]).astype(np.int64)
             if not (len(doc_ids) == len(tfs) == len(dl_arr)):
                 raise ValueError("parallel posting arrays disagree in length")
         except Exception as e:  # a blob that won't decode IS the finding
@@ -180,9 +191,9 @@ def _check_segment(index_dir: str, name: str, min_doc: int, max_doc: int,
             bad += 1; _note(post_detail, f"{term!r}: inline dl != doc_lens table")
         n_post_bad += bad
 
-        if post["pos_blob"][i].as_py():
+        if pos_blobs[i]:
             try:
-                pos = decode_positions(post["pos_blob"][i].as_py(), tfs)
+                pos = decode_positions(pos_blobs[i], tfs)
             except Exception as e:
                 n_pos_bad += 1
                 _note(pos_detail, f"{term!r}: undecodable positions ({e})")
@@ -211,12 +222,7 @@ def _check_segment(index_dir: str, name: str, min_doc: int, max_doc: int,
             return fn(a.reshape(n_blocks, BLOCK_SIZE), axis=1)
 
         if n_decoded:
-            stored = {
-                "blk_min_doc": np.asarray(post["blk_min_doc"][i].as_py()),
-                "blk_max_doc": np.asarray(post["blk_max_doc"][i].as_py()),
-                "blk_max_tf": np.asarray(post["blk_max_tf"][i].as_py()),
-                "blk_min_dl": np.asarray(post["blk_min_dl"][i].as_py()),
-            }
+            stored = {k: np.asarray(blk_cols[k][i]) for k in blk_cols}
             recomputed = {
                 "blk_min_doc": _blk(doc_ids, np.min),
                 "blk_max_doc": _blk(doc_ids, np.max),
