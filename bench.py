@@ -224,6 +224,27 @@ def main() -> None:
             lambda q=q: searcher.topk(q, 10).collect(), n=max(reps, 5)
         )
 
+    # --- BM25F over a two-field view of the same corpus (title = first
+    # 4 tokens): the canonical web-search field-weighted scorer (r4) ---
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    _t = F.split(F.col("text"), " ")
+    two = docs.select(
+        "doc_id", F.array_join(F.slice(_t, 1, 4), " ").alias("title"), "text"
+    )
+    fidx = InvertedIndex(
+        two,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    ).cache()
+    fidx.postings.count()
+    fidx.doc_lens.count()
+    timings["q_bm25f"] = best_of(
+        lambda: bm25f_topk(
+            fidx, ["spark", "join"], weights={"title": 2.0, "text": 1.0}
+        ).collect(),
+        n=max(reps, 5),
+    )
+
     # --- pipeline ops (fresh full job per rep — a dedup pass is a batch
     # job whose startup amortizes at scale; best-of-2 filters tenant
     # noise without warming caches between reps) ---
@@ -261,6 +282,17 @@ def main() -> None:
     )
     timings["pack_sequences"] = best_of(
         lambda: pack_sequences(docs.select("doc_id", "text")).count()
+    )
+    # DSIR importance selection toward a deterministic target slice (r4)
+    from clucene_spark.pipeline.dsir import dsir_resample
+
+    timings["dsir_select"] = best_of(
+        lambda: dsir_resample(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+            k=100, n_buckets=4096,
+        ).collect(),
+        n=2,
     )
 
     # webtext curation ops (added round 4, off-headline): URL-level dedup

@@ -373,3 +373,40 @@ def test_ingest_crawl_single_pass_single_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"[+:]- Exchange \(\d+\)", plan)) == 1, plan
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
+
+
+def test_bm25f_broadcasts_filtered_postings_and_takeordered(spark):
+    """BM25F: the query-term filter must reach below the postings
+    aggregation (only matching tokens shuffle), the corpus-sized
+    doc_lens join must broadcast the small filtered side, and the top-k
+    must be TakeOrderedAndProject — never a global sort."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    two = docs.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("title"), "text"
+    )
+    idx = InvertedIndex(
+        two,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    plan = _plan(bm25f_topk(idx, ["spark", "join"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcast_ratio_join_and_takeordered(spark):
+    """DSIR: the <=n_buckets-row log-ratio table joins back BROADCAST
+    (the corpus-sized (doc,bucket) side never re-shuffles for it) and
+    the Gumbel-top-k is TakeOrderedAndProject."""
+    from clucene_spark.pipeline.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tgt = docs.filter(F.col("source") == "src0")
+    plan = _plan(dsir_resample(docs, tgt, k=10, n_buckets=128))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
