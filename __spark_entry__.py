@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir": _q_sample_dsir,
         "index_fsck_stats": _q_index_fsck,
         "bm25f_topk": _q_bm25f,
+        "mlt_topk": _q_mlt,
     }
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3563,6 +3564,17 @@ def _q_sample_mixture(spark, sf):
     )
 
 
+def _q_mlt(spark, sf):
+    """MoreLikeThis: doc 42's top-5 tf-idf terms (classic ln(N/(df+1))+1
+    idf, reference Similarity.cpp:227-229) as a SHOULD query, seed doc
+    excluded; the oracle replays term selection AND BM25 scoring."""
+    from clucene_spark.search.mlt import more_like_this
+
+    return more_like_this(
+        _searcher(spark, sf), 42, max_terms=5, k=10, round_to=4
+    )
+
+
 def _q_bm25f(spark, sf):
     """BM25F (Zaragoza/Robertson) over the two-field corpus: title
     boosted 2x, per-field length normalization, ONE saturation over the
@@ -5552,6 +5564,19 @@ WITH s AS (SELECT doc_id, source,
 SELECT doc_id, source, u FROM s
 WHERE u < CASE source WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0.5 END
 ORDER BY doc_id
+""",
+        "mlt_topk": _PRELUDE + """
+, mltw AS (
+  SELECT p.term,
+         round(p.tf * (ln(CAST(s.n_docs AS DOUBLE) / (t.df + 1.0)) + 1.0), 6) AS w
+  FROM postings p JOIN term_dict t USING (term) CROSS JOIN stats s
+  WHERE p.doc_id = 42
+),
+mt AS (SELECT term FROM mltw ORDER BY w DESC, term ASC LIMIT 5)
+SELECT doc_id, ROUND(SUM(sc), 4) AS score
+FROM bm25
+WHERE term IN (SELECT term FROM mt) AND doc_id <> 42
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "bm25f_topk": """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

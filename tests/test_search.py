@@ -1191,3 +1191,38 @@ def test_bm25f_title_boost_reorders(spark):
     boosted = bm25f_topk(idx, ["spark"], weights={"title": 8.0, "text": 1.0}).collect()
     assert flat[0]["doc_id"] == 1      # body-heavy wins unweighted
     assert boosted[0]["doc_id"] == 0   # title boost flips it
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis (find-similar-documents)
+# ---------------------------------------------------------------------------
+
+def test_mlt_near_duplicate_ranks_first(spark):
+    """A near-copy of the seed doc must be the top MoreLikeThis hit, the
+    seed itself must be excluded, and term selection must be the doc's
+    top tf-idf terms."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.engine import Searcher
+    from clucene_spark.search.mlt import interesting_terms, more_like_this
+
+    rows = [
+        (0, "quantum flux capacitor drive quantum flux"),
+        (1, "quantum flux capacitor drive quantum plasma"),   # near-copy
+        (2, "table scan join window agg value"),
+        (3, "flux of a the and or capacitor"),
+        (4, "a an the of to in and or as at"),                # stopword-ish
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = Searcher(InvertedIndex(docs), similarity="bm25")
+
+    top = more_like_this(s, 0, max_terms=4, k=3).collect()
+    assert top and top[0]["doc_id"] == 1
+    assert all(r["doc_id"] != 0 for r in top)  # seed excluded
+
+    terms = [t for _, t in interesting_terms(s, 0, max_terms=4)]
+    # rare terms from the seed doc beat corpus-wide common ones
+    assert "quantum" in terms and "flux" in terms
+    again = more_like_this(s, 0, max_terms=4, k=3).collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == [
+        (r["doc_id"], r["score"]) for r in again
+    ]
