@@ -76,6 +76,10 @@ def bm25f_topk(
         t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         for t, df in dfs.items()
     }
+    if not idf:  # no query term occurs in any scored field: empty result
+        # (an empty create_map types as map<void,void> and fails analysis)
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
 
     w_expr = F.create_map(
         *[F.lit(x) for f in fields for x in (f, float(weights[f]))]

@@ -1226,3 +1226,22 @@ def test_mlt_near_duplicate_ranks_first(spark):
     assert [(r["doc_id"], r["score"]) for r in top] == [
         (r["doc_id"], r["score"]) for r in again
     ]
+
+
+def test_bm25f_absent_term_returns_empty(spark):
+    """A query term that occurs in no scored field yields an empty result
+    (regression: the empty idf literal map used to fail analysis)."""
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.bm25f import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "a b c"), (1, "c d", "d e f")],
+        "doc_id long, title string, text string",
+    )
+    idx = InvertedIndex(
+        docs,
+        fields=[("text", "text", "whitespace"), ("title", "title", "whitespace")],
+    )
+    out = bm25f_topk(idx, ["zzzz"]).collect()
+    assert out == []
+    assert [f.name for f in bm25f_topk(idx, ["zzzz"]).schema] == ["doc_id", "score"]
