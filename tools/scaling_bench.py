@@ -582,11 +582,15 @@ its full memory bandwidth and frequency boost, reaching per-core speeds
 no equally-busy 16-core fleet (or real cluster node) can match, which
 deflates the raw ratio exactly when the box is cleanest. The faster the
 kernel gets, the more bandwidth-bound it is and the stronger this
-artifact (the r4 arrow encoder raised per-node throughput 17% and
-simultaneously LOWERED the single-box raw ratio) — the cluster-normalized
-control is immune because both sides of its ratio run equally loaded.
-Pre-epoch raw passes (0.933, 0.856) measured the slower pre-arrow kernel
-and stay in the table as history.
+artifact — measured across kernel epochs: the arrow-codes kernel
+(r4s4) raised the 4-core low level +50% (median 48.7k -> 72.9k docs/s)
+and the 16-core fleet +47% (144.9k -> 212.3k docs/s), i.e. BOTH levels
+sped up near-proportionally and the all-runs raw median held ~0.71-0.74
+across epochs, while clean-window lows now hit 81-88k docs/s (deep
+4-core turbo) and push individual clean raws DOWN — the
+cluster-normalized control is immune because both sides of its ratio
+run equally loaded. Pre-epoch raw passes (0.933, 0.856) measured the
+slower pre-arrow kernel and stay in the table as history.
 
 ### Reading the matrix
 
