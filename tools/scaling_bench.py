@@ -592,6 +592,16 @@ cluster-normalized control is immune because both sides of its ratio
 run equally loaded. Pre-epoch raw passes (0.933, 0.856) measured the
 slower pre-arrow kernel and stay in the table as history.
 
+Converged context from the PREVIOUS (int-code) kernel epoch — the same
+protocol run to 147 pairs across many tenant conditions: all-runs raw
+median 0.735, cluster-normalized median 0.893 (PASS), clean-window
+subset median 0.850 (PASS, 14 qualifying pairs), 49/147 outright raw
+passes. The current epoch's medians above are early (tens of pairs,
+sampled through a persistently-loaded midday window) and move with
+every run; the 147-run figures are the converged estimate of the same
+scaling physics on the previous kernel, kept here as history, never
+substituted for the current-epoch numbers.
+
 ### Reading the matrix
 
 **Topology matters on one box.** A real cluster scales from N to 4N by
