@@ -246,7 +246,12 @@ def _store_checks(index_dir: str, manifest: dict) -> list[tuple]:
     sidecar, directory listing), never corpus-sized."""
     rows: list[tuple] = []
     mdir = os.path.join(index_dir, "manifest")
-    gens = sorted(f for f in os.listdir(mdir) if f.startswith("segments_"))
+    # match the manifest protocol's own listing (segments_<gen>.json) —
+    # a stray temp/partial file in manifest/ must not read as corruption
+    gens = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("segments_") and f.endswith(".json")
+    )
     n_bad = 0
     referenced: set[str] = set()
     for g in gens:

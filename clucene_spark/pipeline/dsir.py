@@ -46,6 +46,39 @@ from clucene_spark.pipeline.textstats import _tokens
 
 _HASH_SPACE = float(1 << 28)  # md5_31 = 7 hex digits = 28 bits
 
+# LRU-1 registry of the persisted (doc_id, bucket, c) relation: repeated
+# dsir_weights/dsir_resample calls in one session must not accumulate cached
+# RDDs (ADVICE r4), so registering a new cache releases the previous one.
+# Callers that interleave two live dsir pipelines should either consume the
+# first before starting the second or pass cache=False (the evicted plan
+# recomputes — correctness is unaffected, only the reuse is lost).
+_docb_cache: list[DataFrame] = []
+
+
+def _register_docb(docb: DataFrame) -> None:
+    while _docb_cache:
+        prev = _docb_cache.pop()
+        try:
+            # Spark's CacheManager keys on the LOGICAL PLAN: a repeat call
+            # over the same input produces the same plan and shares the
+            # cache entry, so unpersisting the old handle would wipe the
+            # new one too — keep shared-plan entries alive.
+            if not prev.sameSemantics(docb):
+                prev.unpersist()
+        except Exception:
+            pass
+    _docb_cache.append(docb)
+
+
+def dsir_unpersist() -> None:
+    """Release the cached (doc_id, bucket, c) relation of the most recent
+    dsir_weights call. Safe to call any time; idempotent."""
+    while _docb_cache:
+        try:
+            _docb_cache.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _gram_buckets(docs: DataFrame, n_buckets: int, text_col: str) -> DataFrame:
     """(doc_id, bucket) — one row per gram OCCURRENCE."""
@@ -73,6 +106,7 @@ def dsir_weights(
     target: DataFrame,
     n_buckets: int = 4096,
     text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Per-doc importance log-weight of `docs` (raw) toward `target`.
 
@@ -83,19 +117,25 @@ def dsir_weights(
     divided back to a float once. Docs with no tokens carry no evidence
     and are omitted.
 
-    The returned frame's lineage holds a persisted narrow
-    (doc_id, bucket, c) relation (the corpus is tokenized once, not
-    once per aggregation); the caller may `.unpersist()` it via
-    `df._dsir_docb` when done — at 100 TB it is n_docs × ~20 B,
-    disk-spillable.
+    With ``cache=True`` (default) the returned frame's lineage holds a
+    persisted narrow (doc_id, bucket, c) relation (the corpus is
+    tokenized once, not once per aggregation) — at 100 TB it is
+    n_docs × ~20 B, disk-spillable. Its lifecycle is session-managed:
+    an LRU-1 registry unpersists the previous dsir cache whenever a new
+    one is created, so repeated calls never accumulate cached RDDs;
+    call :func:`dsir_unpersist` (or `.unpersist()` on the
+    ``df._dsir_docb`` handle) to release it early. ``cache=False``
+    skips persistence entirely (the relation recomputes per action).
     """
     docs = ensure_parallelism(docs)
     docb = (
         _gram_buckets(docs, n_buckets, text_col)
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache:
+        docb = docb.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_docb(docb)
     rawb = docb.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgtb = (
         _gram_buckets(target, n_buckets, text_col)
@@ -150,6 +190,7 @@ def dsir_resample(
     temperature: float = 1.0,
     seed: int = 42,
     text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Select `k` docs from `docs` with probability ∝ exp(logw / T) by
     deterministic Gumbel-top-k: key = logw/T − ln(−ln(u)) with
@@ -163,7 +204,9 @@ def dsir_resample(
     Scale shape: dsir_weights (above) + a map-only key column + a
     global top-k (TakeOrderedAndProject — per-partition heaps, never a
     full sort)."""
-    w = dsir_weights(docs, target, n_buckets=n_buckets, text_col=text_col)
+    w = dsir_weights(
+        docs, target, n_buckets=n_buckets, text_col=text_col, cache=cache
+    )
     u = (
         md5_31(
             F.concat_ws(

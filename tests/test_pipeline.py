@@ -1629,3 +1629,46 @@ def test_dsir_resample_prefers_target_like_docs(spark):
     # a different seed redraws the Gumbel keys (ordering may change)
     other = dsir_resample(docs, target, k=10, n_buckets=128, seed=4).collect()
     assert {r["doc_id"] for r in other} <= {i for i in range(20)}
+
+
+def test_dsir_cache_lifecycle_lru1(spark):
+    """Repeated dsir_weights calls must not accumulate cached RDDs (ADVICE
+    r4): registering a new docb cache unpersists the previous one, and
+    dsir_unpersist() releases the last."""
+    from pyspark import StorageLevel
+    from clucene_spark.pipeline import dsir as dsir_mod
+    from clucene_spark.pipeline.dsir import dsir_unpersist, dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(8)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta")], "doc_id long, text string"
+    )
+
+    w1 = dsir_weights(docs, target, n_buckets=64)
+    w1.count()  # materialize the first cache
+    docb1 = w1._dsir_docb
+    assert docb1.storageLevel != StorageLevel.NONE
+
+    # same inputs -> same logical plan -> shared cache entry stays alive
+    w1b = dsir_weights(docs, target, n_buckets=64)
+    assert w1b._dsir_docb.storageLevel != StorageLevel.NONE
+    assert len(dsir_mod._docb_cache) == 1
+
+    # different plan (new n_buckets) -> LRU-1 evicts the previous cache
+    w2 = dsir_weights(docs, target, n_buckets=32)
+    docb2 = w2._dsir_docb
+    assert docb1.storageLevel == StorageLevel.NONE
+    assert docb2.storageLevel != StorageLevel.NONE
+    assert len(dsir_mod._docb_cache) == 1
+
+    dsir_unpersist()
+    assert docb2.storageLevel == StorageLevel.NONE
+    assert not dsir_mod._docb_cache
+
+    # cache=False registers nothing and persists nothing
+    w3 = dsir_weights(docs, target, n_buckets=64, cache=False)
+    assert w3._dsir_docb.storageLevel == StorageLevel.NONE
+    assert not dsir_mod._docb_cache
+    w3.count()  # still computes correctly without the cache

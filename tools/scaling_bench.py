@@ -331,6 +331,15 @@ def main() -> None:
                 "value_hw_normalized": None,
                 "plan": args.plan,
                 "protocol": "adjacent-pair",
+                # launch-regime tag (ADVICE r4): sentinel-gated pairs are
+                # conditioned on a clean bandwidth probe; unconditional
+                # pairs are not. Recorded so the report can separate the
+                # two sampling regimes instead of pooling them.
+                "sentinel_gated":
+                    "SCALING_SENTINEL_PROBE_GBPS" in os.environ,
+                "probe_gbps": float(
+                    os.environ["SCALING_SENTINEL_PROBE_GBPS"])
+                    if "SCALING_SENTINEL_PROBE_GBPS" in os.environ else None,
                 "pass_0.8": eff >= 0.8,
                 "measured_unix": time.time(),
             }
@@ -481,6 +490,14 @@ def write_report(args, hist: list, result: dict) -> None:
     ]
     eff_clean = _median([h["value"] for h in clean]) if clean else None
     n_pass = sum(1 for h in same if h["value"] >= 0.8)
+    # launch-regime split (ADVICE r4): sentinel-gated pairs condition the
+    # SAMPLE on host state (launched only in probe-clean windows, though
+    # every completed pair is kept); unconditional pairs do not. Report
+    # the two regimes' medians separately alongside the pooled median.
+    gated = [h for h in same if h.get("sentinel_gated")]
+    ungated = [h for h in same if not h.get("sentinel_gated")]
+    eff_gated = _median([h["value"] for h in gated]) if gated else None
+    eff_ungated = _median([h["value"] for h in ungated]) if ungated else None
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = "\n".join(
@@ -553,6 +570,15 @@ window): {len(clean)} of {len(same)} runs, raw-efficiency median =
 ({"PASS" if (eff_clean or 0) >= 0.8 else "below"}); {n_pass}/{len(same)}
 epoch runs pass raw >=0.8 outright. Reported alongside the all-runs
 median above, never substituted for it.
+
+Launch-regime split (pairs tagged `sentinel_gated` in scaling.json since
+r5 — gating launch on a bandwidth probe conditions the SAMPLE on host
+state even though every completed pair is kept, so the two regimes are
+reported separately rather than silently pooled): sentinel-gated
+{len(gated)} pairs, raw median {eff_gated if eff_gated is not None else float('nan'):.3f};
+unconditional {len(ungated)} pairs, raw median
+{eff_ungated if eff_ungated is not None else float('nan'):.3f}.
+(Pairs recorded before the tag existed count as unconditional.)
 
 **Primary metric (pre-registered since r3): cluster-normalized** — chosen
 because the north rule compares two CLUSTER sizes and on a real cluster

@@ -25,11 +25,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tools.window_probe import probe, record, best_seen  # noqa: E402
+from tools.window_probe import (  # noqa: E402
+    FLOOR_GBPS, PROBE_FRAC, best_seen, probe, record,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FLOOR_GBPS = 18.0   # absolute clean floor; tuned from observed clean windows
-PROBE_FRAC = 0.85
 PROBE_EVERY = 45.0  # seconds between probes while degraded
 N_DOCS = 2_000_000
 
@@ -39,11 +39,15 @@ def one_probe() -> float:
     return statistics.median(probe(16, 2.0) for _ in range(3))
 
 
-def run_pair() -> int:
+def run_pair(probe_gbps: float) -> int:
     cmd = [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
            "--n-docs", str(N_DOCS), "--low", "4", "--high", "16",
            "--plan", "direct", "--pairs", "1"]
-    return subprocess.run(cmd, cwd=REPO).returncode
+    # tag the recorded pair with its launch regime (ADVICE r4: sentinel-
+    # gated and unconditional pairs sample different host states and must
+    # be separable in the medians, not silently pooled)
+    env = dict(os.environ, SCALING_SENTINEL_PROBE_GBPS=f"{probe_gbps:.3f}")
+    return subprocess.run(cmd, cwd=REPO, env=env).returncode
 
 
 def main() -> None:
@@ -62,7 +66,7 @@ def main() -> None:
         print(f"[sentinel] probe={g:.1f} GB/s best={best_seen():.1f} "
               f"clean={clean} pairs_run={pairs_run}", flush=True)
         if clean:
-            rc = run_pair()
+            rc = run_pair(g)
             pairs_run += 1
             print(f"[sentinel] pair #{pairs_run} rc={rc}", flush=True)
         else:

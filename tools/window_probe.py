@@ -25,7 +25,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(REPO, "BENCH", "probe_history.jsonl")
-PROBE_FRAC = 0.90  # "clean" = within 10% of best-ever aggregate GB/s
+# Single source of truth for the clean-window rule (ADVICE r4: the probe,
+# the sentinel, and BENCH/BASELINE.md must not drift): "clean" = probe
+# within 15% of best-ever aggregate GB/s AND above an absolute floor.
+# scaling_sentinel imports both constants from here.
+PROBE_FRAC = 0.85
+FLOOR_GBPS = 18.0  # absolute clean floor; tuned from observed clean windows
 
 
 def _worker(q: "mp.Queue", seconds: float) -> None:
@@ -69,7 +74,7 @@ def best_seen() -> float:
 
 def is_clean(gbps: float) -> bool:
     b = best_seen()
-    return b > 0 and gbps >= PROBE_FRAC * b
+    return b > 0 and gbps >= max(FLOOR_GBPS, PROBE_FRAC * b)
 
 
 if __name__ == "__main__":
