@@ -401,7 +401,6 @@ class Searcher:
             self.n_docs = int(row["n"])
             self.avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
         self._df_cache: dict[tuple[str, str], int] = {}
-        self._norms_df: Optional[DataFrame] = None
 
     # -- field plumbing -------------------------------------------------------
 
@@ -437,19 +436,15 @@ class Searcher:
     def _lnorm(self, df: DataFrame) -> tuple[DataFrame, "F.Column"]:
         """Length-norm column for classic scoring. Exact 1/sqrt(dl) by
         default; norm_bytes=True round-trips the reference's lossy 8-bit
-        codec (Similarity.cpp:99-160) via a broadcast (dl -> decoded norm)
-        join, because ranks diverge from the reference unless the norm is
-        quantized identically."""
+        codec (Similarity.cpp:99-160) — ranks diverge from the reference
+        unless the norm is quantized identically. The codec is a pure
+        function of dl, expressed as a closed-form Catalyst column
+        (sim.lnorm_column): zero Spark jobs for norm setup, no broadcast
+        join (the r1-r4 implementation collected distinct dls into a
+        broadcast map — a corpus job the expression form doesn't need)."""
         if not self.norm_bytes:
             return df, 1.0 / F.sqrt(F.col("dl"))
-        if self._norms_df is None:
-            dls = [r["dl"] for r in self.index.doc_lens.select("dl").distinct().collect()]
-            rows = [(int(dl), float(sim.decode_norm(sim.encode_norm(int(dl))))) for dl in dls]
-            spark = self.index.doc_lens.sparkSession
-            self._norms_df = F.broadcast(
-                spark.createDataFrame(rows, "dl long, lnorm double")
-            )
-        return df.join(self._norms_df, "dl"), F.col("lnorm")
+        return df, sim.lnorm_column(F.col("dl"))
 
     # -- statistics ---------------------------------------------------------
 
