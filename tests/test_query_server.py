@@ -1,0 +1,110 @@
+"""Query-server serving path (tools/query_server.py): Spark-free store
+opening with manifest-derived stats, and rank-identity through a live
+socket against the in-process and Spark serving paths."""
+
+import json
+import os
+import shutil
+import socket
+import tempfile
+import threading
+
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.query_server import QueryServer, _ask, _client, open_store
+
+
+@pytest.fixture(scope="module")
+def served_index(spark, sf_dir):
+    from clucene_spark.index.segments import build_segments_fused
+
+    idx = tempfile.mkdtemp(prefix="qsrv_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_segments_fused(docs, idx, docs_per_segment=128,
+                         analyzer="whitespace")
+    yield idx
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_manifest_stats_match_spark_stats(spark, served_index):
+    """open_store derives (n_docs, avgdl) from committed per-segment
+    metrics; it must equal the Spark doc_lens aggregation exactly on
+    n_docs and to float precision on avgdl."""
+    from clucene_spark.index.segments import SegmentStore
+
+    st_spark = SegmentStore(spark, served_index)
+    n_s, avg_s = st_spark.stats()
+    st_local = open_store(served_index)
+    n_l, avg_l = st_local._stats
+    assert n_l == n_s
+    assert abs(avg_l - avg_s) < 1e-9
+
+
+def test_server_rank_identical_to_local_and_direct(spark, served_index):
+    """Hits through the socket == wand_query_local == wand_query_direct
+    (collected), for OR and AND over head terms."""
+    from clucene_spark.index.segments import SegmentStore
+    from clucene_spark.search.wand import wand_query_direct, wand_query_local
+
+    store_local = open_store(served_index)
+    srv = QueryServer(("127.0.0.1", 0), store_local)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    sock = _client(host, port)
+    try:
+        assert _ask(sock, {"cmd": "ping"}) == {"ok": True}
+        st = _ask(sock, {"cmd": "stats"})
+        assert st["n_docs"] == store_local._stats[0]
+
+        store_spark = SegmentStore(spark, served_index)
+        for terms, mode in [
+            (["spark", "vector", "window"], "OR"),
+            (["spark", "join"], "AND"),
+            (["nonexistent_zz_term"], "OR"),
+        ]:
+            resp = _ask(sock, {"terms": terms, "k": 10, "mode": mode})
+            got = [(d, s) for d, s in resp["hits"]]
+            want_local = wand_query_local(
+                store_local, terms, k=10, mode=mode
+            )
+            assert got == [(int(d), float(s)) for d, s in want_local]
+            want_direct = [
+                (r["doc_id"], r["score"])
+                for r in wand_query_direct(
+                    store_spark, terms, k=10, mode=mode
+                ).collect()
+            ]
+            assert got == want_direct, (terms, mode)
+
+        # malformed request reports an error and the connection survives
+        assert "error" in _ask(sock, {"k": 10})
+        assert _ask(sock, {"cmd": "ping"}) == {"ok": True}
+    finally:
+        sock.close()
+        srv.shutdown()
+
+
+def test_once_mode_subprocess(served_index):
+    """--once answers one query without a server loop (and without any
+    JVM: the subprocess env drops JAVA_HOME to prove no Spark spin-up)."""
+    import subprocess
+    import sys as _sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAVA_HOME", "SPARK_HOME")}
+    out = subprocess.run(
+        [_sys.executable, os.path.join(
+            os.path.dirname(__file__), "..", "tools", "query_server.py"),
+         served_index, "--once", json.dumps({"terms": ["spark"], "k": 5})],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
+    assert len(hits) == 5
+    assert all(isinstance(d, int) for d, _ in hits)
