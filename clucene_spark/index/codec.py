@@ -42,13 +42,15 @@ def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     rem/idx/left state over every value each pass."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b"", np.zeros(0, dtype=np.int64)
+        return b"", np.zeros(0, dtype=np.int32)
     if int(v.max()) < 128:
-        return v.astype(np.uint8).tobytes(), np.ones(v.shape, dtype=np.int64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
+        return v.astype(np.uint8).tobytes(), np.ones(v.shape, dtype=np.int32)
+    # int32 lengths: a single stream is capped at 2 GB anyway by Arrow's
+    # binary offsets, and halving this array halves the cumsum traffic
+    nbytes = np.ones(v.shape, dtype=np.int32)
     tmp = v >> np.uint64(7)
     while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
+        nbytes += (tmp > 0).astype(np.int32)
         tmp >>= np.uint64(7)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)

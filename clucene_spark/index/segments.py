@@ -171,6 +171,15 @@ _ARROW_BAD_DOC = (
     "|[A-Za-z0-9]{256}"
 )
 
+# Docs that must take the WHOLE-DOC python path: any character outside
+# printable ASCII + the 5 ASCII whitespace chars. Everything else is
+# "chunk-routable": Arrow's utf8_split_whitespace and python's str.split
+# agree on those bytes, so the DFA can run once per DISTINCT whitespace
+# chunk instead of once per doc (python isspace() additionally treats
+# \x1c-\x1f as whitespace, and non-ASCII brings unicode casing/classes —
+# both go to the per-doc path).
+_ARROW_HARD_DOC = "[^\x20-\x7e\t\n\x0b\x0c\r]"
+
 
 def _analyze_docs_codes(texts, analyzer: str, langs=None):
     """Token stream as DICTIONARY CODES: (codes int64, uniques object[],
@@ -215,7 +224,19 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
         pc.match_substring_regex(texts_pa, _ARROW_BAD_DOC), True
     ).to_numpy(zero_copy_only=False).astype(bool)
     elig_idx = np.flatnonzero(~bad)
-    bad_idx = np.flatnonzero(bad)
+    bad_all = np.flatnonzero(bad)
+    # the hard-doc test only matters for bad docs — scan that subset
+    if len(bad_all):
+        hard_sub = pc.fill_null(
+            pc.match_substring_regex(
+                pc.take(texts_pa, pa.array(bad_all)), _ARROW_HARD_DOC
+            ),
+            True,
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        chunk_idx = bad_all[~hard_sub]   # DFA per DISTINCT chunk
+        py_idx = bad_all[hard_sub]       # DFA per doc (rare)
+    else:
+        chunk_idx = py_idx = bad_all
 
     if len(elig_idx):
         sub = (texts_pa if len(elig_idx) == n
@@ -232,47 +253,147 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
         counts_e = np.zeros(0, np.int64)
         flat_a = pa.array([], type=pa.string())
 
-    # python piecewise path for the bad docs (no stopword probe per token
-    # — stopwords drop at the CODE level below; the DFA memoizes per
-    # distinct bad chunk)
-    counts_b = np.zeros(len(bad_idx), np.int64)
+    # --- chunk-routed DFA path: messy-but-ASCII docs. Real web text puts
+    # ~85% of TOKENS in docs that contain at least one bad chunk (long
+    # docs almost always do), so running the piecewise python scan per
+    # doc dominates the whole analyze phase. Instead: Arrow-split the
+    # RAW text into whitespace chunks (byte-identical to python's split
+    # for this character class), dictionary-encode the chunks, run the
+    # verified piecewise analyzer once per DISTINCT chunk — Zipf says
+    # that's ~2 orders fewer DFA invocations — and expand the code
+    # stream in numpy. The doc-final chunk uses the EOS lookahead
+    # variant (the DFA distinguishes end-of-string from a following
+    # space, e.g. single-letter acronym shaving), via appended
+    # expansion-table entries.
+    b_terms: list = []                   # distinct term strings (class B)
+    b_term_ids: dict = {}
+    exp_counts_l: list = []              # per expansion-entry term count
+    exp_flat_l: list = []                # flattened term ids per entry
+    if len(chunk_idx):
+        subB = pc.take(texts_pa, pa.array(chunk_idx))
+        lists_b = pc.utf8_split_whitespace(subB)
+        if isinstance(lists_b, pa.ChunkedArray):
+            lists_b = lists_b.combine_chunks()
+        offs_b = lists_b.offsets.to_numpy().astype(np.int64)
+        rcounts = np.diff(offs_b)
+        denc_b = pc.dictionary_encode(pc.list_flatten(lists_b))
+        rc = denc_b.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        rvocab = denc_b.dictionary.to_pylist()
+
+        def _intern(terms) -> int:
+            eid = len(exp_counts_l)
+            exp_counts_l.append(len(terms))
+            for t in terms:
+                gid = b_term_ids.get(t)
+                if gid is None:
+                    gid = len(b_terms)
+                    b_term_ids[t] = gid
+                    b_terms.append(t)
+                exp_flat_l.append(gid)
+            return eid
+
+        # default (mid-doc) expansion per distinct raw chunk: the
+        # piecewise analyzer on chunk+" " IS the chunk's mid-doc DFA
+        # output (its own finditer sees the trailing space as lookahead)
+        for ch in rvocab:
+            _intern(standard_analyze_terms_nostop(ch + " ") if ch else ())
+        # EOS variants for chunks that occur doc-final (doc not ending
+        # in whitespace <=> last arrow chunk non-empty)
+        occ_exp = rc.copy()
+        last_pos = offs_b[1:] - 1
+        has_chunks = rcounts > 0
+        final_occ = last_pos[has_chunks]
+        if len(final_occ):
+            final_rc = rc[final_occ]
+            nonempty = np.array(
+                [len(rvocab[c]) > 0 for c in final_rc], dtype=bool
+            )
+            final_occ = final_occ[nonempty]
+            final_rc = final_rc[nonempty]
+            eos_eid: dict = {}
+            for c in np.unique(final_rc):
+                eos_eid[int(c)] = _intern(
+                    standard_analyze_terms_nostop(rvocab[int(c)])
+                )
+            occ_exp[final_occ] = np.array(
+                [eos_eid[int(c)] for c in final_rc], dtype=occ_exp.dtype
+            )
+        exp_counts = np.array(exp_counts_l, dtype=np.int64)
+        exp_off = np.cumsum(exp_counts) - exp_counts
+        exp_flat = np.array(exp_flat_l, dtype=np.int32)
+        e = exp_counts[occ_exp]
+        if exp_counts.max(initial=0) <= 1:
+            # dominant shape: every chunk expands to 0 or 1 term — the
+            # stream is a pure gather, no repeat machinery
+            one = e == 1
+            bterm_stream = exp_flat[exp_off[occ_exp[one]]]
+        else:
+            tot_b = int(e.sum())
+            rep = np.repeat(occ_exp, e)
+            intra_b = (np.arange(tot_b, dtype=np.int64)
+                       - np.repeat(np.cumsum(e) - e, e))
+            bterm_stream = exp_flat[exp_off[rep] + intra_b]
+        # per-doc expanded counts: every class-B doc has >=1 arrow chunk
+        # (split of a non-null string is never an empty list), so
+        # reduceat over the chunk offsets is safe
+        counts_b = (np.add.reduceat(e, offs_b[:-1])
+                    if len(e) else np.zeros(len(chunk_idx), np.int64))
+    else:
+        counts_b = np.zeros(0, np.int64)
+        bterm_stream = np.zeros(0, np.int32)
+
+    # --- whole-doc python path: non-ASCII / control chars / nulls ---
+    counts_c = np.zeros(len(py_idx), np.int64)
     py_tokens: list = []
     chunk_cache: dict = {}
-    for j, bi in enumerate(bad_idx):
+    for j, bi in enumerate(py_idx):
         t = texts_pa[int(bi)].as_py()
         terms = (standard_analyze_terms_nostop(t, chunk_cache)
                  if t is not None else [])
-        counts_b[j] = len(terms)
+        counts_c[j] = len(terms)
         py_tokens.extend(terms)
 
-    # ONE dictionary pass over both sub-streams unifies the code space —
-    # no per-token python mapping loop
-    n_a = len(flat_a)
-    if py_tokens:
-        flat_all = pa.concat_arrays(
-            [flat_a, pa.array(py_tokens, type=pa.string())])
+    # --- unify the three code spaces at VOCAB level (never per token):
+    # class A's dictionary is the prefix; class B's distinct terms and
+    # class C's tokens map through a vocab-sized python dict + one
+    # numpy gather.
+    denc = pc.dictionary_encode(flat_a)
+    codes_e = denc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    uniq_a = denc.dictionary.to_pylist()
+    term_gid = {t: i for i, t in enumerate(uniq_a)}
+    for t in b_terms:
+        if t not in term_gid:
+            term_gid[t] = len(term_gid)
+    if len(bterm_stream):
+        b_map = np.array([term_gid[t] for t in b_terms], dtype=np.int32)
+        codes_b = b_map[bterm_stream]
     else:
-        flat_all = flat_a
-    denc = pc.dictionary_encode(flat_all)
-    codes_all = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    codes_e, codes_b = codes_all[:n_a], codes_all[n_a:]
-    uniques = np.array(denc.dictionary.to_pylist(), dtype=object)
+        codes_b = bterm_stream
+    codes_c = np.empty(len(py_tokens), np.int32)
+    for i, t in enumerate(py_tokens):
+        gid = term_gid.get(t)
+        if gid is None:
+            gid = len(term_gid)
+            term_gid[t] = gid
+        codes_c[i] = gid
+    uniques = np.array(list(term_gid.keys()), dtype=object)
 
-    # neither sub-path has stop-filtered yet: stopwords + edge-empties
-    # drop at the CODE level — one probe per VOCAB entry, never per token
+    # no sub-path has stop-filtered yet: stopwords + edge-empties drop
+    # at the CODE level — one probe per VOCAB entry, never per token
     drop = np.zeros(len(uniques), dtype=bool)
     for i, u in enumerate(uniques):
         if u == "" or u in ENGLISH_STOP_WORDS:
             drop[i] = True
 
-    # stitch both sub-streams back into original doc order (vectorized
+    # stitch the sub-streams back into original doc order (vectorized
     # scatter; uniq_docs downstream needs doc_ids ascending)
     counts_full = np.zeros(n, np.int64)
     counts_full[elig_idx] = counts_e
-    counts_full[bad_idx] = counts_b
+    counts_full[chunk_idx] = counts_b
+    counts_full[py_idx] = counts_c
     total = int(counts_full.sum())
     starts = np.cumsum(counts_full) - counts_full
-    flat_codes = np.empty(total, np.int64)
+    flat_codes = np.empty(total, np.int32)
 
     def _tgt(sel, cnts):
         intra = (np.arange(int(cnts.sum()), dtype=np.int64)
@@ -284,8 +405,10 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
             flat_codes = codes_e
         else:
             flat_codes[_tgt(elig_idx, counts_e)] = codes_e
-    if len(bad_idx):
-        flat_codes[_tgt(bad_idx, counts_b)] = codes_b
+    if len(chunk_idx):
+        flat_codes[_tgt(chunk_idx, counts_b)] = codes_b
+    if len(py_idx):
+        flat_codes[_tgt(py_idx, counts_c)] = codes_c
 
     if drop.any():
         keep = ~drop[flat_codes]
@@ -294,9 +417,9 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
         counts_full = np.bincount(
             doc_idx[keep], minlength=n).astype(np.int64)
         total = int(counts_full.sum())
-    offsets2 = np.cumsum(counts_full) - counts_full
-    p = (np.arange(total, dtype=np.int64)
-         - np.repeat(offsets2, counts_full))
+    idx_t = np.int32 if total < 2**31 else np.int64
+    offsets2 = (np.cumsum(counts_full) - counts_full).astype(idx_t)
+    p = np.arange(total, dtype=idx_t) - np.repeat(offsets2, counts_full)
     return flat_codes, uniques, p, counts_full
 
 
@@ -327,11 +450,22 @@ def _invert_encode_codes(doc_ids_in, codes, uniques, p, counts, wp: bool,
     TermVectorsReader). It reuses the same sorted run boundaries as the
     inverted encode, so the extra cost is one np.split + a sort by doc."""
     total = int(counts.sum())
-    d = np.repeat(doc_ids_in, counts)
+    doc_ids_in = np.asarray(doc_ids_in, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    # carry doc ORDINALS (row index into doc_ids_in) through the sort,
+    # not doc ids: ordinals fit int32, and both docs_p and dls_p become
+    # direct gathers afterward (the dl searchsorted disappears)
+    ord_t = np.int32 if len(doc_ids_in) < 2**31 else np.int64
+    d = np.repeat(np.arange(len(doc_ids_in), dtype=ord_t), counts)
     # stable sort by term keeps (doc asc, pos asc) inside each term run.
     # rank of the ~small unique-term set: EVERY per-token operation runs
-    # on int64 codes — the strings are only touched again at term-run
-    # boundaries (vocab-sized, ~2 orders smaller).
+    # on integer codes — the strings are only touched again at term-run
+    # boundaries (vocab-sized, ~2 orders smaller). Per-token arrays are
+    # int32 where the value range allows (vocab and positions are both
+    # far below 2^31 per task): the stable argsort is a radix sort on
+    # integer keys, so halving the key width halves both its passes and
+    # the gather traffic — the dominant memory-bandwidth cost of this
+    # kernel at high core counts (BENCH/BASELINE.md r4 epoch analysis).
     # Term rank uses UTF-16 code-unit order (reference
     # TermInfosWriter.cpp:108-140 parity; plain argsort unless a term
     # contains a char >= U+E000). term_prefix (fielded terms) is applied
@@ -341,10 +475,14 @@ def _invert_encode_codes(doc_ids_in, codes, uniques, p, counts, wp: bool,
     else:
         uniques = np.asarray(uniques, dtype=object)
     u_order = utf16_argsort(uniques)
-    rank_of_code = np.empty(len(uniques), dtype=np.int64)
+    narrow = len(uniques) < 2**31 and total < 2**31
+    rank_of_code = np.empty(len(uniques),
+                            dtype=np.int32 if narrow else np.int64)
     rank_of_code[u_order] = np.arange(len(uniques))
     sorted_uniques = uniques[u_order]
     ranks = rank_of_code[codes]
+    if narrow and p.dtype != np.int32 and (len(p) == 0 or p.max() < 2**31):
+        p = p.astype(np.int32)
     order = np.argsort(ranks, kind="stable")
     r, d, p = ranks[order], d[order], p[order]
 
@@ -353,7 +491,8 @@ def _invert_encode_codes(doc_ids_in, codes, uniques, p, counts, wp: bool,
     if n_tok > 1:
         post_change[1:] = (r[1:] != r[:-1]) | (d[1:] != d[:-1])
     post_idx = np.flatnonzero(post_change)
-    docs_p = d[post_idx]
+    ord_p = d[post_idx]
+    docs_p = doc_ids_in[ord_p]
     tfs = np.diff(np.concatenate([post_idx, [n_tok]]))
     ranks_p = r[post_idx]
     term_change = np.ones(len(post_idx), dtype=bool)
@@ -361,7 +500,7 @@ def _invert_encode_codes(doc_ids_in, codes, uniques, p, counts, wp: bool,
         term_change[1:] = ranks_p[1:] != ranks_p[:-1]
     uniq_docs = doc_ids_in[counts > 0]
     dl_counts = counts[counts > 0]
-    dls_p = dl_counts[np.searchsorted(uniq_docs, docs_p)]
+    dls_p = counts[ord_p]
 
     # arrow-native encode: the vbyte streams/offsets map straight onto
     # Arrow binary+list buffers — no per-term bytes slices or .tolist()

@@ -68,10 +68,23 @@ def utf16_sorted(strings) -> list[str]:
 
 def utf16_argsort(arr) -> np.ndarray:
     """np.argsort in UTF-16 code-unit order. `arr` is a 1-D array/sequence
-    of str. Fast path (no char >= U+E000): plain np.argsort."""
+    of str. Fast path (no char >= U+E000): code-point order suffices, and
+    Arrow's UTF-8 byte sort IS code-point order — C-speed instead of
+    python-object comparisons (the object-array mergesort was ~40% of a
+    100k-doc invert's fixed cost)."""
     a = np.asarray(arr, dtype=object)
     if not any_needs_utf16(a.tolist()):
-        return np.argsort(a, kind="stable")
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return (
+                pc.sort_indices(pa.array(a, type=pa.string()))
+                .to_numpy()
+                .astype(np.int64)
+            )
+        except Exception:
+            return np.argsort(a, kind="stable")
     keys = np.empty(len(a), dtype=object)
     keys[:] = [s.encode("utf-16-be") for s in a.tolist()]
     return np.argsort(keys, kind="stable")

@@ -39,7 +39,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # docs/s). Current epoch: the arrow-native codes kernel
 # (_analyze_docs_codes, commit 2a1ace4) — +39% again (165.9k -> 230.4k
 # docs/s at 2M, lineage bit-identical), a different kernel again.
-KERNEL_EPOCH = 1787215376  # arrow-native codes kernel landing
+# r5 epoch: chunk-routed DFA (per-DISTINCT-chunk analysis for messy
+# docs) + int32 per-token arrays + ordinal doc carrying — measured 3.1x
+# fewer bytes touched per doc than the arrow-codes kernel (see
+# BENCH/kernel_bytes_r5.json). Prior epochs: 1787215376 arrow-codes.
+KERNEL_EPOCH = 1787243914
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
