@@ -328,11 +328,22 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
             one = e == 1
             bterm_stream = exp_flat[exp_off[occ_exp[one]]]
         else:
+            # hybrid: single-term occurrences (the vast majority) are a
+            # pure gather into their cumulative slots; only the e>1
+            # remainder pays the repeat machinery
             tot_b = int(e.sum())
-            rep = np.repeat(occ_exp, e)
-            intra_b = (np.arange(tot_b, dtype=np.int64)
-                       - np.repeat(np.cumsum(e) - e, e))
-            bterm_stream = exp_flat[exp_off[rep] + intra_b]
+            slot = np.cumsum(e) - e
+            bterm_stream = np.empty(tot_b, np.int32)
+            one = e == 1
+            bterm_stream[slot[one]] = exp_flat[exp_off[occ_exp[one]]]
+            multi = e > 1
+            if multi.any():
+                em, om, sm = e[multi], occ_exp[multi], slot[multi]
+                intra_m = (np.arange(int(em.sum()), dtype=np.int64)
+                           - np.repeat(np.cumsum(em) - em, em))
+                bterm_stream[np.repeat(sm, em) + intra_m] = (
+                    exp_flat[np.repeat(exp_off[om], em) + intra_m]
+                )
         # per-doc expanded counts: every class-B doc has >=1 arrow chunk
         # (split of a non-null string is never an empty list), so
         # reduceat over the chunk offsets is safe
@@ -396,9 +407,10 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
     flat_codes = np.empty(total, np.int32)
 
     def _tgt(sel, cnts):
-        intra = (np.arange(int(cnts.sum()), dtype=np.int64)
-                 - np.repeat(np.cumsum(cnts) - cnts, cnts))
-        return np.repeat(starts[sel], cnts) + intra
+        # fused: repeat(starts) + (arange - repeat(csum-cnts))
+        #      = arange + repeat(starts - (csum-cnts)) — one repeat pass
+        return (np.arange(int(cnts.sum()), dtype=np.int64)
+                + np.repeat(starts[sel] - (np.cumsum(cnts) - cnts), cnts))
 
     if len(elig_idx):
         if len(elig_idx) == n:
@@ -412,10 +424,14 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
 
     if drop.any():
         keep = ~drop[flat_codes]
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_full)
+        # per-doc kept counts WITHOUT materializing a per-token doc index:
+        # sum `keep` over each non-empty doc's token range (reduceat needs
+        # strictly-covering segments, so empty docs are patched via mask)
+        nz = counts_full > 0
+        kept_nz = np.add.reduceat(keep, starts[nz])
+        counts_full = np.zeros(n, np.int64)
+        counts_full[nz] = kept_nz
         flat_codes = flat_codes[keep]
-        counts_full = np.bincount(
-            doc_idx[keep], minlength=n).astype(np.int64)
         total = int(counts_full.sum())
     idx_t = np.int32 if total < 2**31 else np.int64
     offsets2 = (np.cumsum(counts_full) - counts_full).astype(idx_t)
