@@ -39,11 +39,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # docs/s). Current epoch: the arrow-native codes kernel
 # (_analyze_docs_codes, commit 2a1ace4) — +39% again (165.9k -> 230.4k
 # docs/s at 2M, lineage bit-identical), a different kernel again.
-# r5 epoch: chunk-routed DFA (per-DISTINCT-chunk analysis for messy
-# docs) + int32 per-token arrays + ordinal doc carrying — measured 3.1x
-# fewer bytes touched per doc than the arrow-codes kernel (see
-# BENCH/kernel_bytes_r5.json). Prior epochs: 1787215376 arrow-codes.
-KERNEL_EPOCH = 1787243914
+# r5 epoch (s2): chunk-routed DFA + int32 per-token arrays + ordinal doc
+# carrying (3.1x fewer bytes/doc than arrow-codes — see
+# BENCH/kernel_bytes_r5.json), then the scatter-pass trims (fused
+# stitch targets, reduceat stop-drop, hybrid expansion; +~20%/core).
+# Prior epochs: 1787215376 arrow-codes; 1787243914 r5 pre-trim (3 pairs
+# recorded, kept in history).
+KERNEL_EPOCH = 1787248170
 # set from --plan in main(); list so the run_* helpers see the choice
 PLAN_FLAG = ["--direct"]
 
