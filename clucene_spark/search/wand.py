@@ -509,13 +509,25 @@ def wand_query_local(
       * global df (for idf) comes from the SAME filtered read (each
         postings row carries its segment-local df; the global value is
         their sum), so the old per-cold-term Spark aggregation
-        (store.doc_freqs) is gone from the serving path entirely.
+        (store.doc_freqs) is gone from the serving path entirely;
+      * decoded postings are LRU-CACHED per (segment, term) on the store
+        handle (r5) — the serving analogue of the OS page cache one
+        level up: head terms decode their multi-MB blobs once, repeat
+        queries skip BOTH the parquet read and the vbyte decode
+        (negative entries are cached too, so a fully-known query
+        touches no files at all). Budget-bounded by total cached
+        postings (`store._serve_cache_budget`, default 32M ≈ a few
+        hundred MB); a store handle is pinned to one manifest
+        generation, so entries can never go stale — reopening a store
+        after a commit starts an empty cache.
 
     The distributed paths reuse identical scoring code, so results are
     rank-identical (tested)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import os
+    import threading
+    from collections import OrderedDict
 
     import pyarrow.dataset as pa_ds
 
@@ -533,49 +545,100 @@ def wand_query_local(
     for s in names:  # warm the memoized dataset handles (not thread-safe)
         store.dataset(s)
 
+    cache: OrderedDict = getattr(store, "_serve_cache", None)
+    if cache is None:
+        cache = store._serve_cache = OrderedDict()
+        store._serve_cache_postings = 0
+        store._serve_cache_lock = threading.Lock()
+    budget = getattr(store, "_serve_cache_budget", 32_000_000)
+    lock = store._serve_cache_lock
+
+    with lock:
+        to_read = [
+            t for t in terms
+            if any((s, t) not in cache for s in names)
+        ]
+        for t in terms:
+            if t not in to_read:
+                for s in names:  # refresh LRU position of hits
+                    cache.move_to_end((s, t))
+
     def _read(s):
         return store.dataset(s).to_table(
             columns=["term", "df", "doc_blob", "tf_blob", "dl_blob",
                      "blk_max_doc", "blk_max_tf", "blk_min_dl"],
-            filter=pa_ds.field("term").isin(terms),
+            filter=pa_ds.field("term").isin(to_read),
         )
 
-    if len(names) > 1:
-        # one pool per store handle, reused across queries — creating a
-        # fresh executor per query cost more than the reads it parallelized
-        # (~60ms of thread spawning per head query, r4 profile)
-        pool = getattr(store, "_serve_pool", None)
-        if pool is None:
-            pool = ThreadPoolExecutor(
-                max_workers=min(len(names), os.cpu_count() or 8),
-                thread_name_prefix="clucene-serve",
-            )
-            store._serve_pool = pool
-        tabs = list(pool.map(_read, names))
-    else:
-        tabs = [_read(s) for s in names]
+    if to_read:
+        if len(names) > 1:
+            # one pool per store handle, reused across queries — creating
+            # a fresh executor per query cost more than the reads it
+            # parallelized (~60ms of thread spawning per head query)
+            pool = getattr(store, "_serve_pool", None)
+            if pool is None:
+                pool = ThreadPoolExecutor(
+                    max_workers=min(len(names), os.cpu_count() or 8),
+                    thread_name_prefix="clucene-serve",
+                )
+                store._serve_pool = pool
+            tabs = list(pool.map(_read, names))
+        else:
+            tabs = [_read(s) for s in names]
+        with lock:
+            for s, tab in zip(names, tabs):
+                seen = set()
+                for i in range(tab.num_rows):
+                    t = tab["term"][i].as_py()
+                    seen.add(t)
+                    if (s, t) in cache:
+                        cache.move_to_end((s, t))
+                        continue
+                    docs, tfs = decode_postings(
+                        tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
+                    )
+                    dls = vbyte_decode(
+                        tab["dl_blob"][i].as_py()
+                    ).astype(np.int64)
+                    cache[(s, t)] = (
+                        docs, tfs, dls,
+                        tab["blk_max_doc"][i].as_py(),
+                        tab["blk_max_tf"][i].as_py(),
+                        tab["blk_min_dl"][i].as_py(),
+                    )
+                    store._serve_cache_postings += len(docs)
+                for t in to_read:
+                    if t not in seen and (s, t) not in cache:
+                        cache[(s, t)] = None  # negative: term absent here
+            while store._serve_cache_postings > budget and cache:
+                _, old = cache.popitem(last=False)
+                if old is not None:
+                    store._serve_cache_postings -= len(old[0])
 
+    with lock:
+        entries = {
+            (s, t): cache.get((s, t)) for s in names for t in terms
+        }
     dfs: dict[str, int] = {}
-    for tab in tabs:
-        for t, df in zip(tab["term"].to_pylist(), tab["df"].to_pylist()):
-            dfs[t] = dfs.get(t, 0) + int(df)
+    for (s, t), e in entries.items():
+        if e is not None:
+            dfs[t] = dfs.get(t, 0) + len(e[0])
     idf_by_term = {t: bm25_idf(df, n_docs) for t, df in dfs.items() if df > 0}
     if (mode == "AND" and len(idf_by_term) < len(terms)) or not idf_by_term:
         return []
 
     hits: list[tuple[int, float]] = []
-    for tab in tabs:
+    for s in names:
         cursors = []
-        for i in range(tab.num_rows):
-            docs, tfs = decode_postings(
-                tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
-            )
-            dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
+        for t in terms:
+            e = entries[(s, t)]
+            if e is None or t not in idf_by_term:
+                continue
+            docs, tfs, dls, bmax_doc, bmax_tf, bmin_dl = e
             cursors.append(
                 _TermCursor(
-                    docs, tfs, dls, idf_by_term[tab["term"][i].as_py()],
-                    tab["blk_max_doc"][i].as_py(), tab["blk_max_tf"][i].as_py(),
-                    tab["blk_min_dl"][i].as_py(), avgdl,
+                    docs, tfs, dls, idf_by_term[t],
+                    bmax_doc, bmax_tf, bmin_dl, avgdl,
                 )
             )
         if len(cursors) < required:

@@ -90,6 +90,36 @@ def test_server_rank_identical_to_local_and_direct(spark, served_index):
         srv.shutdown()
 
 
+def test_serve_cache_hits_negatives_and_eviction(spark, served_index):
+    """The per-(segment, term) decoded-postings LRU: repeat queries are
+    rank-identical and skip the parquet read entirely (negative entries
+    make the term set fully known); a tiny budget forces eviction and
+    the bookkeeping stays consistent."""
+    from clucene_spark.search.wand import wand_query_local
+
+    store = open_store(served_index)
+    r1 = wand_query_local(store, ["spark", "zz_missing"], k=5)
+    cache = store._serve_cache
+    n_seg = len(store.manifest["segments"])
+    # every (segment, term) pair is now known — hit or negative
+    assert len(cache) == 2 * n_seg
+    assert any(v is None for v in cache.values())  # zz_missing negatives
+    before = store._serve_cache_postings
+    r2 = wand_query_local(store, ["spark", "zz_missing"], k=5)
+    assert r1 == r2
+    assert store._serve_cache_postings == before  # pure cache hit
+
+    # eviction: a 1-posting budget evicts everything decoded
+    store2 = open_store(served_index)
+    store2._serve_cache_budget = 1
+    wand_query_local(store2, ["spark"], k=5)
+    assert store2._serve_cache_postings <= 1
+    # still correct after eviction (re-reads transparently)
+    assert wand_query_local(store2, ["spark"], k=5) == wand_query_local(
+        store2, ["spark"], k=5
+    )
+
+
 def test_once_mode_subprocess(served_index):
     """--once answers one query without a server loop (and without any
     JVM: the subprocess env drops JAVA_HOME to prove no Spark spin-up)."""
