@@ -27,6 +27,7 @@ the naive full-scoring plan — asserted in tests/test_wand.py.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -284,6 +285,71 @@ def wand_query(
     return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+# Per-WORKER decoded-postings LRU for the direct serving path: python
+# workers are reused across queries, so repeat terms skip the parquet
+# read + vbyte decode exactly like the in-process server's store-handle
+# cache. Keyed by (file path, mtime_ns, size, term) — segment files are
+# immutable once committed (atomic rename), and the stat pair catches a
+# same-name rebuild. Budget is per worker process.
+_WORKER_CACHE: "OrderedDict" = None  # lazy-init inside the worker
+_WORKER_CACHE_N = [0]
+_WORKER_CACHE_BUDGET = int(
+    os.environ.get("CLUCENE_WORKER_CACHE_POSTINGS", "4000000")
+)
+
+
+def _segment_entries(path: str, terms: list[str]) -> dict:
+    """term -> decoded entry (or None if absent in this segment), served
+    from the per-worker LRU; misses read the term-filtered parquet once."""
+    global _WORKER_CACHE
+    from collections import OrderedDict
+
+    import pyarrow.dataset as pa_ds
+
+    if _WORKER_CACHE is None:
+        _WORKER_CACHE = OrderedDict()
+    st = os.stat(path)
+    base = (path, st.st_mtime_ns, st.st_size)
+    out: dict = {}
+    missing = []
+    for t in terms:
+        key = base + (t,)
+        if key in _WORKER_CACHE:
+            _WORKER_CACHE.move_to_end(key)
+            out[t] = _WORKER_CACHE[key]
+        else:
+            missing.append(t)
+    if missing:
+        tab = pa_ds.dataset(path).to_table(
+            columns=["term", "doc_blob", "tf_blob", "dl_blob",
+                     "blk_max_doc", "blk_max_tf", "blk_min_dl"],
+            filter=pa_ds.field("term").isin(missing),
+        )
+        seen = set()
+        for i in range(tab.num_rows):
+            t = tab["term"][i].as_py()
+            seen.add(t)
+            docs, tfs = decode_postings(
+                tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
+            )
+            dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
+            entry = (docs, tfs, dls, tab["blk_max_doc"][i].as_py(),
+                     tab["blk_max_tf"][i].as_py(),
+                     tab["blk_min_dl"][i].as_py())
+            _WORKER_CACHE[base + (t,)] = entry
+            _WORKER_CACHE_N[0] += len(docs)
+            out[t] = entry
+        for t in missing:
+            if t not in seen:
+                _WORKER_CACHE[base + (t,)] = None
+                out[t] = None
+        while _WORKER_CACHE_N[0] > _WORKER_CACHE_BUDGET and _WORKER_CACHE:
+            _, old = _WORKER_CACHE.popitem(last=False)
+            if old is not None:
+                _WORKER_CACHE_N[0] -= len(old[0])
+    return out
+
+
 def wand_query_direct(
     store: SegmentStore,
     terms: list[str],
@@ -336,24 +402,19 @@ def wand_query_direct(
             out_docs, out_scores = [], []
             for seg in pdf["segment"]:
                 path = os.path.join(index_dir, "segments", seg, "postings.parquet")
-                tab = pa_ds.dataset(path).to_table(
-                    columns=["term", "doc_blob", "tf_blob", "dl_blob",
-                             "blk_max_doc", "blk_max_tf", "blk_min_dl"],
-                    filter=pa_ds.field("term").isin(live_terms),
-                )
-            # note: one segment per iteration keeps cursor sets aligned
+                # per-worker decoded LRU: repeat terms on a reused python
+                # worker skip the read + decode (see _segment_entries)
+                entries = _segment_entries(path, live_terms)
                 cursors = []
-                for i in range(tab.num_rows):
-                    docs, tfs = decode_postings(
-                        tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
-                    )
-                    dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
+                for t in live_terms:
+                    e = entries[t]
+                    if e is None:
+                        continue
+                    docs, tfs, dls, bmax_doc, bmax_tf, bmin_dl = e
                     cursors.append(
                         _TermCursor(
-                            docs, tfs, dls, idf_by_term[tab["term"][i].as_py()],
-                            tab["blk_max_doc"][i].as_py(),
-                            tab["blk_max_tf"][i].as_py(),
-                            tab["blk_min_dl"][i].as_py(), avgdl,
+                            docs, tfs, dls, idf_by_term[t],
+                            bmax_doc, bmax_tf, bmin_dl, avgdl,
                         )
                     )
                 if len(cursors) < required:
