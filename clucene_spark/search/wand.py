@@ -298,9 +298,19 @@ _WORKER_CACHE_BUDGET = int(
 )
 
 
-def _segment_entries(path: str, terms: list[str]) -> dict:
+def _segment_entries(
+    path: str, terms: list[str], with_positions: bool = False
+) -> dict:
     """term -> decoded entry (or None if absent in this segment), served
-    from the per-worker LRU; misses read the term-filtered parquet once."""
+    from the per-worker LRU; misses read the term-filtered parquet once.
+
+    Entry shapes (separate key spaces — a WAND read must not shadow a
+    phrase read of the same term):
+      with_positions=False: (docs, tfs, dls, blk_max_doc, blk_max_tf,
+                             blk_min_dl)
+      with_positions=True:  (docs, tfs, dls, positions-per-doc list, or
+                             positions=None for a store built without
+                             the .prx analogue)"""
     global _WORKER_CACHE
     from collections import OrderedDict
 
@@ -309,7 +319,8 @@ def _segment_entries(path: str, terms: list[str]) -> dict:
     if _WORKER_CACHE is None:
         _WORKER_CACHE = OrderedDict()
     st = os.stat(path)
-    base = (path, st.st_mtime_ns, st.st_size)
+    tag = "p" if with_positions else "w"
+    base = (path, st.st_mtime_ns, st.st_size, tag)
     out: dict = {}
     missing = []
     for t in terms:
@@ -320,10 +331,12 @@ def _segment_entries(path: str, terms: list[str]) -> dict:
         else:
             missing.append(t)
     if missing:
+        cols = (["term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"]
+                if with_positions else
+                ["term", "doc_blob", "tf_blob", "dl_blob",
+                 "blk_max_doc", "blk_max_tf", "blk_min_dl"])
         tab = pa_ds.dataset(path).to_table(
-            columns=["term", "doc_blob", "tf_blob", "dl_blob",
-                     "blk_max_doc", "blk_max_tf", "blk_min_dl"],
-            filter=pa_ds.field("term").isin(missing),
+            columns=cols, filter=pa_ds.field("term").isin(missing),
         )
         seen = set()
         for i in range(tab.num_rows):
@@ -333,11 +346,22 @@ def _segment_entries(path: str, terms: list[str]) -> dict:
                 tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
             )
             dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
-            entry = (docs, tfs, dls, tab["blk_max_doc"][i].as_py(),
-                     tab["blk_max_tf"][i].as_py(),
-                     tab["blk_min_dl"][i].as_py())
+            if with_positions:
+                from clucene_spark.index.codec import decode_positions
+
+                pb = tab["pos_blob"][i].as_py()
+                poss = (decode_positions(bytes(pb), tfs)
+                        if pb is not None else None)
+                entry = (docs, tfs, dls, poss)
+                # positions dominate the footprint: charge sum(tf)
+                _WORKER_CACHE_N[0] += int(tfs.sum()) if poss is not None \
+                    else len(docs)
+            else:
+                entry = (docs, tfs, dls, tab["blk_max_doc"][i].as_py(),
+                         tab["blk_max_tf"][i].as_py(),
+                         tab["blk_min_dl"][i].as_py())
+                _WORKER_CACHE_N[0] += len(docs)
             _WORKER_CACHE[base + (t,)] = entry
-            _WORKER_CACHE_N[0] += len(docs)
             out[t] = entry
         for t in missing:
             if t not in seen:
@@ -486,22 +510,18 @@ def phrase_query_direct(
             out_docs, out_scores = [], []
             for seg in pdf["segment"]:
                 path = os.path.join(index_dir, "segments", seg, "postings.parquet")
-                tab = pa_ds.dataset(path).to_table(
-                    columns=["term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"],
-                    filter=pa_ds.field("term").isin(list(set(qterms))),
+                # per-worker decoded LRU incl. positions (see
+                # _segment_entries) — repeat phrase terms skip read+decode
+                entries = _segment_entries(
+                    path, list(set(qterms)), with_positions=True
                 )
                 per_term = {}
-                for i in range(tab.num_rows):
-                    t = tab["term"][i].as_py()
-                    docs, tfs = decode_postings(
-                        tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
-                    )
-                    dls = vbyte_decode(tab["dl_blob"][i].as_py()).astype(np.int64)
-                    pb = tab["pos_blob"][i].as_py()
-                    if pb is None:
+                for t in set(qterms):
+                    e = entries[t]
+                    if e is None or e[3] is None:
                         per_term = {}
-                        break  # positions required for phrases
-                    per_term[t] = (docs, tfs, dls, decode_positions(bytes(pb), tfs))
+                        break  # term absent here / positions required
+                    per_term[t] = e
                 if len(per_term) < len(set(qterms)):
                     continue
                 # docID intersection via sorted merges

@@ -120,6 +120,55 @@ def test_serve_cache_hits_negatives_and_eviction(spark, served_index):
     )
 
 
+def test_concurrent_clients_consistent(spark, served_index):
+    """Reference-parity concurrency drill (TestReuters.cpp:180-220 runs
+    10 threads x 300 queries against one searcher): 10 client threads
+    fire mixed OR/AND queries at one server; every response must succeed
+    and equal the single-threaded answer — the shared decoded-postings
+    cache must be race-free."""
+    import queue
+
+    store = open_store(served_index)
+    srv = QueryServer(("127.0.0.1", 0), store)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    mix = [
+        (["spark"], "OR"), (["spark", "join"], "AND"),
+        (["vector", "window"], "OR"), (["table"], "OR"),
+        (["spark", "vector", "window"], "OR"),
+    ]
+    expected = {}
+    sock = _client(host, port)
+    for terms, mode in mix:
+        expected[(tuple(terms), mode)] = _ask(
+            sock, {"terms": terms, "k": 10, "mode": mode}
+        )["hits"]
+    sock.close()
+
+    errors: "queue.Queue" = queue.Queue()
+
+    def client(n_queries=30):
+        try:
+            s = _client(host, port)
+            for i in range(n_queries):
+                terms, mode = mix[i % len(mix)]
+                resp = _ask(s, {"terms": terms, "k": 10, "mode": mode})
+                assert resp["hits"] == expected[(tuple(terms), mode)], (
+                    terms, mode)
+            s.close()
+        except Exception as e:  # surface across the thread boundary
+            errors.put(e)
+
+    threads = [threading.Thread(target=client) for _ in range(10)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    srv.shutdown()
+    assert errors.empty(), list(errors.queue)[:3]
+
+
 def test_once_mode_subprocess(served_index):
     """--once answers one query without a server loop (and without any
     JVM: the subprocess env drops JAVA_HOME to prove no Spark spin-up)."""
