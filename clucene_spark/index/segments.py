@@ -180,6 +180,14 @@ _ARROW_BAD_DOC = (
 # both go to the per-doc path).
 _ARROW_HARD_DOC = "[^\x20-\x7e\t\n\x0b\x0c\r]"
 
+# Worker-persistent memo for the chunk-routed DFA: piece -> terms tuple.
+# Keys are either `chunk + " "` (mid-doc lookahead variant) or the bare
+# chunk (doc-final EOS variant); chunks contain no whitespace, so the two
+# keyspaces cannot collide. Pure-function cache, bounded (Zipf head fits
+# long before the cap; memory ~ tens of MB worst case per worker).
+_CHUNK_TERMS_MEMO: dict = {}
+_CHUNK_TERMS_MEMO_CAP = 1 << 19
+
 
 def _analyze_docs_codes(texts, analyzer: str, langs=None):
     """Token stream as DICTIONARY CODES: (codes int64, uniques object[],
@@ -294,9 +302,23 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
 
         # default (mid-doc) expansion per distinct raw chunk: the
         # piecewise analyzer on chunk+" " IS the chunk's mid-doc DFA
-        # output (its own finditer sees the trailing space as lookahead)
+        # output (its own finditer sees the trailing space as lookahead).
+        # Memoized worker-wide: chunk vocabularies are Zipf, so the head
+        # recurs in every file a reused worker processes — the pure
+        # piece->terms function runs once per distinct piece per WORKER,
+        # not per file (bounded; see _CHUNK_TERMS_MEMO).
+        memo = _CHUNK_TERMS_MEMO
         for ch in rvocab:
-            _intern(standard_analyze_terms_nostop(ch + " ") if ch else ())
+            if not ch:
+                _intern(())
+                continue
+            piece = ch + " "
+            terms = memo.get(piece)
+            if terms is None:
+                terms = tuple(standard_analyze_terms_nostop(piece))
+                if len(memo) < _CHUNK_TERMS_MEMO_CAP:
+                    memo[piece] = terms
+            _intern(terms)
         # EOS variants for chunks that occur doc-final (doc not ending
         # in whitespace <=> last arrow chunk non-empty)
         occ_exp = rc.copy()
@@ -312,9 +334,13 @@ def _analyze_docs_codes(texts, analyzer: str, langs=None):
             final_rc = final_rc[nonempty]
             eos_eid: dict = {}
             for c in np.unique(final_rc):
-                eos_eid[int(c)] = _intern(
-                    standard_analyze_terms_nostop(rvocab[int(c)])
-                )
+                piece = rvocab[int(c)]  # EOS variant: no lookahead space
+                terms = memo.get(piece)
+                if terms is None:
+                    terms = tuple(standard_analyze_terms_nostop(piece))
+                    if len(memo) < _CHUNK_TERMS_MEMO_CAP:
+                        memo[piece] = terms
+                eos_eid[int(c)] = _intern(terms)
             occ_exp[final_occ] = np.array(
                 [eos_eid[int(c)] for c in final_rc], dtype=occ_exp.dtype
             )
