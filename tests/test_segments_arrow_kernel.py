@@ -85,15 +85,34 @@ def test_invert_fielded_prefix_identical():
 
 
 # alphabet exercises every routing rule: case, digits, '.'/',', a bad
-# punct char, unicode, ascii + exotic whitespace, long-run potential
+# punct char, unicode, ascii + exotic whitespace, long-run potential,
+# and the chunk-routing hazard chars: \x1c-\x1f (python isspace() but
+# NOT Unicode White_Space — must route whole-doc), DEL, CJK, emoji
 _ALPHA = st.text(
-    alphabet="aB3.,'&é \t\n\x0b\x85\xa0" + "z" * 8, max_size=120)
+    alphabet="aB3.,'&é \t\n\x0b\x85\xa0\x1c\x1e\x7f二\U0001f600"
+             + "z" * 8,
+    max_size=120)
 
 
 @settings(max_examples=300, deadline=None)
 @given(st.lists(_ALPHA, max_size=8))
 def test_fuzz_token_identical(texts):
     _assert_equal(texts)
+
+
+def test_split_divergence_chars_route_whole_doc():
+    """\\x1c-\\x1f are whitespace to python str.split but not to Arrow's
+    utf8_split_whitespace; any doc containing one must take the whole-doc
+    python path (and the outputs must still agree end-to-end)."""
+    docs = ["a\x1cb c", "x\x1dy", "p\x1eq r,s", "m\x1fn.", "del\x7fchar"]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clucene_spark.index.segments import _ARROW_HARD_DOC
+
+    flags = pc.match_substring_regex(pa.array(docs), _ARROW_HARD_DOC)
+    assert all(flags.to_pylist())
+    _assert_equal(docs)
 
 
 def test_all_16_planted_cases_route_python():
