@@ -54,7 +54,7 @@ def main() -> None:
         Searcher,
         TermQuery,
     )
-    from clucene_spark.search.wand import wand_query_direct
+    from clucene_spark.search.wand import wand_query_direct, wand_query_local
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -191,6 +191,18 @@ def main() -> None:
     )
     timings["wand_and"] = best_of(
         lambda: wand_query_direct(store, ["spark", "join"], k=10, mode="AND").collect(),
+        n=max(reps, 5),
+    )
+    # in-process serving (the query-server path, tools/query_server.py):
+    # no Spark job, per-segment pyarrow reads + decoded-postings LRU —
+    # the p50 a resident server actually delivers (vs the ~0.7s per-query
+    # stage-scheduling floor of the direct path above)
+    timings["serve_local_or"] = best_of(
+        lambda: wand_query_local(store, ["spark", "vector", "window"], k=10),
+        n=max(reps, 5),
+    )
+    timings["serve_local_and"] = best_of(
+        lambda: wand_query_local(store, ["spark", "join"], k=10, mode="AND"),
         n=max(reps, 5),
     )
 
