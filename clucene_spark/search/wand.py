@@ -298,6 +298,21 @@ _WORKER_CACHE_BUDGET = int(
 )
 
 
+def _entry_postings(entry) -> int:
+    """Budget charge for one decoded LRU entry — used by BOTH the
+    per-worker cache and the in-process serve cache so insert-charge and
+    evict-credit can never diverge (a sum(tf) charge refunded as df was
+    a permanent counter leak that eventually disabled the cache).
+    None = negative entry (term absent), charged 0. Positional 4-tuples
+    (docs, tfs, dls, poss) are dominated by the positions: sum(tf).
+    WAND 6-tuples are dominated by the posting arrays: df."""
+    if entry is None:
+        return 0
+    if len(entry) == 4:
+        return int(entry[1].sum()) if entry[3] is not None else len(entry[0])
+    return len(entry[0])
+
+
 def _segment_entries(
     path: str, terms: list[str], with_positions: bool = False
 ) -> dict:
@@ -353,14 +368,11 @@ def _segment_entries(
                 poss = (decode_positions(bytes(pb), tfs)
                         if pb is not None else None)
                 entry = (docs, tfs, dls, poss)
-                # positions dominate the footprint: charge sum(tf)
-                _WORKER_CACHE_N[0] += int(tfs.sum()) if poss is not None \
-                    else len(docs)
             else:
                 entry = (docs, tfs, dls, tab["blk_max_doc"][i].as_py(),
                          tab["blk_max_tf"][i].as_py(),
                          tab["blk_min_dl"][i].as_py())
-                _WORKER_CACHE_N[0] += len(docs)
+            _WORKER_CACHE_N[0] += _entry_postings(entry)
             _WORKER_CACHE[base + (t,)] = entry
             out[t] = entry
         for t in missing:
@@ -369,8 +381,7 @@ def _segment_entries(
                 out[t] = None
         while _WORKER_CACHE_N[0] > _WORKER_CACHE_BUDGET and _WORKER_CACHE:
             _, old = _WORKER_CACHE.popitem(last=False)
-            if old is not None:
-                _WORKER_CACHE_N[0] -= len(old[0])
+            _WORKER_CACHE_N[0] -= _entry_postings(old)
     return out
 
 
@@ -634,6 +645,13 @@ def wand_query_local(
     budget = getattr(store, "_serve_cache_budget", 32_000_000)
     lock = store._serve_cache_lock
 
+    # entries is built from the values IN HAND (cache hits here, freshly
+    # decoded rows below) — never re-read from the cache after eviction:
+    # an entry this query just decoded may already have been evicted by
+    # the budget loop (or a concurrent query), and a None from that
+    # re-read would be indistinguishable from a negative "term absent"
+    # entry, silently dropping real hits.
+    entries: dict = {}
     with lock:
         to_read = [
             t for t in terms
@@ -643,6 +661,7 @@ def wand_query_local(
             if t not in to_read:
                 for s in names:  # refresh LRU position of hits
                     cache.move_to_end((s, t))
+                    entries[(s, t)] = cache[(s, t)]
 
     def _read(s):
         return store.dataset(s).to_table(
@@ -674,6 +693,7 @@ def wand_query_local(
                     seen.add(t)
                     if (s, t) in cache:
                         cache.move_to_end((s, t))
+                        entries[(s, t)] = cache[(s, t)]
                         continue
                     docs, tfs = decode_postings(
                         tab["doc_blob"][i].as_py(), tab["tf_blob"][i].as_py()
@@ -681,25 +701,22 @@ def wand_query_local(
                     dls = vbyte_decode(
                         tab["dl_blob"][i].as_py()
                     ).astype(np.int64)
-                    cache[(s, t)] = (
+                    entry = (
                         docs, tfs, dls,
                         tab["blk_max_doc"][i].as_py(),
                         tab["blk_max_tf"][i].as_py(),
                         tab["blk_min_dl"][i].as_py(),
                     )
-                    store._serve_cache_postings += len(docs)
+                    cache[(s, t)] = entry
+                    entries[(s, t)] = entry
+                    store._serve_cache_postings += _entry_postings(entry)
                 for t in to_read:
-                    if t not in seen and (s, t) not in cache:
+                    if t not in seen and (s, t) not in entries:
                         cache[(s, t)] = None  # negative: term absent here
+                        entries[(s, t)] = None
             while store._serve_cache_postings > budget and cache:
                 _, old = cache.popitem(last=False)
-                if old is not None:
-                    store._serve_cache_postings -= len(old[0])
-
-    with lock:
-        entries = {
-            (s, t): cache.get((s, t)) for s in names for t in terms
-        }
+                store._serve_cache_postings -= _entry_postings(old)
     dfs: dict[str, int] = {}
     for (s, t), e in entries.items():
         if e is not None:

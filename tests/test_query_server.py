@@ -109,15 +109,19 @@ def test_serve_cache_hits_negatives_and_eviction(spark, served_index):
     assert r1 == r2
     assert store._serve_cache_postings == before  # pure cache hit
 
-    # eviction: a 1-posting budget evicts everything decoded
+    # eviction: a 1-posting budget evicts everything decoded, but the
+    # query must still answer from the values it decoded THIS call —
+    # an eviction must never masquerade as a "term absent" negative
+    # (regression: the entries snapshot used to re-read the cache after
+    # the budget loop, returning [] for any working set over budget)
     store2 = open_store(served_index)
     store2._serve_cache_budget = 1
-    wand_query_local(store2, ["spark"], k=5)
+    r_tiny = wand_query_local(store2, ["spark"], k=5)
     assert store2._serve_cache_postings <= 1
-    # still correct after eviction (re-reads transparently)
-    assert wand_query_local(store2, ["spark"], k=5) == wand_query_local(
-        store2, ["spark"], k=5
-    )
+    assert r_tiny  # non-empty…
+    assert r_tiny == wand_query_local(store, ["spark"], k=5)  # …and exact
+    # still correct and stable after eviction (re-reads transparently)
+    assert wand_query_local(store2, ["spark"], k=5) == r_tiny
 
 
 def test_concurrent_clients_consistent(spark, served_index):
@@ -187,3 +191,40 @@ def test_once_mode_subprocess(served_index):
     hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
     assert len(hits) == 5
     assert all(isinstance(d, int) for d, _ in hits)
+
+
+def test_worker_cache_budget_accounting_symmetric(served_index, monkeypatch):
+    """The per-worker decoded-postings LRU must charge and credit the SAME
+    amount per entry (regression: positional entries charged sum(tf) but
+    refunded df on eviction, leaking the counter until the cache thrashed
+    empty on every call). Invariant after any sequence of reads: the
+    counter equals the sum of charges of the entries actually resident."""
+    import clucene_spark.search.wand as W
+
+    seg_root = os.path.join(served_index, "segments")
+    seg = sorted(os.listdir(seg_root))[0]
+    path = os.path.join(seg_root, seg, "postings.parquet")
+
+    def resident():
+        return sum(W._entry_postings(v) for v in W._WORKER_CACHE.values())
+
+    monkeypatch.setattr(W, "_WORKER_CACHE", None)
+    monkeypatch.setattr(W, "_WORKER_CACHE_BUDGET", 1)
+    W._WORKER_CACHE_N[0] = 0
+    try:
+        # positional read under a 1-posting budget: the entry is decoded,
+        # returned from the in-hand value, then evicted — counter must
+        # return exactly to the resident sum (0 or a lone negative)
+        out = W._segment_entries(path, ["spark", "zz_missing"],
+                                 with_positions=True)
+        assert out["spark"] is not None and out["zz_missing"] is None
+        assert W._WORKER_CACHE_N[0] == resident()
+        # repeated mixed positional/WAND reads never accumulate phantom
+        # charge (the leak compounded per evicted entry)
+        for _ in range(4):
+            W._segment_entries(path, ["spark"], with_positions=True)
+            W._segment_entries(path, ["spark"], with_positions=False)
+            assert W._WORKER_CACHE_N[0] == resident()
+        assert W._WORKER_CACHE_N[0] <= max(1, W._WORKER_CACHE_BUDGET)
+    finally:
+        W._WORKER_CACHE_N[0] = 0

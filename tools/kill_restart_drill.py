@@ -73,15 +73,24 @@ def _store_hash(con, index_dir: str) -> tuple[int, int, str]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--n-docs", type=int, default=None,
+                    help="corpus size (default: reuse the 2M scaling "
+                         "corpus if already materialized, else 200k)")
     ap.add_argument("--record", action="store_true")
     args = ap.parse_args()
 
+    import tempfile
+
     from tools.scaling_bench import materialize_corpus
 
-    corpus_full = materialize_corpus(2_000_000 if os.path.isdir(
-        os.path.join("/tmp", "scale_corpus_messy_2000000_p128.parquet"))
-        else args.n_docs)
+    if args.n_docs is not None:
+        n_docs = args.n_docs  # explicit flag always wins
+    elif os.path.isdir(os.path.join(
+            tempfile.gettempdir(), "scale_corpus_messy_2000000_p128.parquet")):
+        n_docs = 2_000_000  # free: the scaling bench already built it
+    else:
+        n_docs = 200_000
+    corpus_full = materialize_corpus(n_docs)
     # use a bounded file subset so the drill is fast regardless
     files = sorted(
         os.path.join(corpus_full, f) for f in os.listdir(corpus_full)

@@ -105,6 +105,11 @@ class _Handler(socketserver.StreamRequestHandler):
                         "queries_served": srv.n_served,
                     }
                 else:
+                    if req.get("field") is not None and srv.store.spark is None:
+                        raise ValueError(
+                            "fielded queries need per-field stats; start "
+                            "the server with --stats spark"
+                        )
                     hits = wand_query_local(
                         srv.store,
                         [str(t) for t in req["terms"]],
@@ -114,7 +119,8 @@ class _Handler(socketserver.StreamRequestHandler):
                         field=req.get("field"),
                         round_to=req.get("round_to", 4),
                     )
-                    srv.n_served += 1
+                    with srv.served_lock:
+                        srv.n_served += 1
                     resp = {
                         "hits": [[int(d), float(s)] for d, s in hits],
                         "took_ms": round(
@@ -135,6 +141,9 @@ class QueryServer(socketserver.ThreadingTCPServer):
         super().__init__(addr, _Handler)
         self.store = store
         self.n_served = 0
+        # handler threads share this counter; unsynchronized += loses
+        # increments under concurrent clients
+        self.served_lock = threading.Lock()
         # warm the thread-unsafe first touch of every memoized dataset
         # handle (and the OS page cache for footers) before concurrency
         for s in store.manifest["segments"]:

@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.window_probe import (  # noqa: E402
-    FLOOR_GBPS, PROBE_FRAC, best_seen, probe, record,
+    best_seen, is_clean, probe, record,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -61,7 +61,9 @@ def main() -> None:
             time.sleep(PROBE_EVERY)
             continue
         g = one_probe()
-        clean = g >= max(FLOOR_GBPS, PROBE_FRAC * best_seen())
+        # single source of truth for the clean-window rule (the sentinel
+        # re-implementing it inline is exactly the drift ADVICE r4 flagged)
+        clean = is_clean(g)
         record(g, note=f"sentinel clean={clean}")
         print(f"[sentinel] probe={g:.1f} GB/s best={best_seen():.1f} "
               f"clean={clean} pairs_run={pairs_run}", flush=True)
