@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import heapq
 import os
+import threading as _threading
 
 import numpy as np
 import pandas as pd
@@ -293,6 +294,9 @@ def wand_query(
 # same-name rebuild. Budget is per worker process.
 _WORKER_CACHE: "OrderedDict" = None  # lazy-init inside the worker
 _WORKER_CACHE_N = [0]
+# guards first-touch creation of per-store serve state (_serve_cache /
+# _serve_cache_lock / _serve_pool) against concurrent cold queries
+_SERVE_INIT_LOCK = _threading.Lock()
 _WORKER_CACHE_BUDGET = int(
     os.environ.get("CLUCENE_WORKER_CACHE_POSTINGS", "4000000")
 )
@@ -637,11 +641,18 @@ def wand_query_local(
     for s in names:  # warm the memoized dataset handles (not thread-safe)
         store.dataset(s)
 
+    # double-checked init under a module-level lock: two concurrent first
+    # queries on a cold store must not each build a cache/lock/counter
+    # triple (the loser's assignment would wipe the winner's charges and
+    # split the state across two locks — permanent accounting drift)
     cache: OrderedDict = getattr(store, "_serve_cache", None)
     if cache is None:
-        cache = store._serve_cache = OrderedDict()
-        store._serve_cache_postings = 0
-        store._serve_cache_lock = threading.Lock()
+        with _SERVE_INIT_LOCK:
+            cache = getattr(store, "_serve_cache", None)
+            if cache is None:
+                store._serve_cache_postings = 0
+                store._serve_cache_lock = threading.Lock()
+                cache = store._serve_cache = OrderedDict()
     budget = getattr(store, "_serve_cache_budget", 32_000_000)
     lock = store._serve_cache_lock
 
@@ -677,11 +688,14 @@ def wand_query_local(
             # parallelized (~60ms of thread spawning per head query)
             pool = getattr(store, "_serve_pool", None)
             if pool is None:
-                pool = ThreadPoolExecutor(
-                    max_workers=min(len(names), os.cpu_count() or 8),
-                    thread_name_prefix="clucene-serve",
-                )
-                store._serve_pool = pool
+                with _SERVE_INIT_LOCK:  # same cold-start race as the
+                    pool = getattr(store, "_serve_pool", None)  # cache init
+                    if pool is None:
+                        pool = ThreadPoolExecutor(
+                            max_workers=min(len(names), os.cpu_count() or 8),
+                            thread_name_prefix="clucene-serve",
+                        )
+                        store._serve_pool = pool
             tabs = list(pool.map(_read, names))
         else:
             tabs = [_read(s) for s in names]

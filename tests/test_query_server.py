@@ -210,6 +210,10 @@ def test_worker_cache_budget_accounting_symmetric(served_index, monkeypatch):
 
     monkeypatch.setattr(W, "_WORKER_CACHE", None)
     monkeypatch.setattr(W, "_WORKER_CACHE_BUDGET", 1)
+    # monkeypatch restores the cache DICT on teardown, so the counter
+    # must be restored to its matching pre-test value, not zeroed —
+    # otherwise counter and resident entries disagree for later tests
+    saved_n = W._WORKER_CACHE_N[0]
     W._WORKER_CACHE_N[0] = 0
     try:
         # positional read under a 1-posting budget: the entry is decoded,
@@ -227,4 +231,4 @@ def test_worker_cache_budget_accounting_symmetric(served_index, monkeypatch):
             assert W._WORKER_CACHE_N[0] == resident()
         assert W._WORKER_CACHE_N[0] <= max(1, W._WORKER_CACHE_BUDGET)
     finally:
-        W._WORKER_CACHE_N[0] = 0
+        W._WORKER_CACHE_N[0] = saved_n

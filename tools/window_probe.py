@@ -74,7 +74,12 @@ def best_seen() -> float:
 
 def is_clean(gbps: float) -> bool:
     b = best_seen()
-    return b > 0 and gbps >= max(FLOOR_GBPS, PROBE_FRAC * b)
+    if b <= 0:
+        # empty/reset history (best-ever is host-specific): fall back to
+        # the absolute floor alone so the first clean window after a
+        # reset is not skipped just because there is no best yet
+        return gbps >= FLOOR_GBPS
+    return gbps >= max(FLOOR_GBPS, PROBE_FRAC * b)
 
 
 if __name__ == "__main__":
