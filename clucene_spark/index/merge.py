@@ -89,12 +89,17 @@ def merge_segments(
     with_positions: bool = True,
     doc_base: int = 0,
     gc: bool = True,
+    extra_entries: dict[str, dict] | None = None,
 ) -> str:
     """Merge the named segments into one new segment; commit + GC.
 
     doc_base shifts every docID (the addIndexes rebase); 0 for same-corpus
     compaction. Returns the new segment name.
-    """
+
+    extra_entries supplies manifest-style metadata (min_doc/max_doc/...)
+    for input names that are NOT in the live manifest — the addIndexes
+    staging path, which must never commit its unrebased foreign ranges
+    where a reader could see them."""
     seg_root = os.path.join(index_dir, "segments")
     new_name = "seg_m_" + uuid.uuid4().hex[:12]
     tmp_root = os.path.join(seg_root, new_name + ".tmp")
@@ -260,13 +265,20 @@ def merge_segments(
     if base:
         # rebase in place: fielded stores carry extra columns (field)
         dl_all = dl_all.withColumn("doc_id", F.col("doc_id") + base)
-    n_docs_merged = None
     if deleted.size:
         del_df = spark.createDataFrame(
             [(int(x),) for x in deleted], "doc_id long"
         )
         dl_all = dl_all.join(F.broadcast(del_df), "doc_id", "left_anti")
-        n_docs_merged = dl_all.count()
+    # exact post-purge manifest stats from the rows actually written:
+    # summing the gone entries' n_tokens would keep deleted docs' tokens,
+    # and count() on a fielded store counts (doc, field) rows, not docs —
+    # either way fsck would then flag the healthy merged segment
+    dl_stats = dl_all.agg(
+        F.countDistinct("doc_id").alias("nd"), F.sum("dl").alias("nt")
+    ).collect()[0]
+    n_docs_merged = int(dl_stats["nd"] or 0)
+    n_tokens_merged = int(dl_stats["nt"] or 0)
     dl_all.repartitionByRange(max(1, n_part // 4), "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(os.path.join(tmp_root, "doc_lens.parquet"))
@@ -292,6 +304,26 @@ def merge_segments(
             os.path.join(tmp_root, "term_vectors.parquet")
         )
 
+    # crawl-urls sidecar (re-crawl supersedence metadata): union + rebase
+    # + delete-purge like any per-doc forward data; merged for whichever
+    # inputs carry it, so compaction never destroys capture metadata
+    url_paths = [os.path.join(seg_root, n, "urls.parquet") for n in names]
+    have_urls = [p for p in url_paths if os.path.exists(p)]
+    if have_urls:
+        u_all = spark.read.parquet(*have_urls)
+        if base:
+            u_all = u_all.withColumn("doc_id", F.col("doc_id") + base)
+        if deleted.size:
+            del_df3 = spark.createDataFrame(
+                [(int(x),) for x in deleted], "doc_id long"
+            )
+            u_all = u_all.join(F.broadcast(del_df3), "doc_id", "left_anti")
+        u_all.repartitionByRange(
+            max(1, n_part // 4), "doc_id"
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "urls.parquet")
+        )
+
     final_dir = os.path.join(seg_root, new_name)
     os.rename(tmp_root, final_dir)  # atomic publish
 
@@ -300,13 +332,18 @@ def merge_segments(
     merged_away = set(names)
     kept = [s for s in manifest["segments"] if s["name"] not in merged_away]
     gone = [s for s in manifest["segments"] if s["name"] in merged_away]
+    if extra_entries:
+        # staged inputs (addIndexes) are intentionally NOT in the live
+        # manifest; their metadata arrives via this parameter
+        listed = {s["name"] for s in gone}
+        gone += [extra_entries[n] for n in names
+                 if n in extra_entries and n not in listed]
     new_entry = {
         "name": new_name,
         "min_doc": min(s["min_doc"] for s in gone) + base,
         "max_doc": max(s["max_doc"] for s in gone) + base,
-        "n_docs": n_docs_merged if n_docs_merged is not None
-        else sum(s["n_docs"] for s in gone),
-        "n_tokens": sum(s["n_tokens"] for s in gone),
+        "n_docs": n_docs_merged,
+        "n_tokens": n_tokens_merged,
         "n_terms": int(stats["n_terms"]),
     }
     segments = sorted(kept + [new_entry], key=lambda s: s["min_doc"])
@@ -366,14 +403,13 @@ def add_indexes(
         if not os.path.exists(dst):
             shutil.copytree(os.path.join(foreign_dir, "segments", n), dst)
         staged.append(f"staged_{n}")
-    manifest = read_manifest(index_dir)
+    # the staged dirs are NEVER committed to the manifest: their doc
+    # ranges are unrebased (they'd collide with the host index's), so a
+    # reader — or a crash before the merge commit — must not see them.
+    # merge_segments gets their metadata out-of-band; the only commit is
+    # the post-merge one, which lists the rebased product atomically.
     fseg = {s["name"]: s for s in foreign["segments"]}
-    commit_manifest(
-        index_dir,
-        manifest["segments"]
-        + [
-            {**fseg[n], "name": f"staged_{n}"}
-            for n in f_names
-        ],
-    )
-    return merge_segments(spark, index_dir, staged, doc_base=doc_base)
+    staged_entries = {f"staged_{n}": {**fseg[n], "name": f"staged_{n}"}
+                      for n in f_names}
+    return merge_segments(spark, index_dir, staged, doc_base=doc_base,
+                          extra_entries=staged_entries)

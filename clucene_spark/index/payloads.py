@@ -65,13 +65,14 @@ def payload_term_scores(
     postings_p must come from build_postings_with_payloads."""
     from clucene_spark.search import similarity as sim
 
-    df_count = postings_p.filter(F.col("term") == term).count()
+    hits = postings_p.filter(F.col("term") == term)
+    df_count = hits.count()
     if df_count == 0:
         return postings_p.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
     idf = sim.bm25_idf_py(df_count, n_docs)
-    p = postings_p.filter(F.col("term") == term).join(doc_lens, "doc_id")
+    p = hits.join(doc_lens, "doc_id")
     score = (
         F.lit(idf)
         * sim.bm25_tf(F.col("tf"), F.col("dl"), F.lit(avgdl))

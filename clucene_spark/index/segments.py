@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -115,6 +116,11 @@ def _analyze_docs(texts, analyzer: str, langs=None):
         if analyzer == "lang":
             from clucene_spark.analysis.analyzers import cjk_bigram_analyze
 
+            if langs is None:
+                # caller supplied no lang column (fielded builds, title
+                # fields): every doc takes the non-CJK branch instead of
+                # crashing the task on zip(texts, None)
+                langs = [None] * len(texts)
             per_doc = []
             for t, lg in zip(texts, langs):
                 if t is None:
@@ -726,12 +732,50 @@ def _apply_resume_filter(src: DataFrame, index_dir: str,
         src = src.filter(~F.col("segment_id").isin(list(full_ids)))
     if partial:
         spark = src.sparkSession
+        seg_root = os.path.join(index_dir, "segments")
         dl_paths = [
-            os.path.join(index_dir, "segments", c["segment"], "doc_lens.parquet")
+            p
             for pieces in partial.values()
             for c in pieces
+            if os.path.exists(
+                p := os.path.join(seg_root, c["segment"], "doc_lens.parquet")
+            )
         ]
-        existing = spark.read.parquet(*dl_paths).select("doc_id")
+        # pieces compacted away (dir GC'd, checkpoint retained as range
+        # bookkeeping) live on inside merge products: pull their ids from
+        # the committed segments overlapping the partial piece ranges.
+        # Over-inclusion is safe — every manifest id is indexed, and the
+        # anti-join only ever drops incoming rows that are already
+        # indexed — while the doc_id range filter keeps the broadcast
+        # bounded by the partial ranges' width.
+        gone = [
+            c for pieces in partial.values() for c in pieces
+            if not os.path.exists(
+                os.path.join(seg_root, c["segment"], "doc_lens.parquet")
+            )
+        ]
+        merged_paths = []
+        if gone:
+            for s in read_manifest(index_dir)["segments"]:
+                if any(
+                    s["min_doc"] <= c["max_doc"]
+                    and c["min_doc"] <= s["max_doc"]
+                    for c in gone
+                ):
+                    p = os.path.join(seg_root, s["name"], "doc_lens.parquet")
+                    if os.path.exists(p) and p not in dl_paths:
+                        merged_paths.append(p)
+        existing = spark.read.parquet(*(dl_paths + merged_paths)).select(
+            "doc_id"
+        )
+        if merged_paths:
+            keep = F.lit(False)
+            for pieces in partial.values():
+                for c in pieces:
+                    keep = keep | F.col("doc_id").between(
+                        c["min_doc"], c["max_doc"]
+                    )
+            existing = existing.filter(keep)
         partial_ids = list(partial)
         in_partial = F.col("segment_id").isin(partial_ids)
         fresh = (
@@ -745,6 +789,22 @@ def _apply_resume_filter(src: DataFrame, index_dir: str,
 def _piece_name(seg_id: int, piece_idx: dict[int, int]) -> str:
     k = piece_idx.get(seg_id, 0)
     return f"seg_{seg_id:08d}" + (f"_p{k}" if k else "")
+
+
+def _publish_segment(tmp_path: str, seg_path: str) -> None:
+    """Atomic publish tolerant of task retries: if the segment dir already
+    exists, a prior attempt (retry after a crash between rename and
+    checkpoint write, or a speculative twin) completed the rename first.
+    Builds are deterministic per doc range, so the resident dir has
+    identical content — drop ours and let the checkpoint write proceed;
+    a bare os.rename would raise ENOTEMPTY on every retry forever."""
+    try:
+        os.rename(tmp_path, seg_path)
+    except OSError:
+        if os.path.isdir(seg_path):
+            shutil.rmtree(tmp_path, ignore_errors=True)
+        else:
+            raise
 
 
 def _write_checkpoint(index_dir: str, name: str, ck: dict) -> None:
@@ -765,6 +825,36 @@ def read_checkpoints(index_dir: str) -> list[dict]:
             with open(os.path.join(cdir, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def commit_from_checkpoints(index_dir: str, extra: dict | None = None) -> dict:
+    """Commit the next manifest generation after a build/append: the
+    CURRENT manifest (the only record of merge products — checkpoints of
+    merged-away ranges intentionally outlive their segment dirs as resume
+    bookkeeping) plus every checkpoint whose segment dir exists on disk
+    and isn't already listed. Rebuilding the list from checkpoints ALONE
+    would drop seg_m_* merge outputs and resurrect GC'd segment names on
+    any append after a compaction — the next GC would then delete the
+    merge product itself (data loss)."""
+    seg_root = os.path.join(index_dir, "segments")
+    entries = {s["name"]: s for s in read_manifest(index_dir)["segments"]}
+    for c in read_checkpoints(index_dir):
+        name = c["segment"]
+        if name in entries or not os.path.isdir(os.path.join(seg_root, name)):
+            continue  # already listed, or merged away + GC'd (the doc
+            #           range is covered by a live merge product)
+        entries[name] = {
+            "name": name,
+            "min_doc": c["min_doc"],
+            "max_doc": c["max_doc"],
+            "n_docs": c["n_docs"],
+            "n_tokens": c["n_tokens"],
+            "n_terms": c["n_terms"],
+        }
+    segments = sorted(
+        entries.values(), key=lambda s: (s["min_doc"], s["name"])
+    )
+    return commit_manifest(index_dir, segments, extra=extra)
 
 
 # ---------------------------------------------------------------------------
@@ -863,7 +953,7 @@ def build_segments(
         )
         if seg_tab.num_rows:
             _write_term_index(tmp_path, seg_tab.column("term"))
-        os.rename(tmp_path, seg_path)  # atomic publish of the segment dir
+        _publish_segment(tmp_path, seg_path)  # atomic, retry-tolerant
 
         ck = {
             "segment": name,
@@ -882,20 +972,9 @@ def build_segments(
     built = per_doc.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
     built_rows = built.collect()  # action: executes the distributed build
 
-    # commit: fold ALL checkpoints (prior + new) into the next manifest gen
-    cks = read_checkpoints(index_dir)
-    segments = [
-        {
-            "name": c["segment"],
-            "min_doc": c["min_doc"],
-            "max_doc": c["max_doc"],
-            "n_docs": c["n_docs"],
-            "n_tokens": c["n_tokens"],
-            "n_terms": c["n_terms"],
-        }
-        for c in sorted(cks, key=lambda c: (c["segment_id"], c["segment"]))
-    ]
-    commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment})
+    # commit: current manifest (merge products) + new checkpoints
+    commit_from_checkpoints(index_dir,
+                            extra={"docs_per_segment": docs_per_segment})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
 
 
@@ -1025,7 +1104,10 @@ def build_segments_fused(
             uniq_docs = np.array(sorted(uniq_union), dtype=np.int64)
         else:
             texts = pdf["text"].to_numpy()
-            langs = pdf["lang"].to_numpy() if an == "lang" else None
+            # analyzer='lang' without a lang column: dispatch falls back
+            # to the non-CJK branch per doc rather than KeyError-ing
+            langs = (pdf["lang"].to_numpy()
+                     if an == "lang" and "lang" in pdf.columns else None)
             codes, uniq, p, counts = _analyze_docs_codes(texts, an, langs)
             res = _invert_encode_codes(
                 doc_ids_in, codes, uniq, p, counts, wp, build_tv=tv
@@ -1053,7 +1135,7 @@ def build_segments_fused(
             )
         if seg_tab.num_rows:
             _write_term_index(tmp_path, seg_tab.column("term"))
-        os.rename(tmp_path, seg_path)
+        _publish_segment(tmp_path, seg_path)
 
         ck = {
             "segment": name,
@@ -1072,20 +1154,9 @@ def build_segments_fused(
     built = src.groupBy("segment_id").applyInPandas(_build_one, CHECKPOINT_SCHEMA)
     built_rows = built.collect()
 
-    cks = read_checkpoints(index_dir)
-    segments = [
-        {
-            "name": c["segment"],
-            "min_doc": c["min_doc"],
-            "max_doc": c["max_doc"],
-            "n_docs": c["n_docs"],
-            "n_tokens": c["n_tokens"],
-            "n_terms": c["n_terms"],
-        }
-        for c in sorted(cks, key=lambda c: (c["segment_id"], c["segment"]))
-    ]
-    commit_manifest(index_dir, segments, extra={"docs_per_segment": docs_per_segment,
-                                                "analyzer": analyzer})
+    commit_from_checkpoints(index_dir,
+                            extra={"docs_per_segment": docs_per_segment,
+                                   "analyzer": analyzer})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
 
 
@@ -1442,7 +1513,7 @@ def build_segments_aligned(
         )
         if seg_tab.num_rows:
             _write_term_index(tmp_path, seg_tab.column("term"))
-        os.rename(tmp_path, seg_path)
+        _publish_segment(tmp_path, seg_path)
         ck = {
             "segment": name,
             "segment_id": lo,  # aligned path: range-keyed, not dps-keyed
@@ -1459,20 +1530,8 @@ def build_segments_aligned(
 
     built_rows = src.mapInPandas(_one, CHECKPOINT_SCHEMA).collect()
 
-    cks = read_checkpoints(index_dir)
-    segments = [
-        {
-            "name": c["segment"],
-            "min_doc": c["min_doc"],
-            "max_doc": c["max_doc"],
-            "n_docs": c["n_docs"],
-            "n_tokens": c["n_tokens"],
-            "n_terms": c["n_terms"],
-        }
-        for c in sorted(cks, key=lambda c: (c["min_doc"], c["segment"]))
-    ]
-    commit_manifest(index_dir, segments, extra={"aligned": True,
-                                                "analyzer": analyzer})
+    commit_from_checkpoints(index_dir, extra={"aligned": True,
+                                              "analyzer": analyzer})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
 
 
@@ -1647,7 +1706,7 @@ def build_segments_direct(
                         ),
                         os.path.join(tmp_path, "term_vectors.parquet"),
                     )
-                os.rename(tmp_path, seg_path)
+                _publish_segment(tmp_path, seg_path)
                 ck = {
                     "segment": name,
                     "segment_id": lo,
@@ -1684,20 +1743,8 @@ def build_segments_direct(
         return plan_df
     built_rows = plan_df.collect()
 
-    cks = read_checkpoints(index_dir)
-    segments = [
-        {
-            "name": c["segment"],
-            "min_doc": c["min_doc"],
-            "max_doc": c["max_doc"],
-            "n_docs": c["n_docs"],
-            "n_tokens": c["n_tokens"],
-            "n_terms": c["n_terms"],
-        }
-        for c in sorted(cks, key=lambda c: (c["min_doc"], c["segment"]))
-    ]
-    commit_manifest(index_dir, segments, extra={"aligned": True,
-                                                "analyzer": analyzer})
+    commit_from_checkpoints(index_dir, extra={"aligned": True,
+                                              "analyzer": analyzer})
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
 
 

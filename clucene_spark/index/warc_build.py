@@ -61,9 +61,10 @@ from .segments import (
     _analyze_docs_codes,
     _ckpt_dir,
     _invert_encode_codes,
+    _publish_segment,
     _write_checkpoint,
     _write_term_index,
-    commit_manifest,
+    commit_from_checkpoints,
     read_checkpoints,
 )
 
@@ -292,7 +293,7 @@ def build_segments_from_warc(
                     ),
                     os.path.join(tmp_path, "urls.parquet"),
                 )
-                os.rename(tmp_path, seg_path)
+                _publish_segment(tmp_path, seg_path)
                 ck = {
                     "segment": name,
                     "segment_id": lo,
@@ -318,21 +319,8 @@ def build_segments_from_warc(
     ).repartition(n_tasks)
     built_rows = paths_df.mapInPandas(_one_file, CHECKPOINT_SCHEMA).collect()
 
-    cks = read_checkpoints(index_dir)
-    segments = [
-        {
-            "name": c["segment"],
-            "min_doc": c["min_doc"],
-            "max_doc": c["max_doc"],
-            "n_docs": c["n_docs"],
-            "n_tokens": c["n_tokens"],
-            "n_terms": c["n_terms"],
-        }
-        for c in sorted(cks, key=lambda c: (c["min_doc"], c["segment"]))
-    ]
-    commit_manifest(
+    commit_from_checkpoints(
         index_dir,
-        segments,
         extra={"aligned": True, "analyzer": analyzer, "source": "warc"},
     )
     return spark.createDataFrame(built_rows or [], CHECKPOINT_SCHEMA)
@@ -340,12 +328,20 @@ def build_segments_from_warc(
 
 def crawl_urls(spark: SparkSession, index_dir: str) -> DataFrame:
     """The index's crawl metadata: (doc_id, url, warc_ts) unioned from
-    every segment's urls.parquet sidecar."""
-    import glob as _glob
+    the urls.parquet sidecar of every COMMITTED segment. Resolved via the
+    manifest, never a directory glob: a glob would pick up uncommitted
+    .tmp dirs from a crashed build (whose doc_ids are in no manifest), and
+    supersede_recrawls would then delete live captures in favor of
+    unreachable ones."""
+    from .segments import read_manifest
 
-    paths = sorted(
-        _glob.glob(os.path.join(index_dir, "segments", "*", "urls.parquet"))
-    )
+    seg_root = os.path.join(index_dir, "segments")
+    paths = [
+        p for s in read_manifest(index_dir)["segments"]
+        if os.path.exists(
+            p := os.path.join(seg_root, s["name"], "urls.parquet")
+        )
+    ]
     if not paths:
         raise FileNotFoundError(f"no urls.parquet sidecars in {index_dir}")
     return spark.read.parquet(*paths)

@@ -317,3 +317,128 @@ def test_merge_mixed_positions_all_or_none(spark, tmp_path):
     d_ids, tfs = decode_postings(bytes(shared["doc_blob"]), bytes(shared["tf_blob"]))
     assert sorted(d_ids) == list(range(20)) + list(range(1000, 1020))
     assert all(t == 1 for t in tfs)
+
+
+def test_append_after_compaction_keeps_merge_product(spark, tmp_path):
+    """Regression (r5): the append commit used to rebuild the manifest
+    from checkpoints ALONE, dropping seg_m_* merge products (whose only
+    record is the manifest) and resurrecting GC'd segment names — the
+    next GC then deleted the merge product itself. Build half, compact,
+    append the rest: the manifest must keep the merge product, list only
+    dirs that exist, survive GC, and stay query-identical to a one-shot
+    build."""
+    import os
+
+    from clucene_spark.index.segments import (
+        build_segments_fused,
+        gc_segments,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") < 250)
+    d = str(tmp_path / "cap")
+    build_segments_fused(half1, d, docs_per_segment=64)
+    merged = maybe_merge(spark, d, merge_factor=2)
+    assert merged, "fixture must actually compact"
+    m1 = read_manifest(d)
+    assert any(s["name"].startswith("seg_m_") for s in m1["segments"])
+
+    build_segments_fused(docs, d, docs_per_segment=64)  # append 2nd half
+    m2 = read_manifest(d)
+    names = [s["name"] for s in m2["segments"]]
+    assert any(n.startswith("seg_m_") for n in names), (
+        "merge product dropped from the appended manifest")
+    seg_root = os.path.join(d, "segments")
+    missing = [n for n in names
+               if not os.path.isdir(os.path.join(seg_root, n))]
+    assert not missing, f"manifest lists GC'd segments: {missing}"
+    gc_segments(d)
+    assert all(os.path.isdir(os.path.join(seg_root, n)) for n in names)
+
+    d_full = str(tmp_path / "cap_full")
+    build_segments_fused(docs, d_full, docs_per_segment=64)
+    s_inc, s_full = SegmentStore(spark, d), SegmentStore(spark, d_full)
+    assert s_inc.stats() == s_full.stats()
+    got = [(r["doc_id"], r["score"])
+           for r in wand_query(s_inc, ["spark", "table"], k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in wand_query(s_full, ["spark", "table"], k=10).collect()]
+    assert got == want
+
+
+def test_retry_after_crash_between_publish_and_checkpoint(spark, tmp_path):
+    """A task that died after publishing its segment dir but before the
+    checkpoint write used to wedge every retry and every resumed run
+    (os.rename onto the existing dir -> ENOTEMPTY). Simulate the crash
+    window by deleting one checkpoint after a build; the re-run must
+    rebuild that range onto the existing dir without error and restore
+    the checkpoint."""
+    import os
+
+    from clucene_spark.index.segments import build_segments_fused
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    d = str(tmp_path / "retry")
+    build_segments_fused(docs, d, docs_per_segment=128)
+    ckdir = os.path.join(d, "checkpoints")
+    cks = sorted(f for f in os.listdir(ckdir) if f.endswith(".json"))
+    os.remove(os.path.join(ckdir, cks[0]))
+
+    build_segments_fused(docs, d, docs_per_segment=128)  # retry
+    assert sorted(
+        f for f in os.listdir(ckdir) if f.endswith(".json")) == cks
+    store = SegmentStore(spark, d)
+    assert store.stats()[0] == n_docs
+    names = [s["name"] for s in read_manifest(d)["segments"]]
+    assert len(names) == len(set(names))
+
+
+def test_merge_with_deletes_manifest_stats_exact(spark, tmp_path):
+    """Regression (r5): the merged manifest entry summed the gone
+    segments' n_tokens, keeping purged docs' tokens; fsck then flagged
+    the healthy merged segment (sum(dl) != n_tokens). After
+    delete+optimize the entry must match the surviving rows exactly and
+    fsck must be clean."""
+    from clucene_spark.index.fsck import check_index
+    from clucene_spark.index.segments import build_segments_fused, delete_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "delmerge")
+    build_segments_fused(docs, d, docs_per_segment=64)
+    delete_docs(d, [5, 6, 7, 200])
+    out = optimize(spark, d)
+    entry = [s for s in read_manifest(d)["segments"] if s["name"] == out][0]
+    store = SegmentStore(spark, d)
+    assert entry["n_docs"] == store.stats()[0]
+    tot = store.doc_lens().agg(F.sum("dl")).collect()[0][0]
+    assert entry["n_tokens"] == int(tot)
+    bad = [r for r in check_index(spark, d).collect() if r["n_bad"]]
+    assert not bad, bad[:3]
+
+
+def test_add_indexes_never_commits_staged_ranges(spark, tmp_path):
+    """Regression (r5): addIndexes committed the staged foreign segments
+    with their UNREBASED doc ranges into the live manifest before
+    merging — a reader in that window (or forever, after a crash
+    mid-merge) saw colliding doc_ids. The only commit must be the
+    post-merge one, and no generation may ever list a staged_* entry."""
+    from clucene_spark.index.segments import (
+        build_segments_fused,
+        latest_generation,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    d_main, d_foreign = str(tmp_path / "m"), str(tmp_path / "f")
+    build_segments_fused(docs, d_main, docs_per_segment=16)
+    build_segments_fused(docs, d_foreign, docs_per_segment=16)
+    g0 = latest_generation(d_main)
+    add_indexes(spark, d_main, d_foreign, doc_base=1_000_000)
+    g1 = latest_generation(d_main)
+    assert g1 == g0 + 1, "staging must not burn a manifest generation"
+    for g in range(g1 + 1):
+        m = read_manifest(d_main, generation=g)
+        staged = [s["name"] for s in m["segments"]
+                  if s["name"].startswith("staged_")]
+        assert not staged, f"generation {g} exposes staged entries"
+    assert SegmentStore(spark, d_main).stats()[0] == 80

@@ -305,3 +305,102 @@ def test_normalize_py_matches_column_form(spark):
         ).collect()
     ]
     assert got == [normalize_text_py(c) for c in cases]
+
+
+def test_crawl_urls_survive_compaction_and_supersede(spark, tmp_path):
+    """Regression (r5): merge dropped the urls.parquet sidecar, so after
+    the first compaction crawl_urls raised (all segments merged) and
+    re-crawl supersedence went blind. After optimize() the full capture
+    metadata must survive (minus purged docs) and a later wave must
+    still supersede compacted captures. Also pins that crawl_urls reads
+    COMMITTED segments only — an uncommitted .tmp leftover from a
+    crashed build must not feed the supersedence pass."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from clucene_spark.index.merge import optimize
+    from clucene_spark.index.warc_build import crawl_urls, supersede_recrawls
+
+    t0 = dt.datetime(2024, 1, 1)
+    wave1 = spark.createDataFrame(
+        [(i, f"wave one body {i}", f"https://s.example/p{i}", t0)
+         for i in range(20)],
+        "doc_id long, text string, url string, ts timestamp",
+    )
+    d1 = str(tmp_path / "w1")
+    W.warc_files_from_docs(wave1, d1, 2, url_col="url", ts_col="ts").collect()
+    idx = str(tmp_path / "idx")
+    p1 = W.list_warc_paths(d1)
+    build_segments_from_warc(
+        spark, p1, idx, stride=100,
+        file_indices={p: i for i, p in enumerate(p1)},
+    ).collect()
+    assert crawl_urls(spark, idx).count() == 20
+
+    optimize(spark, idx)  # compaction must carry the sidecar
+    urls_after = crawl_urls(spark, idx)
+    assert urls_after.count() == 20
+    # 2 files x 10 docs at stride 100: ids 0-9 and 100-109
+    wave1_ids = set(range(10)) | set(range(100, 110))
+    assert {r["doc_id"]
+            for r in urls_after.select("doc_id").collect()} == wave1_ids
+
+    # uncommitted leftover: a fake .tmp segment with a urls sidecar must
+    # be invisible to crawl_urls (manifest-resolved, not globbed)
+    seg_root = os.path.join(idx, "segments")
+    live = next(n for n in os.listdir(seg_root) if n.startswith("seg_m_"))
+    ghost = os.path.join(seg_root, "seg_a_999.deadbeef.tmp")
+    shutil.copytree(os.path.join(seg_root, live), ghost)
+    assert crawl_urls(spark, idx).count() == 20
+    shutil.rmtree(ghost)
+
+    # wave 2 re-crawls p0..p4 a day later — supersedence must still work
+    wave2 = spark.createDataFrame(
+        [(200 + i, f"wave two body {i}",
+          f"http://www.s.example/p{i}?utm_source=feed",
+          t0 + dt.timedelta(days=1))
+         for i in range(5)],
+        "doc_id long, text string, url string, ts timestamp",
+    )
+    d2 = str(tmp_path / "w2")
+    W.warc_files_from_docs(wave2, d2, 1, url_col="url", ts_col="ts").collect()
+    p2 = W.list_warc_paths(d2)[0]
+    build_segments_from_warc(
+        spark, [p2], idx, stride=100, file_indices={p2: 2},
+    ).collect()
+    assert supersede_recrawls(spark, idx) == [0, 1, 2, 3, 4]
+    got = wand_query_direct(SegmentStore(spark, idx), ["one"], k=25).collect()
+    assert {r["doc_id"] for r in got} == wave1_ids - {0, 1, 2, 3, 4}
+
+
+def test_title_field_lang_analyzer_build(spark, tmp_path):
+    """Regression (r5): analyzer='lang' with title_field=True crashed the
+    task (zip over langs=None for the title pass). The build must
+    succeed, route CJK body text to bigrams, and serve fielded title
+    queries."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [(0, "plain english body text", "https://s.example/a", t0),
+         (1, "中文的文本内容也很多",
+          "https://s.example/b", t0)],
+        "doc_id long, text string, url string, ts timestamp",
+    )
+    d = str(tmp_path / "w")
+    W.warc_files_from_docs(docs, d, 1, url_col="url", ts_col="ts").collect()
+    idx = str(tmp_path / "idx")
+    p = W.list_warc_paths(d)[0]
+    build_segments_from_warc(
+        spark, [p], idx, stride=100, file_indices={p: 0},
+        analyzer="lang", title_field=True,
+    ).collect()
+    store = SegmentStore(spark, idx)
+    got = wand_query_direct(store, ["english"], k=5, field="text").collect()
+    assert [r["doc_id"] for r in got] == [0]
+    # CJK body routed through the bigram chain
+    got_zh = wand_query_direct(
+        store, ["中文"], k=5, field="text"
+    ).collect()
+    assert [r["doc_id"] for r in got_zh] == [1]
