@@ -306,6 +306,9 @@ def main() -> None:
         ).collect(),
         n=2,
     )
+    from clucene_spark.pipeline.dsir import dsir_unpersist
+
+    dsir_unpersist()  # release the LRU-1 docb cache before later stages
 
     # webtext curation ops (added round 4, off-headline): URL-level dedup
     # over the bench corpus's own urls + 25% noisy re-crawls, and the

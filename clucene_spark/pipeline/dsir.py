@@ -28,8 +28,9 @@ Determinism across engines (the DuckDB oracle replays every step):
 
 Scale shape: one tokenize+explode scan of the raw corpus feeding ONE
 (doc_id, bucket) partial-count aggregation (the per-bucket corpus
-counts derive from it by a second, bounded re-aggregation — the corpus
-is never scanned twice); the target side is a separate scan of the
+counts derive from it by a second, bounded re-aggregation — with the
+default cache=True the corpus is never scanned twice); the target side
+is a separate scan of the
 (by definition small, curated) target set; the per-bucket log-ratio
 table is ≤ n_buckets rows and joins back BROADCAST; the final per-doc
 sum is one doc-keyed shuffle with map-side partials. The bounded
@@ -38,13 +39,14 @@ sum is one doc-keyed shuffle with map-side partials. The bounded
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from clucene_spark.pipeline.dedup import ensure_parallelism, md5_31
+from clucene_spark.pipeline.sampling import _HASH_SPACE
 from clucene_spark.pipeline.textstats import _tokens
-
-_HASH_SPACE = float(1 << 28)  # md5_31 = 7 hex digits = 28 bits
 
 # LRU-1 registry of the persisted (doc_id, bucket, c) relation: repeated
 # dsir_weights/dsir_resample calls in one session must not accumulate cached
@@ -53,31 +55,42 @@ _HASH_SPACE = float(1 << 28)  # md5_31 = 7 hex digits = 28 bits
 # first before starting the second or pass cache=False (the evicted plan
 # recomputes — correctness is unaffected, only the reuse is lost).
 _docb_cache: list[DataFrame] = []
+_docb_lock = threading.Lock()
 
 
 def _register_docb(docb: DataFrame) -> None:
-    while _docb_cache:
-        prev = _docb_cache.pop()
-        try:
-            # Spark's CacheManager keys on the LOGICAL PLAN: a repeat call
-            # over the same input produces the same plan and shares the
-            # cache entry, so unpersisting the old handle would wipe the
-            # new one too — keep shared-plan entries alive.
-            if not prev.sameSemantics(docb):
-                prev.unpersist()
-        except Exception:
-            pass
-    _docb_cache.append(docb)
+    with _docb_lock:  # check-then-pop must be atomic across threads
+        while _docb_cache:
+            prev = _docb_cache.pop()
+            try:
+                # Spark's CacheManager keys on the LOGICAL PLAN: a repeat
+                # call over the same input produces the same plan and
+                # shares the cache entry, so unpersisting the old handle
+                # would wipe the new one too — keep shared-plan entries
+                # alive.
+                if not prev.sameSemantics(docb):
+                    prev.unpersist()
+            except Exception:
+                # comparison failed (e.g. stale session handle): the entry
+                # is leaving the registry either way, so it must be
+                # unpersisted — dropping it silently is exactly the cache
+                # accumulation this registry exists to prevent
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+        _docb_cache.append(docb)
 
 
 def dsir_unpersist() -> None:
     """Release the cached (doc_id, bucket, c) relation of the most recent
     dsir_weights call. Safe to call any time; idempotent."""
-    while _docb_cache:
-        try:
-            _docb_cache.pop().unpersist()
-        except Exception:
-            pass
+    with _docb_lock:
+        while _docb_cache:
+            try:
+                _docb_cache.pop().unpersist()
+            except Exception:
+                pass
 
 
 def _gram_buckets(docs: DataFrame, n_buckets: int, text_col: str) -> DataFrame:
@@ -125,7 +138,11 @@ def dsir_weights(
     one is created, so repeated calls never accumulate cached RDDs;
     call :func:`dsir_unpersist` (or `.unpersist()` on the
     ``df._dsir_docb`` handle) to release it early. ``cache=False``
-    skips persistence entirely (the relation recomputes per action).
+    skips persistence entirely — but note the relation then recomputes
+    PER DAG BRANCH: the eager totals scan here plus the two branches of
+    the returned plan (docb directly, and rawb→ratio on the broadcast
+    side) cost ~3 full tokenize passes per action, so cache=False is
+    for small corpora or memory-starved sessions only.
     """
     docs = ensure_parallelism(docs)
     docb = (
@@ -144,6 +161,14 @@ def dsir_weights(
     )
     t_raw = rawb.agg(F.sum("cr")).first()[0] or 0
     t_tgt = tgtb.agg(F.sum("ct")).first()[0] or 0
+    if t_tgt == 0:
+        # an empty target (typo'd filter, wrong path) would silently turn
+        # the weights into an inverse-rarity score — the docs with the
+        # RAREST grams win, the opposite of target-likeness
+        raise ValueError(
+            "dsir_weights: target corpus has no grams "
+            f"({text_col!r} empty or all-null) — check the target filter"
+        )
     b = float(n_buckets)
     ratio = (
         rawb.join(tgtb, "bucket", "left")
@@ -204,24 +229,35 @@ def dsir_resample(
     Scale shape: dsir_weights (above) + a map-only key column + a
     global top-k (TakeOrderedAndProject — per-partition heaps, never a
     full sort)."""
+    if temperature < 0:
+        raise ValueError("dsir_resample: temperature must be >= 0")
     w = dsir_weights(
         docs, target, n_buckets=n_buckets, text_col=text_col, cache=cache
     )
-    u = (
-        md5_31(
-            F.concat_ws(
-                ":", F.lit("dsir"), F.col("doc_id").cast("string"),
-                F.lit(str(seed)),
+    if temperature == 0:
+        # the T->0 limit the docstring promises: hard top-k by weight
+        # (Spark's non-ANSI divide-by-zero would otherwise NULL every
+        # key and silently select the k smallest doc_ids)
+        key = F.col("logw").alias("key")
+    else:
+        # null-PROPAGATING concat (not concat_ws, which skips nulls):
+        # the DuckDB oracle's '||' nulls the key for a null doc_id, so
+        # the Spark side must too or the engines select different rows
+        u = (
+            md5_31(
+                F.concat(
+                    F.lit("dsir:"), F.col("doc_id").cast("string"),
+                    F.lit(":" + str(seed)),
+                )
             )
-        )
-        + F.lit(0.5)
-    ) / F.lit(_HASH_SPACE)
-    gumbel = -F.log(-F.log(u))
-    key = F.round(
-        F.col("logw") / F.lit(float(temperature)) + gumbel, 6
-    ).alias("key")
+            + F.lit(0.5)
+        ) / F.lit(_HASH_SPACE)
+        gumbel = -F.log(-F.log(u))
+        key = F.round(
+            F.col("logw") / F.lit(float(temperature)) + gumbel, 6
+        ).alias("key")
     return (
         w.select("doc_id", "n_grams", "logw", key)
-        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("key").desc_nulls_last(), F.col("doc_id").asc())
         .limit(int(k))
     )

@@ -1672,3 +1672,39 @@ def test_dsir_cache_lifecycle_lru1(spark):
     assert w3._dsir_docb.storageLevel == StorageLevel.NONE
     assert not dsir_mod._docb_cache
     w3.count()  # still computes correctly without the cache
+
+
+def test_dsir_temperature_zero_is_hard_topk_and_guards(spark, sf_dir):
+    """Regression (r5): temperature=0 hit Spark's non-ANSI divide
+    (NULL keys -> k smallest doc_ids selected silently); it now
+    degenerates to hard top-k by weight as documented. An empty target
+    raises instead of silently inverting the weights into inverse-gram
+    rarity; negative temperature is rejected."""
+    import pytest as _pytest
+
+    from clucene_spark.pipeline.dsir import (
+        dsir_resample,
+        dsir_unpersist,
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").limit(200)
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    try:
+        hard = dsir_resample(docs, target, k=10, temperature=0).collect()
+        assert len(hard) == 10
+        # hard top-k == the 10 largest logw (doc_id ASC tiebreak)
+        w = dsir_weights(docs, target).collect()
+        want = [r["doc_id"] for r in sorted(
+            w, key=lambda r: (-r["logw"], r["doc_id"]))[:10]]
+        assert [r["doc_id"] for r in hard] == want
+        assert all(r["key"] == r["logw"] for r in hard)
+
+        with _pytest.raises(ValueError, match="temperature"):
+            dsir_resample(docs, target, k=5, temperature=-1.0)
+        empty_target = docs.filter(F.lit(False))
+        with _pytest.raises(ValueError, match="target corpus"):
+            dsir_weights(docs, empty_target).collect()
+    finally:
+        dsir_unpersist()
