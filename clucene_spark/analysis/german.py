@@ -18,11 +18,11 @@ StandardTokenizer -> StandardFilter -> LowerCaseFilter -> StopFilter
 optional exclusion set (de/GermanStemFilter.cpp:28-55).
 
 SnowballAnalyzer (reference src/contribs-lib/CLucene/snowball/) dispatches
-by language name; this build ships 'english'/'porter' (the Snowball
-'porter' variant IS the original Porter algorithm, analysis/porter.py),
-'german' (the stemmer above), and 'french'/'dutch'/'spanish' (May-2005
-Snowball ports fuzz-verified against the reference's generated C — see
-analysis/snowball_stem.py). Remaining libstemmer languages raise
+by language name; this build ships 'english' (Porter2, the snowball
+english algorithm — distinct from 'porter', which IS the original Porter
+algorithm, analysis/porter.py), 'german' (the stemmer above), and the
+snowball_stem.py language pack (May-2005 ports fuzz-verified against the
+reference's generated C). Remaining libstemmer languages raise
 ValueError rather than silently degrading.
 """
 
@@ -201,7 +201,9 @@ def german_analyze(
 
 def snowball_stem(term: str, language: str = "english") -> str:
     lang = language.lower()
-    if lang in ("english", "porter"):
+    if lang == "porter":
+        # the snowball 'porter' variant IS the original Porter algorithm
+        # (reference src_c/stem_*_porter.c)
         from clucene_spark.analysis.porter import porter_stem
 
         return porter_stem(term)
@@ -212,7 +214,7 @@ def snowball_stem(term: str, language: str = "english") -> str:
     if lang in SNOWBALL_STEMMERS:
         return SNOWBALL_STEMMERS[lang](term)
     raise ValueError(
-        f"snowball language {language!r} not shipped (have: english/porter, "
+        f"snowball language {language!r} not shipped (have: porter, "
         f"german, {', '.join(sorted(SNOWBALL_STEMMERS))})"
     )
 

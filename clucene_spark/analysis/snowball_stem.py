@@ -1410,3 +1410,216 @@ def russian_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS.update(russian=russian_stem)
+
+
+# ---------------------------------------------------------------------------
+# english (Porter2) — the snowball 'english' algorithm, distinct from the
+# 'porter' variant (analysis/porter.py). Port of the reference's generated
+# stemmer `src/contribs-lib/CLucene/snowball/src_c/stem_UTF_8_english.c`
+# (May-2005 revision): exception lists a_9/a_10, gener/commun R1 prefixes
+# (no 'arsen' in this revision), Y-marking prelude, and the six steps with
+# their among-tables transcribed from the C. Fuzz-verified against the
+# compiled reference stemmer (tests/test_snowball_langs.py).
+# ---------------------------------------------------------------------------
+
+_EN_V = frozenset("aeiouy")              # g_v (lowercase y only; marked
+                                         # consonant-y becomes 'Y', not in g_v)
+_EN_V_WXY = frozenset("aeiouywxY")       # g_v_WXY
+_EN_LI = frozenset("cdeghkmnrt")         # g_valid_LI
+
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC2 = frozenset((
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed",
+))
+
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+_EN_STEP2 = (  # (suffix, replacement, condition) — longest match wins
+    ("ational", "ate", None), ("fulness", "ful", None),
+    ("iveness", "ive", None), ("ization", "ize", None),
+    ("ousness", "ous", None), ("biliti", "ble", None),
+    ("lessli", "less", None), ("tional", "tion", None),
+    ("alism", "al", None), ("aliti", "al", None), ("ation", "ate", None),
+    ("entli", "ent", None), ("fulli", "ful", None), ("ousli", "ous", None),
+    ("abli", "able", None), ("alli", "al", None), ("anci", "ance", None),
+    ("ator", "ate", None), ("enci", "ence", None), ("iviti", "ive", None),
+    ("izer", "ize", None), ("bli", "ble", None),
+    ("ogi", "og", "l"), ("li", "", "li"),
+)
+_EN_STEP3 = (
+    ("ational", "ate", None), ("tional", "tion", None),
+    ("alize", "al", None), ("icate", "ic", None), ("iciti", "ic", None),
+    ("ative", "", "R2"), ("ical", "ic", None), ("ness", "", None),
+    ("ful", "", None),
+)
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ate", "ent", "ion", "ism", "iti", "ive", "ize", "ous",
+    "al", "er", "ic",
+)
+
+
+def _en_shortv(w: str, c: int) -> bool:
+    """r_shortv at backward cursor c (the limit lb is the word start):
+    non-(v|wxY), vowel, non-vowel — or word-initial non-vowel, vowel."""
+    if c >= 3 and w[c - 1] not in _EN_V_WXY and w[c - 2] in _EN_V \
+            and w[c - 3] not in _EN_V:
+        return True
+    return c == 2 and w[1] not in _EN_V and w[0] in _EN_V
+
+
+def english_stem(word: str) -> str:
+    """Snowball english (Porter2), May-2005 revision, reference parity."""
+    if word in _EN_EXC1:
+        return _EN_EXC1[word]
+    if len(word) < 3:
+        return word
+
+    # prelude: strip one leading apostrophe; mark consonant-y as 'Y'
+    w = word
+    if w.startswith("'"):
+        w = w[1:]
+    y_found = False
+    # initial y is consonant-marked ONLY when followed by a vowel (the
+    # in_grouping test after the ket in r_prelude — 'yes'->'Yes' but
+    # 'ybs' keeps its vowel-y)
+    if w.startswith("y") and len(w) > 1 and w[1] in _EN_V:
+        w = "Y" + w[1:]
+        y_found = True
+    i = 1
+    while i < len(w):
+        if w[i] == "y" and w[i - 1] in _EN_V:
+            w = w[:i] + "Y" + w[i + 1:]
+            y_found = True
+        i += 1
+
+    # mark_regions: gener/commun prefixes pin p1 (this revision has no
+    # 'arsen'); else standard gopast v, gopast non-v
+    def _after_vc(s: str, start: int) -> int:
+        # gopast v; gopast non-v: past the FIRST vowel, then past the
+        # first non-vowel after it (not merely past the vowel run)
+        n = len(s)
+        j = start
+        while j < n and s[j] not in _EN_V:
+            j += 1
+        if j >= n:
+            return n
+        j += 1
+        while j < n and s[j] in _EN_V:
+            j += 1
+        if j >= n:
+            return n
+        return j + 1
+
+    if w.startswith("gener"):
+        p1 = 5
+    elif w.startswith("commun"):
+        p1 = 6
+    else:
+        p1 = _after_vc(w, 0)
+    p2 = _after_vc(w, p1)
+
+    # Step 0: longest of 's' / 's / ' removed
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-4] + "ss"
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("ie" if len(w) == 4 else "i")
+    elif w.endswith("us") or w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        # delete if a vowel exists before the char preceding the s
+        if any(ch in _EN_V for ch in w[: -2]):
+            w = w[:-1]
+
+    if w in _EN_EXC2:
+        return w
+
+    # Step 1b
+    if w.endswith("eedly"):
+        if len(w) - 5 >= p1:
+            w = w[:-5] + "ee"
+    elif w.endswith("eed"):
+        if len(w) - 3 >= p1:
+            w = w[:-3] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(ch in _EN_V for ch in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_EN_DOUBLES):
+                        w = w[:-1]
+                    elif len(w) == p1 and _en_shortv(w, len(w)):
+                        w += "e"
+                break
+
+    # Step 1c: y/Y -> i after a non-vowel that isn't word-initial
+    if len(w) >= 3 and w[-1] in "yY" and w[-2] not in _EN_V:
+        w = w[:-1] + "i"
+
+    # Step 2 (in R1)
+    for suf, rep, cond in _EN_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                if cond == "l":
+                    if len(w) > len(suf) and w[-len(suf) - 1] == "l":
+                        w = w[: -len(suf)] + rep
+                elif cond == "li":
+                    if len(w) > len(suf) and w[-len(suf) - 1] in _EN_LI:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break  # longest match owns the step, even if R1/cond fails
+
+    # Step 3 (in R1; 'ative' additionally needs R2)
+    for suf, rep, cond in _EN_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                if cond == "R2":
+                    if len(w) - len(suf) >= p2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # Step 4 (in R2; 'ion' only after s/t)
+    for suf in _EN_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p2:
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    # Step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (
+            len(w) - 1 >= p1 and not _en_shortv(w, len(w) - 1)
+        ):
+            w = w[:-1]
+    elif w.endswith("ll") and len(w) - 1 >= p2:
+        w = w[:-1]
+
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+SNOWBALL_STEMMERS["english"] = english_stem

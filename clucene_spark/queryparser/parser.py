@@ -175,10 +175,16 @@ class QueryParser:
             if not m:
                 return None, False
             y, mo, dd = (int(g) for g in m.groups())
-            if end and inclusive:
-                dt = _dt.datetime(y, mo, dd, 23, 59, 59, 999000)
-            else:
-                dt = _dt.datetime(y, mo, dd)
+            try:
+                if end and inclusive:
+                    dt = _dt.datetime(y, mo, dd, 23, 59, 59, 999000)
+                else:
+                    dt = _dt.datetime(y, mo, dd)
+            except ValueError:
+                # calendar-invalid (2020-13-01): not a date — fall back
+                # to a plain term range, the reference's behavior when
+                # DateTools parsing fails
+                return None, False
             return date_to_string(dt, res), True
 
         lo_e, ok_lo = enc(lo, end=False)
@@ -239,8 +245,19 @@ class QueryParser:
                 toks.append(tok)
             elif c in "[{":
                 inclusive = c == "["
-                j = s.find("]" if inclusive else "}", i)
-                if j < 0:
+                close = "]" if inclusive else "}"
+                # quote-aware scan for the closing bracket: the bound
+                # grammar allows quoted goop containing ']' (RANGEIN_QUOTED
+                # accepts any escaped/quoted characters), so a plain find()
+                # would truncate '["a]b" TO c]'
+                j = i + 1
+                while j < n and s[j] != close:
+                    if s[j] == '"':
+                        j += 1
+                        while j < n and s[j] != '"':
+                            j += 2 if s[j] == "\\" and j + 1 < n else 1
+                    j += 1
+                if j >= n:
                     raise QueryParserError(f"unterminated range in {s!r}")
                 body = s[i + 1 : j]
                 # bound ::= "quoted goop" | bare goop; TO is optional
@@ -451,12 +468,13 @@ class QueryParser:
 
     def _match_nothing(self, boost: float) -> Query:
         """Query over an unknown field: zero hits (the reference would scan
-        an absent field's postings and find none)."""
-        from pyspark.sql import functions as F
-
+        an absent field's postings and find none). The predicate is the SQL
+        string 'false' (df.filter accepts SQL text), not F.lit(False) — a
+        Column literal would need a live SparkContext AT PARSE TIME and die
+        in pyspark internals when none exists."""
         from clucene_spark.search.engine import ConstantScoreQuery
 
-        return ConstantScoreQuery(boost=boost, predicate=F.lit(False))
+        return ConstantScoreQuery(boost=boost, predicate="false")
 
     def _leaf_query(self, t: _Tok, field: str) -> Query | None:
         boost = t.boost if t.boost is not None else 1.0
@@ -502,8 +520,11 @@ class QueryParser:
                 return self._match_nothing(boost)
         if t.kind == "RANGE":
             fold = str.lower if self.lowercase_expanded_terms else str
-            lo = fold(t.lower) if t.lower else None
-            hi = fold(t.upper) if t.upper else None
+            # 'is not None': an explicit empty-string bound ('[\"\" TO b]')
+            # is a real bound, only the '*' sentinel (lexed to None) is
+            # unbounded — truthiness would conflate the two
+            lo = fold(t.lower) if t.lower is not None else None
+            hi = fold(t.upper) if t.upper is not None else None
             dated = self._maybe_date_bounds(field or self.default_field,
                                             lo, hi, t.inclusive)
             if dated is not None:
@@ -521,13 +542,18 @@ class QueryParser:
         if t.kind == "TERM":
             word = t.text  # RAW — escapes still present; structure first
             fold = str.lower if self.lowercase_expanded_terms else str
-            if word == "*" and t.field in (None, "*"):
+            if word == "*" and field == "*":
+                # getWildcardQuery: MatchAllDocs ONLY for '*:*'
+                # (QueryParser.cpp:505-509); a bare or fielded '*' falls
+                # through to the leading-wildcard error like the reference
                 return MatchAllQuery(boost=boost)
             if t.fuzzy is not None:
+                # an explicit '~0' is a valid minSim of 0.0 (the lexer
+                # already defaulted a bare '~' to 0.5) — a falsy-zero
+                # check here would silently replace it with the default
                 return FuzzyQuery(
                     boost=boost, term=fold(_unescape(word)),
-                    min_similarity=t.fuzzy if t.fuzzy > 0 else 0.5,
-                    field=qfield,
+                    min_similarity=t.fuzzy, field=qfield,
                 )
             wild = _unescaped_positions(word, "*?")
             if wild:
@@ -632,7 +658,9 @@ class MultiFieldQueryParser(QueryParser):
             q = QueryParser(
                 default_field=f,
                 analyzer=analyzer,
-                indexed_fields=set(fields),
+                # keyword fields route to KeywordQuery, never analyzed
+                # TermQuery — same subtraction the instance ctor does
+                indexed_fields=set(fields) - set(keyword_fields or ()),
                 keyword_fields=keyword_fields,
             ).parse(s)
             if q is None:

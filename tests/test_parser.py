@@ -497,3 +497,67 @@ def test_mfqp_stopwords_parsing(qtxt, expected):
         assert q2 is None
     else:
         assert str(q2) == expected
+
+
+def test_r5_parser_edge_fixes():
+    """Round-5 review fixes: explicit ~0 similarity, calendar-invalid
+    date bounds, fielded '*', empty-string range bound, quoted ']' in a
+    range body, keyword fields in the static multi-field form."""
+    from clucene_spark.queryparser.parser import MultiFieldQueryParser, QueryParser
+    from clucene_spark.search.engine import KeywordQuery, RangeQuery
+
+    # explicit '~0' is minSim 0.0, not the 0.5 default
+    q = parse("spark~0")
+    assert isinstance(q, FuzzyQuery) and q.min_similarity == 0.0
+    assert parse("spark~").min_similarity == 0.5
+
+    # calendar-invalid date bounds fall back to a plain term range
+    p = QueryParser("text", indexed_fields={"date"},
+                    date_fields={"date": "day"})
+    q = p.parse("date:[2020-13-01 TO 2020-14-01]")
+    assert q is not None  # no raw ValueError
+    # a valid date still encodes
+    assert p.parse("date:[2020-01-01 TO 2020-02-01]") is not None
+
+    # '*' is MatchAll ONLY as '*:*' (QueryParser.cpp:505-509); bare and
+    # fielded forms hit the leading-wildcard error like the reference
+    assert isinstance(parse("*:*"), MatchAllQuery)
+    with pytest.raises(QueryParserError):
+        parse("*")
+    with pytest.raises(QueryParserError):
+        QueryParser("text", indexed_fields={"title"}).parse("title:(*)")
+
+    # explicit empty-string bound is a bound, not '*'
+    q = parse('["" TO b]', use_old_range_query=True)
+    assert isinstance(q, RangeQuery) and q.lower == "" and q.upper == "b"
+
+    # quoted ']' inside a range body parses (RANGEIN_QUOTED)
+    q = parse('["a]b" TO c]', use_old_range_query=True)
+    assert q.lower == "a]b" and q.upper == "c"
+
+    # static multi-field form routes keyword fields to KeywordQuery like
+    # the instance form
+    q = MultiFieldQueryParser.parse_flags(
+        "tag:foo", ["title", "tag"], ["SHOULD", "SHOULD"],
+        keyword_fields={"tag"},
+    )
+    flat = [c.query for c in q.clauses] if isinstance(q, BooleanQuery) else [q]
+    inner = []
+    for sub in flat:
+        if isinstance(sub, BooleanQuery):
+            inner.extend(c.query for c in sub.clauses)
+        else:
+            inner.append(sub)
+    assert any(isinstance(s, KeywordQuery) for s in flat + inner), (flat, inner)
+
+
+def test_parse_without_spark_session_builds_unknown_field_query():
+    """_match_nothing must not require a live SparkContext at parse time
+    (the predicate is the SQL string 'false', resolved by df.filter at
+    execution)."""
+    from clucene_spark.queryparser.parser import QueryParser
+    from clucene_spark.search.engine import ConstantScoreQuery
+
+    q = QueryParser("text").parse("nosuchfield:x")
+    assert isinstance(q, ConstantScoreQuery)
+    assert q.predicate == "false"
