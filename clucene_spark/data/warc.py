@@ -298,12 +298,18 @@ def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
     pos = 0
     in_member = False
 
+    base = 0  # absolute offset of buf[0] in the file: fill() compaction
+    #           shifts buffer coordinates, so resync scans save absolute
+    #           positions (base + i) across fills — a stale pre-fill
+    #           offset would skip magics landing in the compacted region
+
     def fill() -> bool:
-        nonlocal pos
+        nonlocal pos, base
         # never compact while inside a member: the error-resync path
         # needs the member's START offset to stay valid (memory bound
         # becomes one member + one chunk, same as the payload itself)
         if not in_member and pos > chunk and pos > len(buf) - pos:
+            base += pos
             del buf[:pos]
             pos = 0
         b = fileobj.read(chunk)
@@ -312,6 +318,26 @@ def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
         buf.extend(b)
         return True
 
+    def resync(scan_from: int):
+        """Advance pos to the next gzip magic at/after scan_from,
+        discarding scanned garbage as it goes (keeps the memory bound on
+        a magic-free tail at one chunk, not the whole remaining file).
+        Returns True when found, False at EOF."""
+        nonlocal pos
+        pos = min(scan_from, len(buf))
+        while True:
+            nxt = buf.find(b"\x1f\x8b", pos)
+            if nxt >= 0:
+                pos = nxt
+                return True
+            # all but the last byte is garbage (a magic may straddle the
+            # fill boundary); consuming it lets fill() discard it
+            pos = max(pos, len(buf) - 1)
+            a = base + pos
+            if not fill():
+                return False
+            pos = a - base
+
     while True:
         while len(buf) - pos < 2:
             if not fill():
@@ -319,14 +345,9 @@ def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
                     yield None  # trailing garbage / truncated magic
                 return
         if buf[pos:pos + 2] != b"\x1f\x8b":
-            nxt = buf.find(b"\x1f\x8b", pos + 1)
-            while nxt < 0:
-                tail = max(pos, len(buf) - 1)
-                if not fill():
-                    yield None
-                    return
-                nxt = buf.find(b"\x1f\x8b", tail)
-            pos = nxt
+            if not resync(pos + 1):
+                yield None
+                return
             yield None  # bytes between members were garbage
             continue
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -354,16 +375,12 @@ def _gzip_members(fileobj, chunk: int = 1 << 20) -> Iterator[bytes | None]:
             yield bytes(out)
         except zlib.error:
             # corrupt member: resync at the next magic AFTER this one
-            nxt = buf.find(b"\x1f\x8b", start + 2)
-            while nxt < 0:
-                tail = max(start + 2, len(buf) - 1)
-                if not fill():
-                    in_member = False
-                    yield None
-                    return
-                nxt = buf.find(b"\x1f\x8b", tail)
-            pos = nxt
+            # (the failed member's bytes are garbage now — in_member
+            # drops first so resync/fill may discard them)
             in_member = False
+            if not resync(start + 2):
+                yield None
+                return
             yield None
 
 
@@ -396,7 +413,10 @@ def parse_warc_stream_tolerant(
                 rec["skipped_before"] = skipped
                 skipped = 0
                 yield rec
-        except ValueError:
+        except (ValueError, KeyError):
+            # ValueError: malformed version line / lengths; KeyError: a
+            # header block missing Content-Length — both are the
+            # malformed framing this parser promises to count and skip
             skipped += 1
 
 
@@ -409,9 +429,15 @@ class _Prepend:
 
     def read(self, n: int = -1) -> bytes:
         if self._head:
+            if n is None or n < 0:  # read-all must include the stream
+                h, self._head = self._head, b""
+                return h + self._f.read()
+            if n <= len(self._head):  # never return more than n bytes
+                h = self._head[:n]
+                self._head = self._head[n:]
+                return h
             h, self._head = self._head, b""
-            rest = self._f.read(n - len(h)) if n and n > len(h) else b""
-            return h + rest
+            return h + self._f.read(n - len(h))
         return self._f.read(n)
 
 
@@ -476,17 +502,29 @@ def warc_scan(
     # round-robin pack ~2 tasks/core (hash-by-path leaves empty
     # partitions on collisions and one-file tasks churn at crawl scale;
     # same packing rationale as the direct index build)
-    n_tasks = min(
-        len(paths), max(1, spark.sparkContext.defaultParallelism * 2)
-    )
+    n_tasks = max(
+        1, min(len(paths), spark.sparkContext.defaultParallelism * 2)
+    )  # max(1): repartition(0) on an empty path list is an error
     pdf = pdf.repartition(n_tasks)
 
     parse = parse_warc_stream_tolerant if tolerant else parse_warc_stream
 
+    cols = [
+        "path", "url", "warc_ts", "warc_type",
+        "http_status", "content_type", "location", "html",
+    ]
+    # emit Arrow batches incrementally: buffering a whole file's records
+    # before yielding would make task memory O(decompressed file) — a
+    # 1 GB crawl segment is several GB of HTML — instead of the streaming
+    # parser's O(largest record) bound the module advertises
+    flush_rows = 512
+    flush_bytes = 32 << 20
+
     def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path in b["path"]:
-                rows = []
+                rows: list = []
+                n_bytes = 0
                 with open(path, "rb") as fh:
                     for rec in parse(fh):
                         h = rec["headers"]
@@ -515,13 +553,11 @@ def warc_scan(
                                 body,
                             )
                         )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path", "url", "warc_ts", "warc_type",
-                        "http_status", "content_type", "location", "html",
-                    ],
-                )
+                        n_bytes += len(body) if body is not None else 0
+                        if len(rows) >= flush_rows or n_bytes >= flush_bytes:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, n_bytes = [], 0
+                yield pd.DataFrame(rows, columns=cols)
 
     return pdf.mapInPandas(scan, _SCAN_SCHEMA)
 
@@ -624,7 +660,7 @@ def webtext_warc_files(
     n_files = (n_docs + docs_per_file - 1) // docs_per_file
     files = spark.createDataFrame(
         [(i,) for i in range(n_files)], "file_idx int"
-    ).repartition(n_files, "file_idx")
+    ).repartition(max(1, n_files), "file_idx")  # n_docs=0 -> no rows, 1 task
 
     def write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -763,7 +799,7 @@ def webtext_wet_files(
     n_files = (n_docs + docs_per_file - 1) // docs_per_file
     files = spark.createDataFrame(
         [(i,) for i in range(n_files)], "file_idx int"
-    ).repartition(n_files, "file_idx")
+    ).repartition(max(1, n_files), "file_idx")  # n_docs=0 -> no rows, 1 task
 
     def write(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -69,7 +69,16 @@ def assign_file_indices(
 
 
 def _strip_scheme(p: str) -> str:
-    return p[len("file:"):] if p.startswith("file:") else p
+    """Spark's file-source path column is a URI: strip the scheme AND
+    percent-decoding ('my%20crawl.warc.gz' is really 'my crawl.warc.gz'
+    on disk — open() on the encoded form is FileNotFoundError and a
+    permanently wedged stream on replay)."""
+    from urllib.parse import unquote
+
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        return unquote(p)
+    return p
 
 
 def stream_warc_ingest(

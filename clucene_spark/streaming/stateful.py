@@ -148,13 +148,22 @@ def url_dedup_state_stream(pages_stream: DataFrame) -> DataFrame:
         "doc_id",
     )
 
+    # a missing WARC-Date arrives as a null ts (pandas: NaN in a float
+    # column); treat it as smaller than any real capture time — the
+    # batch analogue's max(struct(ts, doc_id)) sorts a null field first,
+    # so a dated capture always wins and among undated ones the higher
+    # doc_id wins. astype(int) on NaN would kill the whole stream.
+    _NULL_TS = -(1 << 62)
+
     def _fold(key, pdfs, state):
         ts, doc, cnt = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
+            pdf = pdf.dropna(subset=["doc_id"])
             if len(pdf) == 0:
                 continue
             b_ts, b_doc = max(
-                zip(pdf["ts"].astype(int), pdf["doc_id"].astype(int))
+                zip(pdf["ts"].fillna(_NULL_TS).astype("int64"),
+                    pdf["doc_id"].astype("int64"))
             )
             if ts is None or (b_ts, b_doc) > (ts, doc):
                 ts, doc = int(b_ts), int(b_doc)
@@ -164,7 +173,9 @@ def url_dedup_state_stream(pages_stream: DataFrame) -> DataFrame:
             {
                 "canon_url": [key[0]],
                 "keep_doc": [doc],
-                "keep_ts": [ts],
+                # surface the no-dated-capture sentinel as a null, the
+                # shape the batch analogue produces
+                "keep_ts": [None if ts == _NULL_TS else ts],
                 "n_copies": [cnt],
             }
         )

@@ -220,3 +220,28 @@ def test_stateful_stream_url_dedup_batch_invariant(spark, tmp_path):
     got_many = sorted(tuple(r) for r in many.collect())
     assert got_one == want
     assert got_many == want
+
+
+def test_stateful_url_dedup_tolerates_null_ts(spark, tmp_path):
+    """Regression (r5): a capture with a missing WARC-Date (null ts)
+    arrived in pandas as NaN and astype(int) killed the streaming query.
+    Null-ts captures must lose to any dated capture (the batch
+    max(struct) ordering) and a key with only undated captures must
+    yield a null keep_ts."""
+    from clucene_spark.streaming.stateful import stream_url_dedup
+
+    rows = [
+        (1, None, "https://a.example/p"),   # undated
+        (2, 50, "https://a.example/p"),     # dated -> wins
+        (3, None, "https://b.example/q"),   # only undated captures
+        (4, None, "https://b.example/q"),
+    ]
+    crawl = spark.createDataFrame(rows, "doc_id long, ts long, url string")
+    src = str(tmp_path / "nsrc")
+    crawl.write.parquet(src)
+    out = stream_url_dedup(spark, src, checkpoint_dir=str(tmp_path / "nck"))
+    got = {r["canon_url"]: (r["keep_doc"], r["keep_ts"], r["n_copies"])
+           for r in out.collect()}
+    assert got["a.example/p"] == (2, 50, 2)
+    keep_doc, keep_ts, n = got["b.example/q"]
+    assert keep_doc == 4 and keep_ts is None and n == 2

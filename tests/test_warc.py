@@ -298,3 +298,77 @@ def test_feed_bounded_inflate_member_shapes():
             assert [r["payload"] for r in got] == [
                 bytes([65 + i % 26]) * n for i, n in enumerate(sizes)
             ], (fn.__name__, chunk)
+
+
+def test_tolerant_parse_member_missing_content_length():
+    """Regression (r5): a member whose record lacks Content-Length raised
+    KeyError through the 'corruption-tolerant' parser; it must be counted
+    and skipped like any malformed framing."""
+    import io as _io
+
+    from clucene_spark.data.warc import parse_warc_stream_tolerant
+
+    good = W.build_record("resource", b"fine " * 30, url="ok")
+    # record with the Content-Length header line removed
+    broken = good.replace(b"Content-Length", b"X-Not-Length", 1)
+    blob = (W.gzip_member(good) + W.gzip_member(broken)
+            + W.gzip_member(good))
+    got = list(parse_warc_stream_tolerant(_io.BytesIO(blob), chunk=64))
+    assert [r["headers"]["warc-target-uri"] for r in got] == ["ok", "ok"]
+    assert [r["skipped_before"] for r in got] == [0, 1]
+
+
+def test_tolerant_resync_across_compaction_boundary():
+    """Regression (r5): the garbage-resync scan computed its restart
+    offset BEFORE fill() compacted the buffer, so a magic just past a
+    compaction was skipped and valid members silently dropped. Large
+    (multi-chunk) garbage runs between members must still recover every
+    valid member, and a magic-free garbage tail must terminate without
+    buffering the whole remainder."""
+    import io as _io
+
+    from clucene_spark.data.warc import parse_warc_stream_tolerant
+
+    recs = [W.build_record("resource", f"pay {i} ".encode() * 50,
+                           url=f"u{i}") for i in range(3)]
+    # garbage stretches far beyond the 64-byte chunk; 0x00 avoids fake
+    # gzip magics
+    garbage = b"\x00" * 1500
+    blob = (W.gzip_member(recs[0]) + garbage + W.gzip_member(recs[1])
+            + garbage + W.gzip_member(recs[2]) + garbage)
+    got = list(parse_warc_stream_tolerant(_io.BytesIO(blob), chunk=64))
+    assert [r["headers"]["warc-target-uri"] for r in got] == [
+        "u0", "u1", "u2"]
+    # the garbage runs register as skips on the following record
+    assert got[1]["skipped_before"] >= 1
+    assert got[2]["skipped_before"] >= 1
+
+    # corrupt member followed by multi-chunk garbage then a valid member
+    m1 = bytearray(W.gzip_member(recs[0]))
+    m1[len(m1) // 2] ^= 0xFF
+    blob2 = bytes(m1) + garbage + W.gzip_member(recs[2])
+    got2 = list(parse_warc_stream_tolerant(_io.BytesIO(blob2), chunk=64))
+    assert [r["headers"]["warc-target-uri"] for r in got2] == ["u2"]
+
+
+def test_prepend_read_contract():
+    """Regression (r5): _Prepend.read(-1) dropped the underlying stream
+    and read(n) could return more than n bytes."""
+    import io as _io
+
+    from clucene_spark.data.warc import _Prepend
+
+    p = _Prepend(b"ab", _io.BytesIO(b"cdef"))
+    assert p.read() == b"abcdef"
+    p = _Prepend(b"ab", _io.BytesIO(b"cdef"))
+    assert p.read(1) == b"a"
+    assert p.read(1) == b"b"
+    assert p.read(2) == b"cd"
+    p = _Prepend(b"ab", _io.BytesIO(b"cdef"))
+    assert p.read(3) == b"abc"
+    assert p.read(-1) == b"def"
+
+
+def test_warc_scan_empty_paths(spark):
+    """Regression (r5): warc_scan([]) crashed on repartition(0)."""
+    assert W.warc_scan(spark, []).count() == 0
