@@ -1021,6 +1021,9 @@ ttok AS (
            unnest(generate_series(1, len(toks[1:4]))) AS i
     FROM raw)
   WHERE term <> ''),
+-- title fields are <= 4 tokens and carry each term at most once, so the
+-- unordered NearSpans iterator reduces exactly to this single-pair form
+-- (one configuration, slack = max-min-1 <= 2 <=> abs diff <= 3)
 sp AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
               greatest(a.pos, b.pos) + 1 AS e
        FROM ttok a JOIN ttok b ON a.doc_id = b.doc_id
@@ -5057,11 +5060,20 @@ ORDER BY doc_id
 """,
         "span_near_topk": _PRELUDE
         + """
-, sp AS (
-    SELECT DISTINCT a.doc_id, a.pos AS s0, b.pos AS s1
+-- NearSpansOrdered replay for two width-1 clauses
+-- (NearSpansOrdered.cpp advanceAfterOrdered): each 'key' position pairs
+-- with the NEAREST later 'value' (stretchToOrder), per value only the
+-- CLOSEST key survives (shrinkToAfterShortestMatch consumes the rest),
+-- and the slop test gates emission after consumption
+, nearp AS (
+    SELECT a.doc_id, a.pos AS s0, MIN(b.pos) AS s1
     FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-    WHERE a.term = 'key' AND b.term = 'value'
-      AND a.pos + 1 <= b.pos AND (b.pos - a.pos - 1) <= 3)
+    WHERE a.term = 'key' AND b.term = 'value' AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos)
+, sp AS (
+    SELECT doc_id, MAX(s0) AS s0, s1
+    FROM nearp GROUP BY doc_id, s1
+    HAVING (s1 - MAX(s0) - 1) <= 3)
 -- payoff 1/(matchLength+1) with RAW span width e-s = (s1+1)-s0
 -- (SpanScorer.cpp:70-75): 1/(s1-s0+2)
 , pf AS (SELECT doc_id, SUM(1.0 / (s1 - s0 + 2.0)) AS pfreq FROM sp GROUP BY doc_id)
@@ -5167,11 +5179,20 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         # span width) exactly as the engine computes it
         "span_boolean_topk": _PRELUDE
         + """
-, sp AS (
-    SELECT DISTINCT a.doc_id, a.pos AS s0, b.pos AS s1
+-- NearSpansOrdered replay for two width-1 clauses
+-- (NearSpansOrdered.cpp advanceAfterOrdered): each 'key' position pairs
+-- with the NEAREST later 'value' (stretchToOrder), per value only the
+-- CLOSEST key survives (shrinkToAfterShortestMatch consumes the rest),
+-- and the slop test gates emission after consumption
+, nearp AS (
+    SELECT a.doc_id, a.pos AS s0, MIN(b.pos) AS s1
     FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-    WHERE a.term = 'key' AND b.term = 'value'
-      AND a.pos + 1 <= b.pos AND (b.pos - a.pos - 1) <= 3)
+    WHERE a.term = 'key' AND b.term = 'value' AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos)
+, sp AS (
+    SELECT doc_id, MAX(s0) AS s0, s1
+    FROM nearp GROUP BY doc_id, s1
+    HAVING (s1 - MAX(s0) - 1) <= 3)
 , pfn AS (SELECT doc_id, SUM(1.0 / (s1 - s0 + 2.0)) AS pfreq
           FROM sp GROUP BY doc_id)
 , pfs AS (SELECT doc_id, count(*) / 2.0 AS pfreq

@@ -580,7 +580,8 @@ class Searcher:
             )
         else:
             idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
-            per_term = sim.classic_tf(F.col("tf")) * idf * idf * (1.0 / F.sqrt(F.col("dl")))
+            p, lnorm = self._lnorm(p)  # honor norm_bytes parity mode
+            per_term = sim.classic_tf(F.col("tf")) * idf * idf * lnorm
         per_term = per_term * F.lit(query.boost)
         return p.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
 
@@ -731,8 +732,9 @@ class Searcher:
             )
         else:
             idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
+            p, lnorm = self._lnorm(p)  # honor norm_bytes parity mode
             per_term = (
-                sim.classic_tf(F.col("tf")) * idf * idf * (1.0 / F.sqrt(F.col("dl")))
+                sim.classic_tf(F.col("tf")) * idf * idf * lnorm
             )
         per_term = per_term * F.col("rw_boost") * F.lit(query.boost)
         return p.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
@@ -793,15 +795,10 @@ class Searcher:
             joined = joined.join(p, "doc_id")
         if query.slop == 0:
             # positions of term i shifted back by i must all intersect
-            def _shift_by(offset: int):
-                # NB: must be a 1-arg lambda — F.transform treats a 2-arg
-                # lambda as (element, array_index).
-                return lambda x: x - F.lit(offset)
-
             aligned = F.col("pos0")
             for i in range(1, len(terms)):
                 aligned = F.array_intersect(
-                    aligned, F.transform(F.col(f"pos{i}"), _shift_by(i))
+                    aligned, F.transform(F.col(f"pos{i}"), _shift(i))
                 )
             freq = F.size(aligned)
         else:
@@ -831,7 +828,8 @@ class Searcher:
         scored = joined.withColumn("pfreq", freq).filter(F.col("pfreq") > 0)
         return scored.select("doc_id", "pfreq"), idf_sum
 
-    def _score_multi_phrase(self, query: MultiPhraseQuery) -> DataFrame:
+    def _score_multi_phrase(self, query: MultiPhraseQuery,
+                            query_norm: float = 1.0) -> DataFrame:
         """Union each slot's alternatives' positions per doc, then the same
         shifted-intersection alignment as the exact phrase. idf sums over
         ALL terms in all slots (MultiPhraseWeight's sumOfSquaredWeights)."""
@@ -915,7 +913,10 @@ class Searcher:
             pfreq = _mp_sloppy_pf(
                 F.array(*[F.col(f"pos{i}") for i in range(len(query.slots))])
             )
-        idf_sum = sum(self._idf(dfs[t]) for t in all_terms if dfs[t] > 0)
+        # idf sums over ALL slot terms INCLUDING absent ones — the
+        # reference's MultiPhraseWeight calls docFreq per term and
+        # idf(df=0) is ln(N)+1 (classic) / its bm25 analogue, not 0
+        idf_sum = sum(self._idf(dfs[t]) for t in all_terms)
         scored = joined.withColumn("pfreq", pfreq).filter(F.col("pfreq") > 0)
         scored = scored.join(self._doclens(query.field), "doc_id")
         if self.similarity == "bm25":
@@ -929,7 +930,7 @@ class Searcher:
             scored, lnorm = self._lnorm(scored)
             score = (
                 F.sqrt(F.col("pfreq"))
-                * F.lit(idf_sum * idf_sum * query.boost)
+                * F.lit(idf_sum * idf_sum * query.boost * query_norm)
                 * lnorm
             )
         return scored.select("doc_id", score.alias("score"))
@@ -962,7 +963,7 @@ class Searcher:
                 )
             return self._score_phrase(query, query_norm)
         if isinstance(query, MultiPhraseQuery):
-            return self._score_multi_phrase(query)
+            return self._score_multi_phrase(query, query_norm)
         if isinstance(query, FuzzyQuery):
             return self._score_fuzzy(query)
         if isinstance(query, ConstantScoreRangeQuery):
@@ -1023,10 +1024,12 @@ class Searcher:
             field=self._f(query.field) if self.fielded else None,
         )
         terms = sorted(set(sp.span_terms(query.span)))
-        dfs = self.doc_freqs([(query.field, t) for t in terms])
-        idf_sum = sum(self._idf(d) for d in dfs.values() if d > 0)
-        if idf_sum == 0.0:
+        if not terms:
             return self._empty_scores()
+        dfs = self.doc_freqs([(query.field, t) for t in terms])
+        # SpanWeight sums idf over the whole extracted TermSet — absent
+        # terms contribute idf(df=0), exactly like MultiPhraseWeight
+        idf_sum = sum(self._idf(d) for d in dfs.values())
         payoff = 1.0 / ((F.col("e") - F.col("s")) + 1.0)
         pfreq = (
             searcher.spans(query.span)
@@ -1277,9 +1280,9 @@ class Searcher:
             )
         else:
             idf = sim.classic_idf(F.col("df"), F.lit(float(self.n_docs)))
+            p, lnorm = self._lnorm(p)  # honor norm_bytes parity mode
             per_term = (
-                sim.classic_tf(F.col("tf")) * idf * idf
-                * (1.0 / F.sqrt(F.col("dl")))
+                sim.classic_tf(F.col("tf")) * idf * idf * lnorm
             )
         agg = (
             p.groupBy("query_id", "doc_id")
@@ -1417,24 +1420,21 @@ class Searcher:
         must_not = [c.query for c in query.clauses if c.occur == MUST_NOT]
 
         scored_parts = []
-        for i, q in enumerate(must):
+        for q in must:
             scored_parts.append(
                 self.score(q, query_norm).select(
-                    "doc_id", "score", F.lit(1).alias("is_must"), F.lit(i).alias("cid")
+                    "doc_id", "score", F.lit(1).alias("is_must")
                 )
             )
-        for i, q in enumerate(should):
+        for q in should:
             scored_parts.append(
                 self.score(q, query_norm).select(
-                    "doc_id", "score", F.lit(0).alias("is_must"),
-                    F.lit(1000 + i).alias("cid"),
+                    "doc_id", "score", F.lit(0).alias("is_must")
                 )
             )
 
         if not scored_parts:
-            if must_not:
-                # pure negation matches nothing in Lucene
-                return self._empty_scores()
+            # pure negation matches nothing in Lucene
             return self._empty_scores()
 
         union = scored_parts[0]
@@ -1482,6 +1482,12 @@ class Searcher:
             elif isinstance(q, PhraseQuery):
                 # phrase weight = sum(idf) * boost
                 leaves.append(("P", (q.field, tuple(q.terms)), b))
+            elif isinstance(q, MultiPhraseQuery):
+                # MultiPhraseWeight: idf sums over ALL terms in all slots
+                leaves.append(
+                    ("P", (q.field,
+                           tuple(t for slot in q.slots for t in slot)), b)
+                )
             elif isinstance(q, SpanScoreQuery):
                 # SpanWeight: idf over the extracted term SET
                 # (spans/SpanWeight.cpp:26-28 fills a TermSet)

@@ -108,7 +108,7 @@ def highlight_query(
     pairs = searcher.extract_terms(query)
     return highlight(
         docs, [t for t, _ in pairs], fragment_size, text_col, doc_id_col,
-        analyzer,
+        analyzer, term_weights=dict(pairs),
     )
 
 
@@ -119,10 +119,14 @@ def highlight(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     analyzer: str = "standard",
+    term_weights: dict | None = None,
 ) -> DataFrame:
     """(doc_id, fragment, n_matches) for every doc — apply after a top-k
-    join so only the result page pays the python stage."""
+    join so only the result page pays the python stage. ``term_weights``
+    scores fragments by summed per-term weight (the QueryScorer
+    WeightedTerm map); default weight 1."""
     terms = list(query_terms)
+    tw = dict(term_weights or {})
     src = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -132,7 +136,8 @@ def highlight(
             frags, scores = [], []
             for text in pdf["text"]:
                 f, s = best_fragment(
-                    text or "", terms, fragment_size, analyzer=analyzer
+                    text or "", terms, fragment_size, analyzer=analyzer,
+                    term_weights=tw,
                 )
                 frags.append(f)
                 scores.append(s)
@@ -184,9 +189,13 @@ def highlight_from_vectors(
             ).alias("toks")
         )
     )
+    # LEFT join: a page doc with no vector rows (zero tokens, vectors
+    # not built for it) must still come back with an empty fragment —
+    # an inner join would silently drop it and misalign callers zipping
+    # the page with its highlights
     src = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
-    ).join(toks, "doc_id")
+    ).join(toks, "doc_id", "left")
     terms = list(query_terms)
     fsize = fragment_size
 
@@ -195,7 +204,8 @@ def highlight_from_vectors(
             frags, scores = [], []
             for text, tok_rows in zip(pdf["text"], pdf["toks"]):
                 stream = [
-                    (t["term"], t["pos"], t["s"], t["e"], "") for t in tok_rows
+                    (t["term"], t["pos"], t["s"], t["e"], "")
+                    for t in (tok_rows if tok_rows is not None else [])
                 ]
                 f, sc = best_fragment(text or "", terms, fsize, tokens=stream)
                 frags.append(f)

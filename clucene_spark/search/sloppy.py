@@ -68,6 +68,12 @@ def sloppy_phrase_freq(
     the repeat_groups() marker for the query's slots (None = no repeated
     terms). Returns the sum of 1/(matchLength+1) payoffs."""
     k = len(position_lists)
+    if k == 1:
+        # the reference never reaches SloppyPhraseScorer with one slot (a
+        # one-term PhraseQuery creates a TermWeight, PhraseQuery.cpp
+        # createWeight); the equivalent payoff is 1/(0+1) per occurrence.
+        # The PQ walk below would IndexError on an empty queue here.
+        return float(len(position_lists[0]))
     T = [list(map(int, p)) for p in position_lists]
     idx = [0] * k
     # pp.position = T[i][idx[i]] - i ; tpPos = T[i][idx[i]]

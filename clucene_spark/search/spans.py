@@ -4,8 +4,13 @@ The reference's span family (src/core/CLucene/search/spans/*, ~2200 LoC:
 SpanTermQuery, SpanFirstQuery, SpanNearQuery with slop+inOrder via
 NearSpansOrdered/Unordered, SpanNotQuery, SpanOrQuery) restated as
 DataFrame algebra: a *span stream* is a DataFrame (doc_id, s, e) of
-half-open position intervals [s, e), and every composite is a join/union
-on doc_id with interval arithmetic — exactly the shape Catalyst optimizes.
+half-open position intervals [s, e). First/Or/Not compose as join/union
+interval arithmetic — exactly the shape Catalyst optimizes. Near runs
+the reference's ITERATOR algorithms per doc (near_spans_ordered /
+near_spans_unordered, Arrow-batched): NearSpansOrdered emits only the
+shrunk shortest match per window and consumes clause spans as it goes,
+so a declarative cross join of in-slop combinations would over-count
+pfreq — r5 replaced the join form after a review caught the divergence.
 
 Scoring follows the span-scorer model exactly: freq(doc) = Σ over
 matching spans of sloppy_freq(matchLength) with the RAW interval width
@@ -91,6 +96,97 @@ def span_terms(q: SpanQuery) -> list[str]:
     raise TypeError(type(q))
 
 
+def _ordered_before(s1: int, e1: int, s2: int, e2: int) -> bool:
+    """docSpansOrdered (NearSpansOrdered.cpp:171-175): span1 before span2
+    by start, ties by SHORTER end. Overlap is allowed — ordered-ness is
+    about starts, and only non-overlapping gaps add slop."""
+    return e1 < e2 if s1 == s2 else s1 < s2
+
+
+def near_spans_ordered(lists: list, slop: int) -> list:
+    """Per-doc NearSpansOrdered walk (reference NearSpansOrdered.cpp:
+    advanceAfterOrdered = stretchToOrder + shrinkToAfterShortestMatch).
+
+    lists[i] = clause i's spans [(s, e), ...] in ONE doc, sorted by
+    (s, e) — the docSpansOrdered stream order. Returns the emitted
+    (start, end) matches in enumeration order; SpanScorer sums a payoff
+    per emitted match, so this is a multiset, and each match is the
+    SHRUNK shortest form for its window — a cross join of all in-slop
+    clause combinations would inflate pfreq."""
+    n = len(lists)
+    idx = [0] * n
+    lens = [len(L) for L in lists]
+    if any(m == 0 for m in lens):
+        return []
+    out: list = []
+    in_same = True
+    while in_same:
+        # stretchToOrder: advance each clause until ordered after its
+        # predecessor's CURRENT span
+        for i in range(1, n):
+            while not _ordered_before(
+                lists[i - 1][idx[i - 1]][0], lists[i - 1][idx[i - 1]][1],
+                lists[i][idx[i]][0], lists[i][idx[i]][1],
+            ):
+                idx[i] += 1
+                if idx[i] >= lens[i]:
+                    in_same = False
+                    break
+            if not in_same:
+                break
+        if not in_same:
+            break
+        # shrinkToAfterShortestMatch: walk backwards from the last
+        # clause, advancing each earlier clause to its LAST span still
+        # before the successor — the shortest match for this window.
+        # The advances persist (iterators are shared), which is what
+        # makes each clause span participate in at most one match.
+        match_start, match_end = lists[n - 1][idx[n - 1]]
+        match_slop = 0
+        last_s, last_e = match_start, match_end
+        for i in range(n - 2, -1, -1):
+            prev_s, prev_e = lists[i][idx[i]]
+            while True:
+                idx[i] += 1
+                if idx[i] >= lens[i]:
+                    in_same = False
+                    break  # final match below still counts
+                pp_s, pp_e = lists[i][idx[i]]
+                if not _ordered_before(pp_s, pp_e, last_s, last_e):
+                    break
+                prev_s, prev_e = pp_s, pp_e
+            if match_start > prev_e:  # only non-overlap adds slop
+                match_slop += match_start - prev_e
+            match_start = prev_s
+            last_s, last_e = prev_s, prev_e
+        if match_slop <= slop:
+            out.append((match_start, match_end))
+    return out
+
+
+def near_spans_unordered(lists: list, slop: int) -> list:
+    """Per-doc NearSpansUnordered walk (reference NearSpansUnordered.cpp:
+    a cell queue ordered by docSpansOrdered; every configuration with
+    max.end - min.start - totalLength <= slop emits (min.start, max.end),
+    then the min cell advances; stops when any cell exhausts)."""
+    n = len(lists)
+    idx = [0] * n
+    if any(len(L) == 0 for L in lists):
+        return []
+    out: list = []
+    while True:
+        cur = [lists[i][idx[i]] for i in range(n)]
+        total_len = sum(e - s for s, e in cur)
+        max_end = max(e for _, e in cur)
+        mi = min(range(n), key=lambda i: (cur[i][0], cur[i][1]))
+        min_s = cur[mi][0]
+        if max_end - min_s - total_len <= slop:
+            out.append((min_s, max_end))
+        idx[mi] += 1
+        if idx[mi] >= len(lists[mi]):
+            return out
+
+
 class SpanSearcher:
     def __init__(self, index: InvertedIndex, similarity: str = "bm25",
                  field: Optional[str] = None):
@@ -172,36 +268,59 @@ class SpanSearcher:
         raise TypeError(f"unknown span query: {type(q)}")
 
     def _near(self, q: SpanNear) -> DataFrame:
-        """n-way near: join clause span streams on doc_id, keep tuples whose
-        composite width minus the sum of clause widths <= slop; ordered mode
-        additionally requires clause i to end before clause i+1 starts
-        (NearSpansOrdered semantics)."""
+        """n-way near via the faithful per-doc iterator walks
+        (near_spans_ordered / near_spans_unordered — reference
+        NearSpansOrdered.cpp / NearSpansUnordered.cpp). A declarative
+        cross join of all in-slop clause combinations would emit
+        NON-MINIMAL matches the reference iterators never produce,
+        inflating pfreq whenever clause terms co-occur more than once
+        within slop. Clause span lists are collected per doc (sorted to
+        the docSpansOrdered stream order) and the walk runs Arrow-batched;
+        the emitted matches are a multiset — SpanScorer pays per match."""
+        if len(q.clauses) < 2:
+            # NearSpansOrdered.cpp:36-43 throws IllegalArgument
+            raise ValueError(f"SpanNear needs >= 2 clauses: {q!r}")
         dfs = []
         for i, c in enumerate(q.clauses):
             dfs.append(
-                self.spans(c).select(
-                    "doc_id", F.col("s").alias(f"s{i}"), F.col("e").alias(f"e{i}")
-                )
+                self.spans(c)
+                .groupBy("doc_id")
+                .agg(F.sort_array(
+                    F.collect_list(F.struct("s", "e"))).alias(f"sp{i}"))
             )
         joined = dfs[0]
         for df in dfs[1:]:
             joined = joined.join(df, "doc_id")
         n = len(q.clauses)
-        comp_s = F.least(*[F.col(f"s{i}") for i in range(n)])
-        comp_e = F.greatest(*[F.col(f"e{i}") for i in range(n)])
-        widths = None
-        for i in range(n):
-            w = F.col(f"e{i}") - F.col(f"s{i}")
-            widths = w if widths is None else widths + w
-        slack = (comp_e - comp_s) - widths
-        cond = slack <= q.slop
-        if q.in_order:
-            for i in range(n - 1):
-                cond = cond & (F.col(f"e{i}") <= F.col(f"s{i+1}"))
+        slop = int(q.slop)
+        walk = near_spans_ordered if q.in_order else near_spans_unordered
+
+        @F.pandas_udf("array<struct<s: long, e: long>>")
+        def _walk(*cols):
+            # one column per clause (NOT F.array(...): clause lists are
+            # ragged and the array-of-arrays arrow conversion rejects
+            # inhomogeneous shapes)
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    walk(
+                        [[(int(x["s"]), int(x["e"])) for x in L]
+                         for L in row],
+                        slop,
+                    )
+                    for row in zip(*cols)
+                ]
+            )
+
         return (
-            joined.filter(cond)
-            .select("doc_id", comp_s.alias("s"), comp_e.alias("e"))
-            .distinct()
+            joined.select(
+                "doc_id",
+                F.explode(
+                    _walk(*[F.col(f"sp{i}") for i in range(n)])
+                ).alias("m"),
+            )
+            .select("doc_id", F.col("m.s").alias("s"), F.col("m.e").alias("e"))
         )
 
     # -- scoring ------------------------------------------------------------
@@ -237,7 +356,7 @@ class SpanSearcher:
         rows = freqs.join(self._doc_lens, "doc_id")
         if self.similarity == "bm25":
             idf_sum = sum(
-                sim.bm25_idf_py(td[t], self.n_docs) for t in terms if t in td
+                sim.bm25_idf_py(td.get(t, 0), self.n_docs) for t in terms
             )
             tf_comp = sim.bm25_tf(F.col("pfreq"), F.col("dl"), F.lit(self.avgdl))
             return rows.select(
@@ -248,7 +367,7 @@ class SpanSearcher:
                 (F.lit(idf_sum) * tf_comp).alias("score"),
             )
         idf_sum = sum(
-            sim.classic_idf_py(td[t], self.n_docs) for t in terms if t in td
+            sim.classic_idf_py(td.get(t, 0), self.n_docs) for t in terms
         )
         tf_comp = F.sqrt(F.col("pfreq"))
         norm = 1.0 / F.sqrt(F.col("dl"))

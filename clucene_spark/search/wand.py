@@ -664,25 +664,29 @@ def wand_query_local(
     # entry, silently dropping real hits.
     entries: dict = {}
     with lock:
-        to_read = [
-            t for t in terms
-            if any((s, t) not in cache for s in names)
-        ]
-        for t in terms:
-            if t not in to_read:
-                for s in names:  # refresh LRU position of hits
+        # PER-SEGMENT missing lists: one evicted (segment, term) pair must
+        # re-read exactly that segment, not trigger a filtered read of
+        # every segment for the term (cost grew with segment count on any
+        # partial eviction)
+        missing = {
+            s: [t for t in terms if (s, t) not in cache] for s in names
+        }
+        for s in names:
+            for t in terms:
+                if (s, t) in cache:  # refresh LRU position of hits
                     cache.move_to_end((s, t))
                     entries[(s, t)] = cache[(s, t)]
+    read_names = [s for s in names if missing[s]]
 
     def _read(s):
         return store.dataset(s).to_table(
             columns=["term", "df", "doc_blob", "tf_blob", "dl_blob",
                      "blk_max_doc", "blk_max_tf", "blk_min_dl"],
-            filter=pa_ds.field("term").isin(to_read),
+            filter=pa_ds.field("term").isin(missing[s]),
         )
 
-    if to_read:
-        if len(names) > 1:
+    if read_names:
+        if len(read_names) > 1:
             # one pool per store handle, reused across queries — creating
             # a fresh executor per query cost more than the reads it
             # parallelized (~60ms of thread spawning per head query)
@@ -696,11 +700,11 @@ def wand_query_local(
                             thread_name_prefix="clucene-serve",
                         )
                         store._serve_pool = pool
-            tabs = list(pool.map(_read, names))
+            tabs = list(pool.map(_read, read_names))
         else:
-            tabs = [_read(s) for s in names]
+            tabs = [_read(s) for s in read_names]
         with lock:
-            for s, tab in zip(names, tabs):
+            for s, tab in zip(read_names, tabs):
                 seen = set()
                 for i in range(tab.num_rows):
                     t = tab["term"][i].as_py()
@@ -724,7 +728,7 @@ def wand_query_local(
                     cache[(s, t)] = entry
                     entries[(s, t)] = entry
                     store._serve_cache_postings += _entry_postings(entry)
-                for t in to_read:
+                for t in missing[s]:
                     if t not in seen and (s, t) not in entries:
                         cache[(s, t)] = None  # negative: term absent here
                         entries[(s, t)] = None

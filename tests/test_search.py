@@ -687,9 +687,19 @@ def test_multi_phrase_overlap_identical_first_doc_semantics(spark):
     rows = [(0, "k v k w k"), (1, "k k"), (2, "x k v")]
     dup = _mp_overlap_scores(spark, rows, [["k"], ["k"]], 2)
     # force the doc-dependent branch with a phantom alternative that never
-    # appears in the corpus: keys differ but positions are identical
+    # appears in the corpus: keys differ but positions are identical. The
+    # absent term contributes idf(df=0) to MultiPhraseWeight's idf sum
+    # (reference MultiPhraseQuery.cpp:49-55 sums idf over EVERY slot
+    # term), so scores scale by a constant factor — the repeat DETECTION
+    # (match set, pfreq, ranking) must coincide exactly.
     forced = _mp_overlap_scores(spark, rows, [["k"], ["k", "zz_absent"]], 2)
-    assert dup == forced
+    assert set(dup) == set(forced)
+    ratios = {d: forced[d] / dup[d] for d in dup}
+    r0 = next(iter(ratios.values()))
+    assert all(abs(r - r0) < 1e-9 for r in ratios.values()), ratios
+    assert r0 > 1.0  # the extra idf(0) term scales scores UP uniformly
+    assert (sorted(dup, key=lambda d: (-dup[d], d))
+            == sorted(forced, key=lambda d: (-forced[d], d)))
 
 
 def test_explanation_value_equals_score(spark, index):

@@ -62,8 +62,13 @@ def test_span_near_ordered_slop(s):
     # doc 5: alpha@0, beta@4 -> width 5, slack 3 -> matches
     assert (5, 0, 5) in got
     assert (0, 0, 2) in got
-    # doc 3 long pairing alpha@0..beta@3 (slack 2) also matches
-    assert (3, 0, 4) in got
+    # doc 3 'alpha beta alpha beta': the reference iterator emits the
+    # SHRUNK minimal matches [0,2) and [2,4) only — the long pairing
+    # alpha@0..beta@3 is a non-minimal combination NearSpansOrdered
+    # never produces (shrinkToAfterShortestMatch consumes alpha@0 into
+    # the [0,2) match)
+    assert (3, 0, 2) in got and (3, 2, 4) in got
+    assert (3, 0, 4) not in got
 
 
 def test_span_near_unordered(s):
@@ -188,3 +193,39 @@ def test_fielded_span_score_query_through_engine(spark):
     )
     text_rows = eng.topk(q_text, 10).collect()
     assert {r["doc_id"] for r in text_rows} == {0, 3}
+
+
+def test_near_walk_kernels_reference_traces():
+    """Hand-traced goldens for the per-doc NearSpans walks (reference
+    NearSpansOrdered.cpp / NearSpansUnordered.cpp semantics)."""
+    from clucene_spark.search.spans import (
+        near_spans_ordered,
+        near_spans_unordered,
+    )
+
+    a = [(0, 1), (2, 3)]
+    b = [(1, 2), (3, 4)]
+    # 'a b a b': minimal matches only — NOT the cross-join's (0,4)
+    assert near_spans_ordered([a, b], 3) == [(0, 2), (2, 4)]
+    # 'a a b': the closest key wins, the earlier one is consumed
+    assert near_spans_ordered([[(0, 1), (1, 2)], [(2, 3)]], 3) == [(1, 3)]
+    # 'a b b': one match; the second b has no remaining a
+    assert near_spans_ordered([[(0, 1)], [(1, 2), (3, 4)]], 3) == [(0, 2)]
+    # slop gates emission but consumption still advances
+    assert near_spans_ordered([[(0, 1)], [(3, 4)]], 1) == []
+    assert near_spans_ordered([[(0, 1)], [(3, 4)]], 2) == [(0, 4)]
+    # ordered-ness is about STARTS (docSpansOrdered): containment with a
+    # distinct start is ordered, overlap adds no slop, and the match end
+    # is the LAST clause's end even when an earlier clause reaches
+    # further (shrinkToAfterShortestMatch takes matchEnd before walking)
+    assert near_spans_ordered([[(0, 3)], [(1, 2)]], 0) == [(0, 2)]
+    # identical starts need a strictly SHORTER first span
+    assert near_spans_ordered([[(0, 2)], [(0, 1)]], 3) == []
+    assert near_spans_ordered([[(0, 1)], [(0, 2)]], 3) == [(0, 2)]
+    # unordered: reversed adjacency matches; the overlapping middle
+    # window (1,3) of 'a b a b' is a real reference configuration
+    assert near_spans_unordered([[(1, 2)], [(0, 1)]], 0) == [(0, 2)]
+    assert near_spans_unordered([a, b], 0) == [(0, 2), (1, 3), (2, 4)]
+    # empty clause stream -> no matches
+    assert near_spans_ordered([a, []], 3) == []
+    assert near_spans_unordered([[], b], 3) == []
