@@ -5569,9 +5569,9 @@ SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
        ROUND(CASE WHEN b.n_tokens > 0
                   THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
                   ELSE 0.0 END, 4) AS dup_token_frac,
-       ROUND(CASE WHEN b.n_tokens > 0
-                  THEN COALESCE(c2.max2, 0) * 2.0 / b.n_tokens
-                  ELSE 0.0 END, 4) AS top_2gram_frac,
+       ROUND(least(CASE WHEN b.n_tokens > 0
+                        THEN COALESCE(c2.max2, 0) * 2.0 / b.n_tokens
+                        ELSE 0.0 END, 1.0), 4) AS top_2gram_frac,
        ROUND(least(CASE WHEN b.n_tokens > 0
                         THEN COALESCE(c3.dup3, 0) * 3.0 / b.n_tokens
                         ELSE 0.0 END, 1.0), 4) AS dup_3gram_frac

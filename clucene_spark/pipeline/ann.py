@@ -237,11 +237,16 @@ def cosine_topk_pandas(
     def _batch(batches):
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            top = np.argsort(-cos, kind="stable")[: k]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[top], "cosine": np.round(cos[top], round_to)}
+            cos = np.round(
+                (m @ q) / (np.linalg.norm(m, axis=1) * qn), round_to
             )
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            # batch-local selection under the GLOBAL contract's key
+            # (rounded cosine DESC, id ASC): truncating on raw scores
+            # could drop a lower-id row that ties after rounding,
+            # diverging from cosine_topk on ties
+            top = np.lexsort((ids, -cos))[:k]
+            yield pd.DataFrame({id_col: ids[top], "cosine": cos[top]})
 
     parts = vecs.select(id_col, vec_col).mapInPandas(_batch, schema)
     return parts.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
@@ -539,14 +544,14 @@ def cosine_topk_int8_packed(
                 b"".join(pdf["qb"]), dtype=np.int8
             ).reshape(len(pdf), -1).astype(np.float64)
             m = m * pdf["scale"].to_numpy()[:, None]
-            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            top = np.argsort(-cos, kind="stable")[:k]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[top],
-                    "cosine": np.round(cos[top], round_to),
-                }
+            cos = np.round(
+                (m @ q) / (np.linalg.norm(m, axis=1) * qn), round_to
             )
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            # select under the global (rounded DESC, id ASC) key — see
+            # cosine_topk_pandas
+            top = np.lexsort((ids, -cos))[:k]
+            yield pd.DataFrame({id_col: ids[top], "cosine": cos[top]})
 
     parts = packed.select(id_col, "scale", "qb").mapInPandas(_batch, schema)
     return parts.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

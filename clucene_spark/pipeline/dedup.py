@@ -516,6 +516,21 @@ def simhash_pairs(
     )
 
 
+def _probe_masks(n_planes: int, multi_probe: int) -> list[int]:
+    """Every non-zero XOR mask with popcount <= multi_probe — the
+    hamming<=multi_probe probe set. multi_probe=1 is the n_planes
+    single-bit flips; higher values add the C(n_planes, r) multi-bit
+    flips (the r4 form silently capped every value >= 1 at single-bit
+    probes, so raising multi_probe never improved recall)."""
+    from itertools import combinations
+
+    return [
+        sum(1 << j for j in bits)
+        for r in range(1, max(0, int(multi_probe)) + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+
+
 def embedding_neardup_pairs(
     vecs: DataFrame,
     threshold: float = 0.99,
@@ -529,11 +544,12 @@ def embedding_neardup_pairs(
 
     Pairing is LSH-bucketed (ann.lsh_bucketed hyperplane sign bits), never
     all-pairs: one side's rows are expanded to their own bucket plus every
-    bucket within hamming<=multi_probe of it (flip-j probes), the join is
-    an equi-join on bucket, and cosine (JVM-side zip_with/aggregate in
-    float64, no Python) filters inside buckets. Cost ~ (1 + n_planes *
-    multi_probe) x rows shuffled on bucket; pair work is per-bucket, not
-    corpus-quadratic. Recall: a pair straddling > multi_probe sign flips is
+    bucket within hamming<=multi_probe of it (all XOR masks of popcount
+    <= multi_probe), the join is an equi-join on bucket, and cosine
+    (JVM-side zip_with/aggregate in float64, no Python) filters inside
+    buckets. Cost ~ (1 + Σ_{r<=multi_probe} C(n_planes, r)) x rows
+    shuffled on bucket — combinatorial in multi_probe, so keep it 1-2;
+    pair work is per-bucket, not corpus-quadratic. Recall: a pair straddling > multi_probe sign flips is
     missed — with threshold 0.99 (angle ~8 deg) P(flip) per plane is a few
     percent, so flip-1 probing covers all but ~0.1% of true pairs; the
     pytest measures recall vs the exact all-pairs reference.
@@ -566,12 +582,10 @@ def embedding_neardup_pairs(
         ).alias("norm"),
         F.col("bucket"),
     )
-    probes = [F.col("bucket")]
-    if multi_probe >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-            for j in range(n_planes)
-        ]
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+        for m in _probe_masks(n_planes, multi_probe)
+    ]
     left = v.select(
         "vec_id", "e", "norm", F.explode(F.array(*probes)).alias("bucket")
     )
@@ -668,13 +682,7 @@ def window_dedup_stats(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - w),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice(toks, i + 1, w), " ")), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
+                lambda i: md5_60(F.array_join(F.slice(toks, i + 1, w), " ")),
             )
         ).alias("h"),
     )

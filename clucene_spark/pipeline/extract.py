@@ -43,6 +43,8 @@ _TAG_RE = re.compile(r"<[^>]*>")
 def extract_text_py(raw) -> str:
     """One page -> extracted text (spec in module docstring). Accepts
     bytes (the input_hint html:binary column) or str."""
+    if raw is None:
+        return ""  # failed fetch / truncated record: crawl bytes are dirty
     s = (
         raw.decode("utf-8", "replace")
         if isinstance(raw, (bytes, bytearray))
@@ -144,6 +146,8 @@ def extract_main_text_py(
     The rules are fixed and stated so an oracle can replay the decision
     per planted block; a production pipeline would tune the two
     thresholds per corpus."""
+    if raw is None:
+        return ""  # failed fetch / truncated record: crawl bytes are dirty
     s = (
         raw.decode("utf-8", "replace")
         if isinstance(raw, (bytes, bytearray))
@@ -197,6 +201,8 @@ def extract_canonical_py(raw, base_url: str | None = None) -> str | None:
     dedup should honor it over syntactic canonicalization when present
     (a page served from /p?sess=123 declaring /p collapses every session
     variant into one group)."""
+    if raw is None:
+        return None  # failed fetch: no declared canonical
     s = (
         raw.decode("utf-8", "replace")
         if isinstance(raw, (bytes, bytearray))

@@ -51,6 +51,8 @@ def extract_links_py(base_url: str, raw) -> list[tuple[str, str]]:
     (stdlib urljoin: relative paths, ../, protocol-relative). Anchor
     text is the tag-stripped, entity-unescaped, whitespace-collapsed
     inner HTML. javascript:/mailto:/empty hrefs are dropped."""
+    if raw is None:
+        return []  # failed fetch: no links
     s = (
         raw.decode("utf-8", "replace")
         if isinstance(raw, (bytes, bytearray))
@@ -60,7 +62,8 @@ def extract_links_py(base_url: str, raw) -> list[tuple[str, str]]:
     for m in _A_RE.finditer(s):
         href = _html.unescape(m.group(2) or m.group(3) or m.group(4) or "")
         href = href.strip()
-        if not href or href.startswith(("javascript:", "mailto:", "#")):
+        if not href or href.lstrip().lower().startswith(
+                ("javascript:", "mailto:", "#")):  # schemes are case-insensitive
             continue
         anchor = _html.unescape(_TAG_RE.sub(" ", m.group(5)))
         anchor = " ".join(anchor.split())

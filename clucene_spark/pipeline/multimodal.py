@@ -284,6 +284,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _real_features(dec: dict, dim: int) -> list[float]:
+    """Deterministic content-derived feature vector from a real decode:
+    normalized moments of the pixel/sample array, zero-padded to dim.
+    Every component lies in [0, 1) like the fake features, so downstream
+    consumers (cosine near-dup, quantizers) treat both uniformly."""
+    if dec["kind"] == "image":
+        px = dec["pixels"].astype(np.float64)
+        flat = px.reshape(-1, px.shape[-1]) if px.ndim == 3 else \
+            px.reshape(-1, 1)
+        vals = [float(px.mean()) / 256.0, float(px.std()) / 256.0]
+        vals += [float(flat[:, c].mean()) / 256.0
+                 for c in range(flat.shape[1])]
+        vals += [dec["width"] / (dec["width"] + dec["height"] + 1.0)]
+    else:  # audio
+        s = dec["samples"].astype(np.float64)
+        scale = float(1 << (8 * int(dec.get("sample_width", 2)) - 1))
+        vals = [
+            min(abs(float(s.mean())) / scale, 1.0 - 1e-9),
+            min(float(np.sqrt((s * s).mean() if s.size else 0.0)) / scale,
+                1.0 - 1e-9),
+            dec["n_channels"] / 16.0,
+        ]
+    vals = [min(max(v, 0.0), 1.0 - 1e-9) for v in vals]
+    return (vals + [0.0] * dim)[:dim]
+
+
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """media -> (media_id, n_bytes, first_byte, digest60, features[dim]).
 
@@ -296,13 +322,18 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             ids, nbytes, fb, dg, feats = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if not fake:
-                    _decode_real(b, "image")
+                if fake:
+                    f = _fake_features(b, dim).tolist()
+                else:
+                    # content-derived features from the REAL decode (the
+                    # r4 form decoded and then discarded the result,
+                    # silently returning the hash-based fake either way)
+                    f = _real_features(_decode_real(b, "image"), dim)
                 ids.append(int(mid))
                 nbytes.append(len(b))
                 fb.append(b[0] if b else -1)
                 dg.append(int(hashlib.md5(b).hexdigest()[:15], 16))
-                feats.append(_fake_features(b, dim).tolist())
+                feats.append(f)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -68,7 +68,13 @@ def parse_robots(content: str, agent: str) -> list[tuple[bool, str]]:
                 cur_rules = []
             if val:  # empty Disallow/Allow matches nothing (RFC 9309)
                 cur_rules.append((key == "allow", val))
-        # other keys (crawl-delay, sitemap) do not affect matching
+        elif cur_uas:
+            # any OTHER directive (crawl-delay, sitemap, ...) still opens
+            # the group's rules block: a group containing only
+            # 'Crawl-delay' must not merge its UA tokens into the NEXT
+            # group (crawl_delay() in this file already splits there)
+            if cur_rules is None:
+                cur_rules = []
     if cur_uas:
         groups.append((cur_uas, cur_rules or []))
 
@@ -274,12 +280,18 @@ def robots_filter(
     stats for the mapInPandas output, so without the hint the static
     plan falls back to sort-merge). Pass False only for extreme domain
     counts where the rules table genuinely exceeds broadcast limits."""
-    parsed = parse_robots_df(robots, agent=agent)
+    # rename the parsed side's join columns to reserved names: a plain
+    # drop('domain') at the end would also delete a caller-owned
+    # 'domain' column from the pages table (drop-by-name removes EVERY
+    # column with that name)
+    parsed = parse_robots_df(robots, agent=agent).select(
+        F.col("domain").alias("_rb_domain"), F.col("rules").alias("_rb_rules")
+    )
     if broadcast_rules:
         parsed = F.broadcast(parsed)
     joined = pages.withColumn(
         "_rdom", domain_of(F.col(url_col))
-    ).join(parsed, F.col("_rdom") == parsed["domain"], "left")
+    ).join(parsed, F.col("_rdom") == F.col("_rb_domain"), "left")
 
     @F.pandas_udf("struct<allowed:boolean,rule:string>")
     def decide(url: pd.Series, rules: pd.Series) -> pd.DataFrame:
@@ -300,10 +312,10 @@ def robots_filter(
         return pd.DataFrame({"allowed": alw, "rule": pat})
 
     out = (
-        joined.withColumn("_dec", decide(F.col(url_col), F.col("rules")))
+        joined.withColumn("_dec", decide(F.col(url_col), F.col("_rb_rules")))
         .withColumn("robots_allowed", F.col("_dec.allowed"))
         .withColumn("robots_rule", F.col("_dec.rule"))
-        .drop("_rdom", "domain", "rules", "_dec")
+        .drop("_rdom", "_rb_domain", "_rb_rules", "_dec")
     )
     if keep_denied:
         return out

@@ -155,8 +155,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.when(nt > 0, 1 - F.col("n_distinct") / nt).otherwise(0.0), 4
         ).alias("dup_token_frac"),
         F.round(
-            F.when(nt > 0, F.coalesce(F.col("max2"), F.lit(0)) * 2 / nt)
-            .otherwise(0.0), 4
+            # cap like dup_3gram_frac: overlapping repeats ('a a a a')
+            # can cover more token-slots than tokens exist
+            F.least(
+                F.when(nt > 0, F.coalesce(F.col("max2"), F.lit(0)) * 2 / nt)
+                .otherwise(0.0),
+                F.lit(1.0),
+            ), 4
         ).alias("top_2gram_frac"),
         F.round(
             F.least(

@@ -211,29 +211,39 @@ def blocklist_filter(
     blocklist, so the page table never shuffles and matching is exact
     equality, not LIKE scans. ``keep_blocked=True`` annotates with
     ``blocked`` instead of filtering."""
-    host = domain_of(F.col(url_col))
-    labels = F.split(host, r"\.")
+    # blocked-host set first, then one broadcast join back on the DERIVED
+    # host string. The r4 form joined hits back on ALL page columns,
+    # which (a) shuffled the full page payload (html included) as a join
+    # key and (b) let any row with a NULL field escape the blocklist
+    # entirely (NULL == NULL is never true in a join condition).
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("_bl_domain")).distinct()
+    )
+    pages2 = pages.withColumn("_bl_host", domain_of(F.col(url_col)))
+    labels = F.split(F.col("_bl_host"), r"\.")
     n = F.size(labels)
     suffixes = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
     )
-    bl = F.broadcast(
-        blocklist.select(F.col(domain_col).alias("_bl_domain")).distinct()
-    )
-    exploded = pages.withColumn("_sfx", F.explode(suffixes))
-    hits = (
-        exploded.join(bl, exploded["_sfx"] == F.col("_bl_domain"), "inner")
-        .select(*pages.columns)
+    blocked_hosts = (
+        pages2.select("_bl_host")
+        .where(F.col("_bl_host").isNotNull())
+        .distinct()  # bounded by distinct domains, not pages
+        .withColumn("_sfx", F.explode(suffixes))
+        .join(bl, F.col("_sfx") == F.col("_bl_domain"))
+        .select("_bl_host")
         .distinct()
     )
     if keep_blocked:
-        marked = pages.join(
-            hits.select(*pages.columns).withColumn("blocked", F.lit(True)),
-            pages.columns,
+        marked = pages2.join(
+            F.broadcast(blocked_hosts).withColumn("blocked", F.lit(True)),
+            "_bl_host",
             "left",
         )
         return marked.withColumn(
             "blocked", F.coalesce("blocked", F.lit(False))
-        )
-    return pages.join(hits, pages.columns, "left_anti")
+        ).drop("_bl_host")
+    return pages2.join(
+        F.broadcast(blocked_hosts), "_bl_host", "left_anti"
+    ).drop("_bl_host")

@@ -631,9 +631,10 @@ def test_repetition_stats_planted(spark):
     assert out[2]["dup_token_frac"] == 0.0
     assert out[2]["top_2gram_frac"] == 0.25  # every 2-gram unique, max=1
     assert out[2]["dup_3gram_frac"] == 0.0
-    # doc 3: single token repeated
+    # doc 3: single token repeated — overlapping 'x x' covers more
+    # token-slots than tokens exist (5*2/6 = 1.67), capped at 1.0 (r5)
     assert out[3]["dup_token_frac"] == round(1 - 1 / 6, 4)
-    assert out[3]["top_2gram_frac"] == round(5 * 2 / 6, 4)
+    assert out[3]["top_2gram_frac"] == 1.0
     assert out[3]["dup_3gram_frac"] == 1.0
 
 
@@ -1708,3 +1709,82 @@ def test_dsir_temperature_zero_is_hard_topk_and_guards(spark, sf_dir):
             dsir_weights(docs, empty_target).collect()
     finally:
         dsir_unpersist()
+
+
+def test_cosine_topk_pandas_tie_determinism(spark):
+    """Regression (r5): per-batch truncation on unrounded scores could
+    drop a lower-id row that ties after rounding, diverging from
+    cosine_topk's (rounded DESC, id ASC) contract."""
+    from clucene_spark.pipeline.ann import cosine_topk, cosine_topk_pandas
+
+    # ids 1 and 2 tie at 4dp; id 2 has the marginally LARGER raw cosine,
+    # so raw-score selection with k=1 would keep id 2 — the contract
+    # wants id 1
+    rows = [
+        (1, [1.0, 1.0e-6]),
+        (2, [1.0, 0.5e-6]),
+        (3, [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0]
+    want = [(r["vec_id"], r["cosine"])
+            for r in cosine_topk(vecs, q, k=1).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in cosine_topk_pandas(vecs.coalesce(1), q, k=1).collect()]
+    assert want == got == [(1, 1.0)]
+
+
+def test_probe_masks_hamming_coverage():
+    """Regression (r5): multi_probe >= 2 silently generated only
+    single-bit flips; the mask set must cover every hamming distance up
+    to multi_probe."""
+    from clucene_spark.pipeline.dedup import _probe_masks
+
+    m1 = _probe_masks(8, 1)
+    m2 = _probe_masks(8, 2)
+    assert len(m1) == 8 and all(bin(m).count("1") == 1 for m in m1)
+    assert len(m2) == 8 + 28
+    assert {bin(m).count("1") for m in m2} == {1, 2}
+    assert _probe_masks(8, 0) == []
+
+
+def test_extract_features_real_decode_uses_content(spark):
+    """Regression (r5): fake=False decoded the payload and then returned
+    the hash-based fake features anyway. Real decode must yield
+    content-derived features that differ between different images and
+    from the fake path."""
+    import numpy as np
+
+    from clucene_spark.pipeline.multimodal import (
+        encode_png,
+        extract_features,
+    )
+
+    dark = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    light = encode_png(np.full((4, 4, 3), 200, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(dark)), (2, bytearray(light))],
+        "media_id long, payload binary",
+    )
+    real = {r["media_id"]: tuple(r["features"])
+            for r in extract_features(media, fake=False).collect()}
+    fake = {r["media_id"]: tuple(r["features"])
+            for r in extract_features(media, fake=True).collect()}
+    assert real[1] != real[2]
+    assert real[1][0] < 0.01 and real[2][0] > 0.5  # mean brightness
+    assert real[1] != fake[1]
+    assert all(0.0 <= f < 1.0 for v in real.values() for f in v)
+
+
+def test_repetition_top2gram_capped(spark):
+    """Regression (r5): overlapping repeats ('a a a a') pushed
+    top_2gram_frac to 1.5; it is capped at 1.0 like dup_3gram_frac."""
+    from clucene_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["top_2gram_frac"]
+           for r in repetition_stats(docs).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.5

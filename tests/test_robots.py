@@ -157,3 +157,35 @@ def test_fetch_plan(spark):
     assert got["s0.example"]["est_sec"] == 15.0
     assert got["s1.example"]["crawl_delay"] == 1.0  # default
     assert got["s1.example"]["est_sec"] == 5.0
+
+
+def test_ua_group_with_only_crawl_delay_not_merged(spark):
+    """Regression (r5): a UA group containing only non-rule directives
+    (Crawl-delay) merged its UA tokens into the NEXT group, so 'mybot'
+    inherited '*'s Disallow and lost the whole site."""
+    from clucene_spark.pipeline.robots import crawl_delay, parse_robots
+
+    txt = ("User-agent: mybot\nCrawl-delay: 5\n\n"
+           "User-agent: *\nDisallow: /\n")
+    assert parse_robots(txt, "mybot") == []        # mybot's group: no rules
+    assert parse_robots(txt, "otherbot") == [(False, "/")]
+    assert crawl_delay(txt, "mybot") == 5.0        # consistent grouping
+    assert crawl_delay(txt, "otherbot") is None
+
+
+def test_robots_filter_preserves_caller_domain_column(spark):
+    """Regression (r5): drop('domain') also removed the caller's own
+    'domain' column from the pages table."""
+    from clucene_spark.pipeline.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/x", "a.example")],
+        "doc_id long, url string, domain string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nAllow: /\n")],
+        "domain string, robots_txt string",
+    )
+    out = robots_filter(pages, robots)
+    assert "domain" in out.columns
+    assert out.select("domain").first()[0] == "a.example"

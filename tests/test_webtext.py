@@ -254,3 +254,59 @@ def test_blocklist_filter_suffix_semantics(spark):
         for r in blocklist_filter(pages, bl, keep_blocked=True).collect()
     }
     assert marked == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_blocklist_filter_null_fields_and_caller_columns(spark):
+    """Regression (r5): the join-back on ALL page columns let any row
+    with a NULL field (failed fetch -> html NULL) escape the blocklist,
+    and shuffled the full payload as a join key. NULL-field rows must
+    filter/annotate exactly like complete rows."""
+    from clucene_spark.pipeline.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.bad.example/x", None),
+            (2, "https://ok.example/y", "<html>fine</html>"),
+            (3, "https://sub.ads.bad.example/z", "<html>b</html>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    kept = {r["doc_id"] for r in blocklist_filter(pages, bl).collect()}
+    assert kept == {2}
+    marked = {r["doc_id"]: r["blocked"]
+              for r in blocklist_filter(pages, bl, keep_blocked=True).collect()}
+    assert marked == {1: True, 2: False, 3: True}
+    # caller columns come back unchanged (no synthetic columns leak)
+    out = blocklist_filter(pages, bl)
+    assert out.columns == pages.columns
+
+
+def test_extract_text_null_html(spark):
+    """Regression (r5): a NULL html cell crashed the whole extract stage
+    (re.sub on None); it must map to empty text / no links."""
+    from pyspark.sql import functions as F
+
+    from clucene_spark.pipeline.extract import extract_pages
+    from clucene_spark.pipeline.links import extract_links
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/", None),
+         (2, "https://b.example/", "<html><body><a href='/x'>x</a> hi</body></html>")],
+        "doc_id long, url string, html string",
+    )
+    texts = {r["doc_id"]: r["text"]
+             for r in extract_pages(pages).select("doc_id", "text").collect()}
+    assert texts[1] == "" and "hi" in texts[2]
+    links = extract_links(pages)
+    assert links.filter(F.col("src_url") == "https://a.example/").count() == 0
+    assert links.filter(F.col("src_url") == "https://b.example/").count() == 1
+    # mixed-case pseudo-schemes are dropped like lowercase ones
+    from clucene_spark.pipeline.links import extract_links_py
+
+    got = extract_links_py(
+        "https://c.example/",
+        "<a href='JavaScript:void(0)'>j</a><a href='Mailto:a@b'>m</a>"
+        "<a href='/real'>r</a>",
+    )
+    assert [d for d, _ in got] == ["https://c.example/real"]
