@@ -1066,7 +1066,10 @@ def _q_highlight(spark, sf):
         .add(TermQuery(term=_HL_TERMS[0]), SHOULD)
         .add(TermQuery(term=_HL_TERMS[1]), SHOULD)
     )
-    page = s.topk(q, 10).select("doc_id")
+    # round_to=4 like every topk gate: the oracle ranks the page by
+    # ROUND(score,4) with doc_id tiebreak, so an unrounded Spark page
+    # could flip membership on a 4-decimal tie
+    page = s.topk(q, 10, round_to=4).select("doc_id")
     docs = _docs(spark, sf).join(page, "doc_id")
     return highlight(
         docs, _HL_TERMS, fragment_size=_HL_FSIZE, analyzer="whitespace"
@@ -2022,6 +2025,12 @@ def _q_time_travel(spark, sf):
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     d = f"{tempfile.gettempdir()}/clucene_idx_{tag}_ttravel"
     if not os.path.exists(os.path.join(d, "manifest", "segments_1.json")):
+        # a crashed partial build (gen 0 committed, gen 1 missing) must
+        # rebuild FROM SCRATCH: appending two more commits on top would
+        # leave latest at generation 2 while the oracle pins 1
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
         docs = _docs(spark, sf).select("doc_id", "text")
         build_segments_fused(
             docs.where(F.col("doc_id") % 2 == 0), d,

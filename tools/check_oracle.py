@@ -25,7 +25,10 @@ def normalize(rows, cols):
     for r in rows:
         d = r if isinstance(r, dict) else dict(zip(cols, r))
         key = tuple(d[c] for c in sorted(d.keys()))
-        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in key))
+        # 9 decimals: tight enough to catch sub-6dp drift the driver's
+        # exact value-hash would flag when a gate rotates back into the
+        # window, loose enough for engine float formatting parity
+        out.append(tuple(round(v, 9) if isinstance(v, float) else v for v in key))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 

@@ -71,13 +71,17 @@ def main() -> None:
     lats: dict[str, list[float]] = {}
     for name, q in queries:
         mode = "AND" if name.endswith("and") else "OR"
-        for _ in range(args.repeat):
+        # rep 0 is the warm-up (cold caches/JIT) and is NOT pooled — the
+        # docstring promises '--repeat times warm', and a pooled cold
+        # first rep dominated the p95
+        for rep in range(args.repeat + 1):
             t0 = time.perf_counter()
             if args.serving == "local":
                 wand_query_local(store, q, k=args.k, mode=mode)
             else:
                 wand_query_direct(store, q, k=args.k, mode=mode).collect()
-            lats.setdefault(name, []).append(time.perf_counter() - t0)
+            if rep > 0:
+                lats.setdefault(name, []).append(time.perf_counter() - t0)
 
     flat = sorted(x for v in lats.values() for x in v)
     p50 = flat[len(flat) // 2]

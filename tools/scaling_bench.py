@@ -297,11 +297,16 @@ def main() -> None:
         hist_path = os.path.join(REPO, "BENCH", "scaling.json")
         with open(hist_path) as f:
             hist = json.load(f)
-        last = [h for h in hist
-                if h["n_docs"] == args.n_docs and h["low_cpus"] == args.low
-                and h["high_cpus"] == args.high
-                and h.get("plan", "aligned") == args.plan][-1]
-        write_report(args, hist, last)
+        match = [h for h in hist
+                 if h["n_docs"] == args.n_docs and h["low_cpus"] == args.low
+                 and h["high_cpus"] == args.high
+                 and h.get("plan", "aligned") == args.plan]
+        if not match:
+            raise SystemExit(
+                "no recorded pairs match --n-docs/--low/--high/--plan; "
+                "nothing to report"
+            )
+        write_report(args, hist, match[-1])
         return
 
     corpus = materialize_corpus(args.n_docs)
@@ -466,6 +471,12 @@ def write_report(args, hist: list, result: dict) -> None:
             xs[len(xs) // 2 - 1] + xs[len(xs) // 2]
         ) / 2
 
+    if not same:
+        # fresh KERNEL_EPOCH with no post-epoch pairs yet: leave the old
+        # report in place rather than dying with min() on empty
+        print("[report] no pairs in the current kernel epoch yet — "
+              "report unchanged")
+        return
     best_lo = min(h["low_build_sec"] for h in same)
     best_hi = min(h["high_build_sec"] for h in same)
     eff_best = _median([h["value"] for h in same])
