@@ -267,9 +267,42 @@ def audit_warcgb(args) -> dict:
     return out
 
 
+def audit_spannear(args) -> dict:
+    """SpanNear at 1M docs through the r5 ITERATOR walk (the per-doc
+    near_spans_ordered/unordered pandas UDF that replaced the cross-join
+    form). Scale shape under test: per-clause span streams aggregate to
+    per-doc sorted lists (memory bounded by a doc's own positions, never
+    a cross join), the walk is Arrow-batched, and the top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from clucene_spark.data.webtext import webtext_df
+    from clucene_spark.index.build import InvertedIndex
+    from clucene_spark.search.spans import SpanNear, SpanSearcher, SpanTerm
+
+    spark = get_spark("audit_spannear")
+    docs = webtext_df(spark, args.docs).select("doc_id", "text")
+    idx = InvertedIndex(docs, analyzer="whitespace")
+    s = SpanSearcher(idx)
+    out = {"op": "span_near_1m", "n_docs": args.docs}
+    for name, q in (
+        # 'a'/'an' are the webtext head terms (~30%/12% of tokens) — the
+        # worst case for the walk: every doc matches with many spans
+        ("ordered_slop3", SpanNear([SpanTerm("a"), SpanTerm("an")],
+                                   slop=3, in_order=True)),
+        ("unordered_slop2", SpanNear([SpanTerm("and"), SpanTerm("are")],
+                                     slop=2, in_order=False)),
+    ):
+        t0 = time.time()
+        rows = s.topk(q, 10, round_to=4).collect()
+        out[name + "_sec"] = round(time.time() - t0, 2)
+        out[name + "_hits"] = len(rows)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["pagerank", "robots", "spans", "warcgb"])
+    ap.add_argument("cmd", choices=["pagerank", "robots", "spans", "warcgb", "spannear"])
     ap.add_argument("--nodes", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--pages", type=int, default=1_250_000)
@@ -280,7 +313,8 @@ def main() -> None:
                          "under r5_audits")
     args = ap.parse_args()
     fn = {"pagerank": audit_pagerank, "robots": audit_robots,
-          "spans": audit_spans, "warcgb": audit_warcgb}[args.cmd]
+          "spans": audit_spans, "warcgb": audit_warcgb,
+          "spannear": audit_spannear}[args.cmd]
     out = fn(args)
     out["round"] = 5
     print(json.dumps(out))
