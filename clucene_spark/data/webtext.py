@@ -75,6 +75,7 @@ def _vocab() -> list[str]:
 
 
 _VOCAB_CACHE: list[str] | None = None
+_VOCAB_ARR: np.ndarray | None = None
 
 
 def vocab() -> list[str]:
@@ -82,6 +83,24 @@ def vocab() -> list[str]:
     if _VOCAB_CACHE is None:
         _VOCAB_CACHE = _vocab()
     return _VOCAB_CACHE
+
+
+def _vocab_arr() -> np.ndarray:
+    global _VOCAB_ARR
+    if _VOCAB_ARR is None:
+        _VOCAB_ARR = np.array(vocab(), dtype=object)
+    return _VOCAB_ARR
+
+
+# One worker-resident RandomState, re-seeded per doc: rs.seed(n) restores
+# the EXACT MT19937 state RandomState(n) constructs (both go through the
+# legacy init_by_array seeding; equality is pinned in
+# tests/test_webtext_determinism), but skips the ~160 us SeedSequence
+# machinery a fresh constructor pays — which profiling showed was the
+# single largest cost of corpus synthesis (make_doc 269 us/doc, seeding
+# 60% of it). Python workers run one task at a time, so a module global
+# needs no locking; re-seeding before every doc makes it stateless.
+_DOC_RNG = np.random.RandomState(0)
 
 
 def make_doc(
@@ -94,21 +113,23 @@ def make_doc(
     periods between clauses — the shape real web text has, where the
     analyzer DFA actually earns its keep (benchmarks should not run on
     artificially pristine lowercase)."""
-    v = vocab()
-    rng = np.random.RandomState((SEED * 1_000_003 + doc_id) % (2**31 - 1))
+    v = _vocab_arr()
+    rng = _DOC_RNG
+    rng.seed((SEED * 1_000_003 + doc_id) % (2**31 - 1))
     n_words = max(5, int(rng.lognormal(mean=4.6, sigma=0.6)))  # ~100 tokens
     # Zipf over the vocab (a=1.3), clipped into range
     idx = np.minimum(rng.zipf(1.3, size=n_words) - 1, len(v) - 1)
-    words = [v[i] for i in idx]
+    wa = v[idx]  # fancy indexing: fresh object array, safe to mutate
     if messy:
-        r = rng.rand(len(words))
-        for i, w in enumerate(words):
-            if r[i] < 0.08:
-                words[i] = w.capitalize()
-            elif r[i] < 0.12:
-                words[i] = w.upper()
-            if r[i] > 0.92:
-                words[i] += "." if r[i] > 0.96 else ","
+        r = rng.rand(len(wa))
+        # touch only the ~12% cased and ~8% punctuated words instead of
+        # branching per word (draw order identical: one rand(n) as before)
+        for i in np.flatnonzero(r < 0.12):
+            w = wa[i]
+            wa[i] = w.capitalize() if r[i] < 0.08 else w.upper()
+        for i in np.flatnonzero(r > 0.92):
+            wa[i] += "." if r[i] > 0.96 else ","
+    words = wa.tolist()
     planted = None
     if doc_id % 4 == 0:
         # plant an edge-case token at a deterministic position; (doc_id//4)
