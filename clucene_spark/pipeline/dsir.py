@@ -159,8 +159,17 @@ def dsir_weights(
         .groupBy("bucket")
         .agg(F.count("*").alias("ct"))
     )
-    t_raw = rawb.agg(F.sum("cr")).first()[0] or 0
-    t_tgt = tgtb.agg(F.sum("ct")).first()[0] or 0
+    # collect BOTH per-bucket tables once (bounded: <= n_buckets rows each,
+    # the same driver collects the totals already implied). r5 recomputed
+    # tgtb twice — once for t_tgt, once inside the broadcast-ratio branch
+    # of the output plan — i.e. a second full tokenize of the target
+    # corpus per action (guide §1.2: don't compute things twice). The
+    # ratio table is rebuilt below as a local relation from these rows,
+    # through the identical log/round expressions.
+    raw_rows = rawb.collect()
+    tgt_rows = tgtb.collect()
+    t_raw = sum(r["cr"] for r in raw_rows)
+    t_tgt = sum(r["ct"] for r in tgt_rows)
     if t_tgt == 0:
         # an empty target (typo'd filter, wrong path) would silently turn
         # the weights into an inverse-rarity score — the docs with the
@@ -170,8 +179,15 @@ def dsir_weights(
             f"({text_col!r} empty or all-null) — check the target filter"
         )
     b = float(n_buckets)
+    spark = docs.sparkSession
+    ct_by_bucket = {r["bucket"]: r["ct"] for r in tgt_rows}
+    joined = spark.createDataFrame(
+        [(r["bucket"], r["cr"], ct_by_bucket.get(r["bucket"]))
+         for r in raw_rows],
+        "bucket long, cr long, ct long",
+    )
     ratio = (
-        rawb.join(tgtb, "bucket", "left")
+        joined
         .select(
             "bucket",
             # round-to-nearest INTEGER micro-nats (never round-then-cast,
