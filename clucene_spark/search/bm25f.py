@@ -58,20 +58,32 @@ def bm25f_topk(
     dl = index.doc_lens.filter(F.col("field").isin(fields))
 
     # bounded stats: per-field avgdl (n_fields rows), doc-level df per
-    # query term (n_terms rows), global doc count
-    avgdl = {
-        r["field"]: float(r["ad"])
-        for r in dl.groupBy("field").agg(F.avg("dl").alias("ad")).collect()
-    }
-    n_docs = index.doc_lens.select("doc_id").distinct().count()
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in post.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .collect()
-    }
+    # query term (n_terms rows), global doc count — memoized on the index
+    # object (an open-reader statistics cache, like Searcher._df_cache):
+    # r5 re-collected all three on EVERY call, three Spark jobs per query
+    # before the scoring plan even started (guide §1.2).
+    cache = index.__dict__.setdefault("_bm25f_cache", {})
+    fkey = tuple(sorted(fields))
+    if ("avgdl", fkey) not in cache:
+        cache[("avgdl", fkey)] = {
+            r["field"]: float(r["ad"])
+            for r in dl.groupBy("field").agg(F.avg("dl").alias("ad")).collect()
+        }
+    avgdl = cache[("avgdl", fkey)]
+    if "n_docs" not in cache:
+        cache["n_docs"] = index.doc_lens.select("doc_id").distinct().count()
+    n_docs = cache["n_docs"]
+    dkey = ("dfs", tuple(sorted(set(terms))), fkey)
+    if dkey not in cache:
+        cache[dkey] = {
+            r["term"]: int(r["df"])
+            for r in post.select("term", "doc_id")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+    dfs = cache[dkey]
     idf = {
         t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         for t, df in dfs.items()

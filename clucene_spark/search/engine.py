@@ -1407,6 +1407,87 @@ class Searcher:
             .limit(k)
         )
 
+    def _boolean_terms_agg(self, must, should, query_norm: float):
+        """Single-scan aggregation for the common all-TermQuery boolean
+        level, or None when the clause mix needs the generic union plan.
+
+        The r5 plan unioned one postings scan per clause — N passes over
+        the cached postings for an N-term query. When every positive
+        clause is a plain TermQuery on one field with distinct terms, one
+        `term IN (...)` scan joined to a broadcast (term, idf, boost,
+        is_must) map computes the identical per-(term, doc) score rows
+        (same literal-by-literal multiplication order as the per-term
+        scorer, so the floats match bit-for-bit) and the same
+        (score, must_matched, matched) aggregate — guide §2.4, one scan
+        and one shuffle for the whole boolean level."""
+        pos = [(q, 1) for q in must] + [(q, 0) for q in should]
+        if len(pos) < 2:
+            return None
+        if not all(isinstance(q, TermQuery) for q, _ in pos):
+            return None
+        fields = {self._f(q.field) for q, _ in pos}
+        if len(fields) > 1:
+            return None
+        field = pos[0][0].field
+        terms = [q.term for q, _ in pos]
+        if len(set(terms)) != len(terms):
+            return None  # duplicate clause terms must each contribute
+        dfs = self.doc_freqs(terms, field=field)
+        if any(dfs[q.term] == 0 for q in must):
+            # a zero-df MUST term empties the intersection
+            spark = self.index.doc_lens.sparkSession
+            return spark.createDataFrame(
+                [], "doc_id long, score double, must_matched long, matched long"
+            )
+        def _w2(idf: float, boost: float) -> float:
+            # same literal product, same association, as the classic
+            # per-term scorer's F.lit(idf * idf * boost * query_norm)
+            return idf * idf * boost * query_norm
+
+        rows = [
+            (q.term, self._idf(dfs[q.term]), float(q.boost),
+             _w2(self._idf(dfs[q.term]), q.boost), im)
+            for q, im in pos
+            if dfs[q.term] > 0
+        ]
+        if not rows:
+            spark = self.index.doc_lens.sparkSession
+            return spark.createDataFrame(
+                [], "doc_id long, score double, must_matched long, matched long"
+            )
+        # per-term constants as CASE chains on the term column — cheaper
+        # than a broadcast map join for the handful of query terms, and
+        # the per-row products keep the leaf scorer's literal order, so
+        # the floats are bit-identical to the union-of-scans plan
+        idf_c = w_c = w2_c = im_c = None
+        for t, idf, w, w2, im in rows:
+            cond = F.col("term") == t
+            idf_c = (F.when(cond, idf) if idf_c is None
+                     else idf_c.when(cond, idf))
+            w_c = F.when(cond, w) if w_c is None else w_c.when(cond, w)
+            w2_c = F.when(cond, w2) if w2_c is None else w2_c.when(cond, w2)
+            im_c = F.when(cond, im) if im_c is None else im_c.when(cond, im)
+        p = (
+            self._postings(field)
+            .filter(F.col("term").isin([r[0] for r in rows]))
+            .join(self._doclens(field), "doc_id")
+        )
+        if self.similarity == "bm25":
+            per_row = (
+                idf_c
+                * sim.bm25_tf(F.col("tf"), F.col("dl"),
+                              F.lit(self._avgdl(field)))
+                * w_c
+            )
+        else:
+            p, lnorm = self._lnorm(p)
+            per_row = sim.classic_tf(F.col("tf")) * w2_c * lnorm
+        return p.groupBy("doc_id").agg(
+            F.sum(per_row).alias("score"),
+            F.sum(im_c).alias("must_matched"),
+            F.count("*").alias("matched"),
+        )
+
     def _score_boolean(self, query: BooleanQuery, query_norm: float = 1.0) -> DataFrame:
         """Union + groupBy plan: one shuffle for the whole boolean level.
 
@@ -1419,33 +1500,35 @@ class Searcher:
         should = [c.query for c in query.clauses if c.occur == SHOULD]
         must_not = [c.query for c in query.clauses if c.occur == MUST_NOT]
 
-        scored_parts = []
-        for q in must:
-            scored_parts.append(
-                self.score(q, query_norm).select(
-                    "doc_id", "score", F.lit(1).alias("is_must")
-                )
-            )
-        for q in should:
-            scored_parts.append(
-                self.score(q, query_norm).select(
-                    "doc_id", "score", F.lit(0).alias("is_must")
-                )
-            )
-
-        if not scored_parts:
+        if not must and not should:
             # pure negation matches nothing in Lucene
             return self._empty_scores()
 
-        union = scored_parts[0]
-        for p in scored_parts[1:]:
-            union = union.unionByName(p)
+        agg = self._boolean_terms_agg(must, should, query_norm)
+        if agg is None:
+            scored_parts = []
+            for q in must:
+                scored_parts.append(
+                    self.score(q, query_norm).select(
+                        "doc_id", "score", F.lit(1).alias("is_must")
+                    )
+                )
+            for q in should:
+                scored_parts.append(
+                    self.score(q, query_norm).select(
+                        "doc_id", "score", F.lit(0).alias("is_must")
+                    )
+                )
 
-        agg = union.groupBy("doc_id").agg(
-            F.sum("score").alias("score"),
-            F.sum("is_must").alias("must_matched"),
-            F.count("*").alias("matched"),
-        )
+            union = scored_parts[0]
+            for p in scored_parts[1:]:
+                union = union.unionByName(p)
+
+            agg = union.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.sum("is_must").alias("must_matched"),
+                F.count("*").alias("matched"),
+            )
         if must:
             agg = agg.filter(F.col("must_matched") == len(must))
         if query.min_should_match > 0 and should:

@@ -302,6 +302,13 @@ _WORKER_CACHE_BUDGET = int(
 )
 
 
+# segments served per fan-out task (see wand_query_direct): amortizes the
+# per-task python round-trip; override via SPARK_GRAFT_SERVE_SEGMENTS_PER_TASK
+_SERVE_SEGMENTS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SERVE_SEGMENTS_PER_TASK", "4")
+)
+
+
 def _entry_postings(entry) -> int:
     """Budget charge for one decoded LRU entry — used by BOTH the
     per-worker cache and the in-process serve cache so insert-charge and
@@ -431,8 +438,26 @@ def wand_query_direct(
 
     index_dir = store.index_dir
     seg_names = [s["name"] for s in store.manifest["segments"]]
-    seg_df = store.spark.createDataFrame([(n,) for n in seg_names], "segment string")
-    n_part = min(len(seg_names), store.spark.sparkContext.defaultParallelism)
+    # parallelize the segment list directly into n_part slices: a local
+    # relation + repartition(n_part) costs an extra Exchange stage on
+    # every query; pre-sliced parallelize gives the same fan-out with a
+    # single stage (guide §2.4). Each python task costs ~10-20 ms of
+    # worker round-trip regardless of work (measured: an EMPTY 32-task
+    # mapInPandas stage is 0.61 s, 8 tasks 0.30 s on local[32]), while
+    # serving one segment is sub-ms — so tasks serve >= _SERVE_SEGMENTS_
+    # PER_TASK segments each, bounded by cluster parallelism; at real
+    # scale (segments >> cores) this still fans out to every core.
+    n_part = max(1, min(
+        store.spark.sparkContext.defaultParallelism,
+        (len(seg_names) + _SERVE_SEGMENTS_PER_TASK - 1)
+        // _SERVE_SEGMENTS_PER_TASK,
+    ))
+    seg_df = store.spark.createDataFrame(
+        store.spark.sparkContext.parallelize(
+            [(n,) for n in seg_names], n_part
+        ),
+        "segment string",
+    )
 
     def _serve(batches):
         import pandas as pd
@@ -466,7 +491,7 @@ def wand_query_direct(
                  "score": pd.Series(out_scores, dtype="float64")}
             )
 
-    hits = seg_df.repartition(n_part).mapInPandas(_serve, HIT_SCHEMA)
+    hits = seg_df.mapInPandas(_serve, HIT_SCHEMA)
     if round_to is not None:
         hits = hits.select("doc_id", F.round("score", round_to).alias("score"))
     return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -515,8 +540,26 @@ def phrase_query_direct(
 
     index_dir = store.index_dir
     seg_names = [s["name"] for s in store.manifest["segments"]]
-    seg_df = store.spark.createDataFrame([(n,) for n in seg_names], "segment string")
-    n_part = min(len(seg_names), store.spark.sparkContext.defaultParallelism)
+    # parallelize the segment list directly into n_part slices: a local
+    # relation + repartition(n_part) costs an extra Exchange stage on
+    # every query; pre-sliced parallelize gives the same fan-out with a
+    # single stage (guide §2.4). Each python task costs ~10-20 ms of
+    # worker round-trip regardless of work (measured: an EMPTY 32-task
+    # mapInPandas stage is 0.61 s, 8 tasks 0.30 s on local[32]), while
+    # serving one segment is sub-ms — so tasks serve >= _SERVE_SEGMENTS_
+    # PER_TASK segments each, bounded by cluster parallelism; at real
+    # scale (segments >> cores) this still fans out to every core.
+    n_part = max(1, min(
+        store.spark.sparkContext.defaultParallelism,
+        (len(seg_names) + _SERVE_SEGMENTS_PER_TASK - 1)
+        // _SERVE_SEGMENTS_PER_TASK,
+    ))
+    seg_df = store.spark.createDataFrame(
+        store.spark.sparkContext.parallelize(
+            [(n,) for n in seg_names], n_part
+        ),
+        "segment string",
+    )
 
     def _serve(batches):
         import pandas as pd
@@ -577,7 +620,7 @@ def phrase_query_direct(
                  "score": pd.Series(out_scores, dtype="float64")}
             )
 
-    hits = seg_df.repartition(n_part).mapInPandas(_serve, HIT_SCHEMA)
+    hits = seg_df.mapInPandas(_serve, HIT_SCHEMA)
     if round_to is not None:
         hits = hits.select("doc_id", F.round("score", round_to).alias("score"))
     return hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
