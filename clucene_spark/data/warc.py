@@ -498,14 +498,16 @@ def warc_scan(
     'response' payloads are split into HTTP headers + body; the body is
     the ``html`` column, matching the engine's input_hint schema."""
     want = set(warc_types)
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    # round-robin pack ~2 tasks/core (hash-by-path leaves empty
-    # partitions on collisions and one-file tasks churn at crawl scale;
-    # same packing rationale as the direct index build)
+    # pre-sliced parallelize packs ~2 tasks/core WITHOUT the extra
+    # repartition Exchange stage a local relation would need (hash-by-path
+    # would leave empty partitions on collisions; slicing is exact)
     n_tasks = max(
         1, min(len(paths), spark.sparkContext.defaultParallelism * 2)
-    )  # max(1): repartition(0) on an empty path list is an error
-    pdf = pdf.repartition(n_tasks)
+    )
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], n_tasks),
+        "path string",
+    )
 
     parse = parse_warc_stream_tolerant if tolerant else parse_warc_stream
 

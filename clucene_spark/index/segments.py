@@ -1735,9 +1735,13 @@ def build_segments_direct(
     n_tasks = int(os.environ.get("SPARK_GRAFT_DIRECT_TASKS", "0")) or min(
         len(files), max(1, spark.sparkContext.defaultParallelism * 2)
     )
+    # pre-sliced parallelize: the same n_tasks packing with ZERO exchanges
+    # (r5 round-robin-repartitioned a local relation — an extra stage +
+    # shuffle of the path list on every build)
     paths_df = spark.createDataFrame(
-        [(f,) for f in files], T.StructType([T.StructField("path", T.StringType(), False)])
-    ).repartition(n_tasks)
+        spark.sparkContext.parallelize([(f,) for f in files], n_tasks),
+        T.StructType([T.StructField("path", T.StringType(), False)]),
+    )
     plan_df = paths_df.mapInPandas(_one_file, CHECKPOINT_SCHEMA)
     if _plan_only:  # plan-shape pins (tests/test_plans.py) without building
         return plan_df

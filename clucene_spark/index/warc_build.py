@@ -313,10 +313,12 @@ def build_segments_from_warc(
     n_tasks = min(
         len(files), max(1, spark.sparkContext.defaultParallelism * 2)
     )
+    # pre-sliced parallelize: same one-file-per-task fan-out, one stage
+    # (a local relation + repartition pays an extra Exchange per build)
     paths_df = spark.createDataFrame(
-        [(f,) for f in files],
+        spark.sparkContext.parallelize([(f,) for f in files], n_tasks),
         T.StructType([T.StructField("path", T.StringType(), False)]),
-    ).repartition(n_tasks)
+    )
     built_rows = paths_df.mapInPandas(_one_file, CHECKPOINT_SCHEMA).collect()
 
     commit_from_checkpoints(

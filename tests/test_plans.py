@@ -89,9 +89,10 @@ def test_fused_build_single_exchange(spark):
 
 def test_direct_build_plan_never_scans_the_corpus(spark, tmp_path):
     """The direct bulk plan moves FILE PATHS, not text: no FileScan of the
-    corpus, no parquet columns in ReadSchema, and the only exchange is the
-    round-robin spread of the (tiny) path list. The corpus bytes enter
-    exactly one process — the python worker that tokenizes them."""
+    corpus, no parquet columns in ReadSchema, and (since r6) NO exchange
+    at all — the path list is pre-sliced into its tasks at parallelize
+    time. The corpus bytes enter exactly one process — the python worker
+    that tokenizes them."""
     import re
 
     from clucene_spark.index.segments import build_segments_direct
@@ -106,7 +107,7 @@ def test_direct_build_plan_never_scans_the_corpus(spark, tmp_path):
     assert "text" not in plan, plan              # no text column anywhere
     assert "MapInPandas" in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
-    assert n_exchanges == 1, plan                # the path-list round robin
+    assert n_exchanges == 0, plan                # pre-sliced path list
 
 
 def test_pii_stats_map_only(spark):
@@ -274,9 +275,10 @@ def test_url_dedup_single_shuffle_no_python(spark):
 
 
 def test_warc_scan_no_exchange_no_corpus_scan(spark, tmp_path):
-    """warc_scan distributes PATHS: the only exchange spreads the (tiny)
-    path list; the crawl bytes never enter the JVM (no file scan of the
-    payloads, python opens each file)."""
+    """warc_scan distributes PATHS: the path list is pre-sliced into its
+    tasks at parallelize time (since r6 — zero exchanges); the crawl
+    bytes never enter the JVM (no file scan of the payloads, python
+    opens each file)."""
     import re
 
     from clucene_spark.data.warc import (
@@ -290,7 +292,7 @@ def test_warc_scan_no_exchange_no_corpus_scan(spark, tmp_path):
     assert "Scan parquet" not in plan, plan
     assert "MapInPandas" in plan, plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
-    assert n_exchanges == 1, plan
+    assert n_exchanges == 0, plan
 
 
 def test_robots_filter_broadcasts_rules_never_shuffles_pages(spark):
