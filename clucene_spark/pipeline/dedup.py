@@ -340,20 +340,20 @@ def minhash_lsh_pairs(
     # else: caller-materialized state (minhash_state) — already
     # min_shingles-filtered and either persisted or a parquet leaf scan;
     # its lifecycle (unpersist / file cleanup) belongs to the caller.
-    # band keys as EXACT (band_index, minima...) structs over the wide
-    # minima: grouping on the struct is bijective with the band's minima
-    # tuple, so buckets equal the r1-r5 md5-string keys exactly — minus
-    # the per-row md5 and with 8(r+1)-byte keys shuffling instead of
-    # 32-char strings (guide §2.3 narrower types).
-    band_structs = []
+    # band keys as plain column math over the wide minima (no re-stack /
+    # re-group): key = md5(band_index : the band's consecutive minima).
+    # (r6 note: exact (band, minima) STRUCT keys were tried and measured
+    # SLOWER than the md5 strings in an interleaved A/B — struct-keyed
+    # aggregation loses more than the md5 costs — so the key stays.)
+    band_cols = []
     for bi in range(bands):
-        fields = [F.lit(bi).alias("bi")] + [
-            F.col(f"m{bi * rows_per_band + r}").alias(f"k{r}")
+        parts = [
+            F.col(f"m{bi * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)
         ]
-        band_structs.append(F.struct(*fields))
+        band_cols.append(F.md5(F.concat_ws(":", F.lit(str(bi)), *parts)))
     banded = state.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     )
     # skew cap: per-bucket counts partial-aggregate map-side, so the hot
     # set (buckets over the cap — boilerplate) is a tiny frame; an
@@ -362,7 +362,8 @@ def minhash_lsh_pairs(
     # groupBy and pairs generated inside the array — replacing the r5
     # window-count sort + self-join with one exchange of the banded rows
     # (guide §2.4: two operations keyed the same way share one exchange;
-    # measured at sf1.0: 2.9s -> 2.0s for an identical candidate set).
+    # interleaved A/B at sf1.0: identical candidate set, slightly faster
+    # and with a much tighter run-to-run spread than the window plan).
     hot = (
         banded.groupBy("bk").agg(F.count("*").alias("bsz"))
         .filter(F.col("bsz") > max_bucket)
