@@ -352,8 +352,12 @@ def minhash_lsh_pairs(
             for r in range(rows_per_band)
         ]
         band_cols.append(F.md5(F.concat_ws(":", F.lit(str(bi)), *parts)))
+    # each banded row also carries |S|: the pair generation below can then
+    # emit (a, b, na, nb) directly, which deletes the two candidate-side
+    # size joins the r5 plan paid after the distinct (guide §2.4)
     banded = state.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        "doc_id", F.size("S").alias("n_sh"),
+        F.explode(F.array(*band_cols)).alias("bk"),
     )
     # skew cap: per-bucket counts partial-aggregate map-side, so the hot
     # set (buckets over the cap — boilerplate) is a tiny frame; an
@@ -372,12 +376,17 @@ def minhash_lsh_pairs(
     capped = banded.join(hot, "bk", "left_anti")
     grp = (
         capped.groupBy("bk")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh"))
+            ).alias("ds")
+        )
         .filter(F.size("ds") >= 2)
     )
-    # all (x, y) with x < y inside a bucket: element i pairs with every
-    # later element of the ascending-sorted list (2-arg transform lambda:
-    # arg 2 is the 0-based array index; slice() is 1-based)
+    # all (x, y) with x.doc_id < y.doc_id inside a bucket: element i pairs
+    # with every later element of the doc_id-ascending-sorted list (2-arg
+    # transform lambda: arg 2 is the 0-based array index; slice() is
+    # 1-based; doc_ids are unique per bucket so the struct sort is by id)
     pairs = grp.select(
         F.explode(
             F.flatten(
@@ -385,13 +394,17 @@ def minhash_lsh_pairs(
                     F.col("ds"),
                     lambda x, i: F.transform(
                         F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("a"),
+                            y["doc_id"].alias("b"),
+                            x["n_sh"].alias("na"),
+                            y["n_sh"].alias("nb"),
+                        ),
                     ),
                 )
             )
         ).alias("p")
     )
-    cands = pairs.select("p.a", "p.b").distinct()
     # exact Jaccard computed ONLY for LSH candidate pairs: the candidate
     # pairs join both sides' (bounded, doc-length-sized) shingle-hash sets
     # by doc id, intersection is JVM-side array_intersect — no
@@ -400,18 +413,16 @@ def minhash_lsh_pairs(
     # array moves: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so ratio < t
     # pairs can NEVER verify — an exact necessary condition (not an
     # approximation), which on lognormal doc lengths kills most of the
-    # band-collision survivors before the heavy set join.
-    sizes = state.select("doc_id", F.size("S").alias("n_sh"))
+    # band-collision survivors before the heavy set join. The sizes ride
+    # the pair rows from the bucket expansion (16 extra bytes through the
+    # distinct), so the filter needs no joins at all.
     sets = state.select("doc_id", "S")
     pre = (
-        cands.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
-        )
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        pairs.select("p.a", "p.b", "p.na", "p.nb")
         .filter(
             F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(float(threshold))
         )
-        .select("a", "b", "na", "nb")
+        .distinct()
     )
     # MATERIALIZE the prefiltered candidate table before the array join.
     # Without the barrier Catalyst plans the verify joins with no stats on
