@@ -441,9 +441,19 @@ def main() -> None:
 def write_report(args, hist: list, result: dict) -> None:
     eff = result["value"]
     # adjacent-pair rows skip calibration (it would widen the window the
-    # protocol exists to narrow) — format as nan, medians skip None
-    hw_factor = result["hw_percore_factor"] or float("nan")
-    eff_hw = result["value_hw_normalized"] or float("nan")
+    # protocol exists to narrow) — say so explicitly instead of printing
+    # nan / silently echoing the raw value as "normalized" (r5 VERDICT
+    # "What's wrong #4": the row implied a normalization that never ran)
+    hw_factor = result["hw_percore_factor"]
+    eff_hw = result["value_hw_normalized"]
+    calib_line = (
+        "per-core workload calibration factor (identical python analyzer "
+        "workload, plain multiprocessing, no Spark, same taskset) = "
+        f"{hw_factor:.3f}; normalized = {eff_hw:.3f}."
+        if hw_factor and eff_hw
+        else "per-core calibration NOT RUN for this pair (adjacent-pair "
+        "protocol skips it); no hw-normalized value exists for this row."
+    )
     ratio = args.high / args.low
     # steady-state estimator. Two rules learned the hard way:
     #   1. EPOCH-SCOPED: when the build kernel changes (the arrow-native
@@ -482,7 +492,10 @@ def write_report(args, hist: list, result: dict) -> None:
     eff_best = _median([h["value"] for h in same])
     hws = [h["value_hw_normalized"] for h in same
            if h.get("value_hw_normalized")]
-    eff_best_hw = _median(hws) if hws else eff_best
+    # None (rendered "not run") when no pair in the epoch was calibrated:
+    # echoing raw here implied an independent normalization that never
+    # ran (r5 VERDICT "What's wrong #4")
+    eff_best_hw = _median(hws) if hws else None
     # cluster-normalized: the solo-node control is a CAPABILITY measurement
     # (a node alone on the box == a real cluster node on its own socket);
     # co-tenancy can only inflate it (a noisy window once measured solo
@@ -554,9 +567,7 @@ removing it is a plan improvement, not a bench trick.
 |---|---|---|---|---|---|---|---|
 {lines}
 
-Latest run: raw efficiency = {eff:.3f}; per-core workload calibration
-factor (identical python analyzer workload, plain multiprocessing, no
-Spark, same taskset) = {hw_factor:.3f}; normalized = {eff_hw:.3f}.
+Latest run: raw efficiency = {eff:.3f}; {calib_line}
 
 **Steady-state estimate over current-epoch runs of this config
 (docs={args.n_docs}, {args.low}->{args.high}, {len(same)} runs since the
@@ -577,7 +588,7 @@ folded into another):
 | normalization | value | >=0.8 |
 |---|---|---|
 | raw (fleet on the shared box, no corrections) | {eff_best:.3f} | {"PASS" if eff_best >= 0.8 else "FAIL"} |
-| hw-normalized (divides out the per-run measured no-Spark per-core host ceiling) | {eff_best_hw:.3f} | {"PASS" if eff_best_hw >= 0.8 else "FAIL"} |
+| hw-normalized (divides out the per-run measured no-Spark per-core host ceiling) | {f"{eff_best_hw:.3f}" if eff_best_hw is not None else "not run this epoch"} | {("PASS" if eff_best_hw >= 0.8 else "FAIL") if eff_best_hw is not None else "n/a"} |
 | cluster-normalized (per run: 4N wall = 4 x that run's SOLO node time — on a real cluster every node runs alone on its own socket, which is what the solo control measures; epoch-best solo {min(solos) if solos else float('nan'):.1f}s) | {eff_cluster if eff_cluster else float('nan'):.3f} | {("PASS" if eff_cluster >= 0.8 else "FAIL") if eff_cluster else "n/a"} |
 
 Clean-window subset (mechanical filter: BOTH levels >={0.85:.0%} of their
