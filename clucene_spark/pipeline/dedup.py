@@ -23,8 +23,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from contextlib import contextmanager
 from typing import Iterator
+
+import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -336,10 +340,19 @@ def minhash_lsh_pairs(
         # builds the cache once; this IS the "signatures table written once"
         # that a production pipeline materializes between stages.
         state = state.persist()
-        state.count()
-    # else: caller-materialized state (minhash_state) — already
-    # min_shingles-filtered and either persisted or a parquet leaf scan;
-    # its lifecycle (unpersist / file cleanup) belongs to the caller.
+    # Materialize (populates a fresh persist in one pass) AND size the
+    # verify build side: the banding's two branches must not race into an
+    # unpopulated cache (double work + duplicated sort-based collect_set
+    # fallback spilling tens of GB at 1M docs), and the set-attachment
+    # join strategy below needs the sets table's real size.
+    srow = state.agg(
+        F.count("*").alias("n"), F.sum(F.size("S")).alias("tot")
+    ).first()
+    n_state, tot_sh = int(srow["n"]), int(srow["tot"] or 0)
+    # else-branch note: caller-materialized state (minhash_state) is
+    # already min_shingles-filtered and persisted / a parquet leaf; the
+    # agg above is a cheap cached scan and its lifecycle stays the
+    # caller's.
     # band keys as plain column math over the wide minima (no re-stack /
     # re-group): key = md5(band_index : the band's consecutive minima).
     # (r6 note: exact (band, minima) STRUCT keys were tried and measured
@@ -417,6 +430,23 @@ def minhash_lsh_pairs(
     # the pair rows from the bucket expansion (16 extra bytes through the
     # distinct), so the filter needs no joins at all.
     sets = state.select("doc_id", "S")
+    # Set-attachment strategy, picked from the MEASURED sets size instead
+    # of left to the planner (guide §3.1/§8): when the sets table fits the
+    # broadcast threshold, the two attachment joins broadcast it — the
+    # bench/gate plan, zero shuffles on the verify. When it does NOT fit,
+    # any join-based attachment materializes candidate rows CARRYING set
+    # arrays (~|pairs| x |S| x 8 B x 2): audited at 1M docs / auto-banding
+    # as 98.6M candidates -> a ~64 GB intermediate whose sort-merge sort
+    # spilled 70-98 GB and whose shuffled-hash variant still exhausted the
+    # disk with the exchange itself. The large regime therefore switches
+    # to a GRID-partitioned verify (below) that never builds a wide row.
+    est_sets_bytes = tot_sh * 8 * 2 + n_state * 32
+    try:
+        bcast_thr = int(
+            docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        bcast_thr = 10 * 1024 * 1024
     pre = (
         pairs.select("p.a", "p.b", "p.na", "p.nb")
         .filter(
@@ -434,25 +464,128 @@ def minhash_lsh_pairs(
     # checkpoint is that table, and downstream plans see its true
     # (post-filter, small) size.
     pre = pre.localCheckpoint(eager=True)
-    j = (
-        pre.join(
-            sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")), "a"
+    if bcast_thr <= 0 or est_sets_bytes <= bcast_thr // 2:
+        # small-sets regime: both attachments broadcast the sets table
+        # (the planner picks BroadcastHashJoin from the cached relation's
+        # true size; the estimate above errs low, so it under- not
+        # over-claims this branch) — zero shuffles, exact array_intersect
+        inter = (
+            pre.join(
+                sets.select(F.col("doc_id").alias("a"), F.col("S").alias("sa")),
+                "a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("b"), F.col("S").alias("sb")),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+                "na",
+                "nb",
+            )
         )
-        .join(sets.select(F.col("doc_id").alias("b"), F.col("S").alias("sb")), "b")
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
-            "na",
-            "nb",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    else:
+        inter = _grid_intersect(pre, sets)
+    j = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+    ).filter(F.col("jaccard") >= threshold)
     return j.select("a", "b", F.round("jaccard", round_to).alias("jaccard"))
+
+
+def _grid_intersect(pre: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact per-pair set-intersection counts for the LARGE-sets regime:
+    (a, b, na, nb) pairs -> (a, b, n_inter, na, nb), never materializing a
+    pair row that carries a set array.
+
+    Guide §8 shape — decide with small rows, move heavy bytes once: the
+    pair space is partitioned into a P x Q grid by (a mod P, b mod Q);
+    each doc's (compact, distinct-hash) set is replicated to its row of
+    the grid as an a-side copy (Q cells) and its column as a b-side copy
+    (P cells). One exchange therefore moves |pairs| 32-byte rows plus
+    (P+Q) x the sets table — at 1M docs / 98.6M candidates that is
+    ~3 GB + 8 GB, versus the ~64 GB array-carrying intermediate (plus its
+    sort) that a join-based attachment builds. Inside each cell a python
+    task holds the two set dictionaries (sets_bytes/P and /Q — bounded by
+    choosing P,Q ~ sqrt(2 x parallelism)) and intersects per pair with
+    numpy (sets are distinct-element arrays, so assume_unique holds).
+    Output values are the identical integers the array_intersect plan
+    produces (pytest-pinned equal on a forced-grid run)."""
+    import pandas as _pd
+
+    spark = pre.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # ~8x more cells than cores: the cell id is a grouping KEY, not a
+    # partition id, so balance comes from having many more keys than
+    # shuffle partitions (guide §2.5); replication grows only as
+    # P+Q ~ 2*sqrt(cells)
+    g = max(2, int(math.isqrt(8 * par)))
+    P = Q = g
+    cell_pair = (F.pmod(F.col("a"), F.lit(P)) * Q
+                 + F.pmod(F.col("b"), F.lit(Q))).cast("int")
+    pair_rows = pre.select(
+        cell_pair.alias("cell"), F.lit(0).cast("byte").alias("side"),
+        F.lit(None).cast("long").alias("doc"),
+        F.lit(None).cast("array<long>").alias("S"),
+        "a", "b", "na", "nb",
+    )
+    qs = F.explode(F.sequence(F.lit(0), F.lit(Q - 1)))
+    a_rows = sets.select(
+        "doc_id", "S", qs.alias("q")
+    ).select(
+        (F.pmod(F.col("doc_id"), F.lit(P)) * Q + F.col("q")).cast("int").alias("cell"),
+        F.lit(1).cast("byte").alias("side"),
+        F.col("doc_id").alias("doc"), "S",
+        F.lit(None).cast("long").alias("a"), F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("int").alias("na"), F.lit(None).cast("int").alias("nb"),
+    )
+    ps = F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
+    b_rows = sets.select(
+        "doc_id", "S", ps.alias("p")
+    ).select(
+        (F.col("p") * Q + F.pmod(F.col("doc_id"), F.lit(Q))).cast("int").alias("cell"),
+        F.lit(2).cast("byte").alias("side"),
+        F.col("doc_id").alias("doc"), "S",
+        F.lit(None).cast("long").alias("a"), F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("int").alias("na"), F.lit(None).cast("int").alias("nb"),
+    )
+    union = pair_rows.unionByName(a_rows).unionByName(b_rows)
+
+    def _cell(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        # python frozensets beat every numpy variant measured for these
+        # ~80-element int64 sets (3.7 us/pair vs 7.1 intersect1d / 9.8
+        # searchsorted): len(x & y) iterates the smaller set probing the
+        # larger's C hash table, no per-call array allocation
+        sa = {
+            int(d): frozenset(np.asarray(s, dtype=np.int64).tolist())
+            for d, s in zip(pdf["doc"][side == 1], pdf["S"][side == 1])
+        }
+        sb = {
+            int(d): frozenset(np.asarray(s, dtype=np.int64).tolist())
+            for d, s in zip(pdf["doc"][side == 2], pdf["S"][side == 2])
+        }
+        pr = pdf[side == 0]
+        aa = pr["a"].tolist()
+        bb = pr["b"].tolist()
+        ni = np.empty(len(aa), np.int32)
+        for i, (a_, b_) in enumerate(zip(aa, bb)):
+            ni[i] = len(sa[a_] & sb[b_])
+        return _pd.DataFrame(
+            {
+                "a": np.asarray(aa, np.int64),
+                "b": np.asarray(bb, np.int64),
+                "n_inter": ni,
+                "na": pr["na"].to_numpy(np.int32),
+                "nb": pr["nb"].to_numpy(np.int32),
+            }
+        )
+
+    return union.groupBy("cell").applyInPandas(
+        _cell, "a long, b long, n_inter int, na int, nb int"
+    )
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:

@@ -1788,3 +1788,28 @@ def test_repetition_top2gram_capped(spark):
            for r in repetition_stats(docs).collect()}
     assert got[1] == 1.0
     assert got[2] == 0.5
+
+
+def test_minhash_grid_verify_matches_broadcast_plan(spark):
+    """r6: the large-sets verify regime (grid-partitioned set attachment,
+    dedup._grid_intersect) must produce the EXACT output of the
+    broadcast-join plan. Force the grid branch by shrinking the broadcast
+    threshold below the measured sets size."""
+    from clucene_spark.data.webtext import webtext_df
+    from clucene_spark.pipeline.dedup import minhash_lsh_pairs, with_planted_dups
+
+    corpus = with_planted_dups(
+        webtext_df(spark, 600).select("doc_id", "text"), every=5
+    )
+    ref = sorted(tuple(r) for r in minhash_lsh_pairs(corpus, bands=32).collect())
+    assert ref, "corpus must produce verified pairs"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        spark.catalog.clearCache()
+        got = sorted(
+            tuple(r) for r in minhash_lsh_pairs(corpus, bands=32).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == ref
