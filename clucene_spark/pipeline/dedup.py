@@ -427,8 +427,13 @@ def minhash_lsh_pairs(
     # pairs can NEVER verify — an exact necessary condition (not an
     # approximation), which on lognormal doc lengths kills most of the
     # band-collision survivors before the heavy set join. The sizes ride
-    # the pair rows from the bucket expansion (16 extra bytes through the
-    # distinct), so the filter needs no joins at all.
+    # the pair rows from the bucket expansion (16 extra bytes per row),
+    # so the filter needs no joins at all. Pairs colliding in SEVERAL
+    # bands (~11% at sf1.0) are NOT deduplicated here: verifying the few
+    # duplicates costs less than an 8-9M-row distinct exchange (A/B:
+    # 8.3s -> 6.8s for the candidate+verify span), and the final
+    # projection dedupes the (tiny) verified output instead — the result
+    # set is identical.
     sets = state.select("doc_id", "S")
     # Set-attachment strategy, picked from the MEASURED sets size instead
     # of left to the planner (guide §3.1/§8): when the sets table fits the
@@ -452,7 +457,6 @@ def minhash_lsh_pairs(
         .filter(
             F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(float(threshold))
         )
-        .distinct()
     )
     # MATERIALIZE the prefiltered candidate table before the array join.
     # Without the barrier Catalyst plans the verify joins with no stats on
@@ -492,7 +496,12 @@ def minhash_lsh_pairs(
         "jaccard",
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
     ).filter(F.col("jaccard") >= threshold)
-    return j.select("a", "b", F.round("jaccard", round_to).alias("jaccard"))
+    # multi-band collisions dedupe HERE, on the verified (small) output —
+    # jaccard is a pure function of (a, b), so this equals the r5 plan's
+    # pre-verify candidate distinct exactly
+    return j.select(
+        "a", "b", F.round("jaccard", round_to).alias("jaccard")
+    ).distinct()
 
 
 def _grid_intersect(pre: DataFrame, sets: DataFrame) -> DataFrame:
