@@ -1345,6 +1345,54 @@ def test_domain_stats_counts(spark):
     assert len(rows) == 97
 
 
+def test_line_dedup_owner_fast_path_matches_reference(spark):
+    """The r6 owner-only fast path (max_docs=1 skips the per-line flag
+    join): its output must equal a brute-force python reference of the
+    policy on a randomized corpus with boilerplate, twins, within-doc
+    repeats and all-dropped docs."""
+    import random
+
+    from clucene_spark.pipeline.dedup import line_dedup
+
+    rng = random.Random(607)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(120):
+        lines = []
+        if d % 3 == 0:
+            lines.append("nav home about")  # shared boilerplate
+        lines += [
+            " ".join(rng.choices(vocab, k=4))
+            for _ in range(rng.randint(1, 6))
+        ]
+        if d % 7 == 0 and lines:
+            lines.append(lines[0])  # within-doc repeat
+        rows.append((d, "\n".join(lines)))
+    for d in range(0, 120, 10):  # full twins
+        rows.append((d + 1000, rows[d][1]))
+
+    # python reference of the max_docs=1 policy: owner (min doc_id over
+    # docs containing the line) keeps; everyone else drops
+    owner: dict = {}
+    for doc_id, text in rows:
+        for ln in text.split("\n"):
+            if ln and (ln not in owner or doc_id < owner[ln]):
+                owner[ln] = min(doc_id, owner.get(ln, doc_id))
+    expect = {}
+    for doc_id, text in rows:
+        lines = [x for x in text.split("\n") if x != ""]
+        kept = [x for x in lines if owner[x] == doc_id]
+        expect[doc_id] = (len(lines), len(kept), "\n".join(kept))
+
+    out = line_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), max_docs=1
+    ).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        e = expect[r["doc_id"]]
+        assert (r["n_lines"], r["n_kept"], r["text_clean"]) == e, r["doc_id"]
+
+
 def test_line_dedup_removes_boilerplate_once(spark):
     """Planted shared header survives in exactly one doc; unique lines
     are untouched; a fully-duplicated twin is emptied."""

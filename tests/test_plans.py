@@ -225,21 +225,29 @@ def test_lm_score_join_not_broadcast(spark):
 
 
 def test_line_dedup_stats_join_sort_merge_and_no_text_explode(spark):
-    """line_dedup's flag join is corpus-sized on both sides (distinct
-    line hashes) -> pinned sort-merge, like window_dedup_stats. And the
-    stats explode must carry ONLY hashes: no plan node may generate
-    per-line text rows (the rewrite is a map-side lambda over the doc's
-    own split array)."""
+    """line_dedup plan pins. max_docs=1 (default / gate policy): the
+    owner-only fast path has NO per-line flag join — the keep sets come
+    off two hash-keyed aggregations (r6). max_docs>1: the flag join is
+    corpus-sized on both sides (distinct line hashes) -> pinned
+    sort-merge, like window_dedup_stats. In both shapes the stats explode
+    must carry ONLY hashes: no plan node may generate per-line text rows
+    (the rewrite is a map-side lambda over the doc's own split array)."""
     from clucene_spark.pipeline.dedup import line_dedup
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
         "text", F.regexp_replace("text", " ", "\n")
     )
     plan = _plan(line_dedup(docs))
-    assert "SortMergeJoin" in plan, plan
+    # owner-only path: the ONLY join left is the doc_id keep-sets
+    # attachment; no corpus-lines sort-merge join may appear
+    assert "SortMergeJoin" not in plan, plan
     # the only explode is transform(...)->md5 hashes; exploding the raw
     # split() (text lines) into rows would show 'explode(split('
     assert "explode(split(" not in plan.replace(" ", ""), plan
+
+    plan2 = _plan(line_dedup(docs, max_docs=2))
+    assert "SortMergeJoin" in plan2, plan2
+    assert "explode(split(" not in plan2.replace(" ", ""), plan2
 
 
 def test_span_dedup_flag_join_sort_merge_and_no_text_explode(spark):

@@ -231,22 +231,28 @@ def main() -> None:
         _tree(p, 12),
     ))
 
-    # 8. line dedup: hash-only stats, SMJ flag join, map-side rewrite
+    # 8. line dedup: hash-only stats, owner-only fast path (max_docs=1),
+    # SMJ flag join only in the general max_docs>1 policy
     from clucene_spark.pipeline.dedup import line_dedup
 
     lined = docs.withColumn("text", F.regexp_replace("text", " ", "\n"))
     p = _plan(line_dedup(lined))
-    assert "SortMergeJoin" in p
+    assert "SortMergeJoin" not in p  # owner-only path: no per-line join
     assert "explode(split(" not in p.replace(" ", "")
+    p2 = _plan(line_dedup(lined, max_docs=2))
+    assert "SortMergeJoin" in p2
     sections.append((
         "Corpus line dedup with document rewrite",
-        "The stats pass explodes only (doc_id, line-hash) pairs; both "
-        "sides of the flag join are corpus-sized hash frames, pinned "
-        "sort-merge (the window_dedup_stats failure modes). Keep "
-        "decisions come back as one hash-set row per doc and the rewrite "
-        "is a map-side higher-order filter over the doc's own split "
-        "array — per-line text never crosses the wire. 20M lines in "
-        "72.5s at the 1M audit.",
+        "The stats pass explodes only (doc_id, line-hash) pairs. With "
+        "max_docs=1 (default) the keep rule collapses to 'owner keeps', "
+        "so the keep sets come off two hash-keyed aggregations — no "
+        "per-line flag join (r6). For max_docs>1 both sides of the flag "
+        "join are corpus-sized hash frames, pinned sort-merge (the "
+        "window_dedup_stats failure modes). Keep decisions come back as "
+        "one hash-set row per doc and the rewrite is a map-side "
+        "higher-order filter over the doc's own split array — per-line "
+        "text never crosses the wire. 20M lines in 72.5s at the 1M audit "
+        "(pre-r6 join plan).",
         _tree(p, 14),
     ))
 
