@@ -165,9 +165,22 @@ def dsir_weights(
     # of the output plan — i.e. a second full tokenize of the target
     # corpus per action (guide §1.2: don't compute things twice). The
     # ratio table is rebuilt below as a local relation from these rows,
-    # through the identical log/round expressions.
-    raw_rows = rawb.collect()
-    tgt_rows = tgtb.collect()
+    # through the identical log/round expressions. r6: the two collects
+    # run as ONE union action — one driver job instead of two, and the
+    # corpus and target tokenize branches execute concurrently inside it
+    # (guide §1.2/§5.4: fewer, fatter jobs); rows are identical, split by
+    # tag locally.
+    both = (
+        rawb.select(F.lit("r").alias("side"), "bucket", F.col("cr").alias("n"))
+        .unionByName(
+            tgtb.select(F.lit("t").alias("side"), "bucket", F.col("ct").alias("n"))
+        )
+        .collect()
+    )
+    raw_rows = [{"bucket": r["bucket"], "cr": r["n"]} for r in both
+                if r["side"] == "r"]
+    tgt_rows = [{"bucket": r["bucket"], "ct": r["n"]} for r in both
+                if r["side"] == "t"]
     t_raw = sum(r["cr"] for r in raw_rows)
     t_tgt = sum(r["ct"] for r in tgt_rows)
     if t_tgt == 0:
