@@ -251,8 +251,9 @@ def main() -> None:
         "window_dedup_stats failure modes). Keep decisions come back as "
         "one hash-set row per doc and the rewrite is a map-side "
         "higher-order filter over the doc's own split array — per-line "
-        "text never crosses the wire. 20M lines in 72.5s at the 1M audit "
-        "(pre-r6 join plan).",
+        "text never crosses the wire. 1M-doc audit: 9.0s owner path vs "
+        "16.4s join plan, identical output "
+        "(large_corpus.json web_ops_1m.line_dedup_r6_update).",
         _tree(p, 14),
     ))
 
