@@ -1649,6 +1649,51 @@ def test_dsir_weights_match_python_replay(docs):
         assert abs(out[d][1] - round(wm / 1e6, 6)) < 1e-9, d
 
 
+def test_dsir_weights_one_sided_buckets(spark):
+    """Buckets present in only ONE of the raw/target per-bucket tables —
+    the edge the r6 single-union collect must split correctly: raw-only
+    buckets take ct=0 through the coalesce, target-only buckets (grams
+    no raw doc has) contribute to t_tgt but produce no ratio row.
+    Brute-force replay on disjoint vocabularies."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from clucene_spark.pipeline.dsir import dsir_weights
+
+    nb = 64
+    raw_rows = [(1, "alpha beta gamma"), (2, "delta alpha"), (3, "beta")]
+    tgt_rows = [(10, "omega psi chi omega")]  # zero vocab overlap
+    docs = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_grams"], r["logw"])
+           for r in dsir_weights(docs, target, n_buckets=nb).collect()}
+
+    def grams(text):
+        t = [x for x in text.split(" ") if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % nb
+
+    raw_c, tgt_c, docb = Counter(), Counter(), {}
+    for doc_id, text in raw_rows:
+        bs = [bucket(g) for g in grams(text)]
+        docb[doc_id] = Counter(bs)
+        raw_c.update(bs)
+    for _, text in tgt_rows:
+        tgt_c.update(bucket(g) for g in grams(text))
+    tr, tt, b = float(sum(raw_c.values())), float(sum(tgt_c.values())), float(nb)
+    ri = {bk: round((math.log((tgt_c.get(bk, 0) + 1.0) / (tt + b))
+                     - math.log((c + 1.0) / (tr + b))) * 1e6)
+          for bk, c in raw_c.items()}
+    assert set(out) == set(docb)
+    for d, cnt in docb.items():
+        assert out[d][0] == sum(cnt.values())
+        assert abs(out[d][1] - round(sum(c * ri[bk] for bk, c in cnt.items())
+                                     / 1e6, 6)) < 1e-9
+
+
 def test_dsir_resample_prefers_target_like_docs(spark):
     """Docs sharing the target's vocabulary outscore disjoint-vocab docs,
     and the Gumbel-top-k selection is deterministic per seed."""
